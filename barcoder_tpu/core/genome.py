@@ -1,0 +1,272 @@
+"""Genome model: contigs, packed codes, gene/locus intervals, scan arrays.
+
+Replaces the reference's per-base ``locus_map`` dict (targets.py:76-165) and
+100 kb "topological overhang" linearization (targets.py:35-56) with:
+
+  - interval arrays per contig (vectorized join via sorted starts +
+    searchsorted, see :mod:`barcoder_tpu.core.locus`);
+  - exact wrap-around halos sized to the scan window (left ``|pam|``, right
+    ``L + |pam| - 1``) instead of a fixed 100 kb copy — every canonical start
+    ``p ∈ [0, len)`` sees its full window and PAM context exactly once, so no
+    duplicate-hit folding/dedup pass is needed.
+
+Reference locus-map semantics reproduced exactly (targets.py:102-163):
+
+  - origin-wrapping genes (CompoundLocation with a part at 0 and a part at
+    len) get one *adjusted* interval [adj_start, adj_end) with
+    adj_end = end_of_start_part + len;
+  - every other gene contributes one interval per location part;
+  - for the hit→gene join, only the portion of each interval below ``len``
+    can match (reference folds hit coords to (-len, len) before the per-base
+    lookup, so the +len overhang duplicates and the ≥len tail of wrapped
+    genes are unreachable — we clip instead of duplicating);
+  - offset/overlap math uses the *unclipped* adjusted interval bounds,
+    matching targets.py:205-216 fed from the stored entries.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..seqio.genbank import CompoundLocation, GenBankRecord, parse_genbank
+from ..seqio.snapgene import parse_snapgene, read_snapgene_dir
+from .encode import encode
+
+OVERHANG = 100_000  # reference's circular-overhang constant (targets.py:44)
+
+
+@dataclass
+class LocusEntry:
+    """One joinable gene occurrence (one location part, or one adjusted
+    wrapped-gene interval)."""
+
+    locus_tag: str | None
+    gene: str | None
+    start: int  # adjusted feature start (may exceed len for wrapped genes)
+    end: int  # adjusted feature end
+    strand: int | None
+    join_start: int  # clip(start, 0, len): the joinable portion
+    join_end: int  # clip(end, 0, len)
+
+
+@dataclass
+class Contig:
+    id: str
+    length: int
+    codes: np.ndarray  # int8 base codes
+    seq: str
+    topology: str | None = None
+    organism: str | None = None
+    description: str = ""
+    gene_count: int = 0
+    locus_entries: list[LocusEntry] = field(default_factory=list)
+
+    # vectorized join index (built lazily)
+    _join_arrays: tuple | None = None
+
+    @property
+    def circular(self) -> bool:
+        return self.topology == "circular"
+
+    def fetch_codes(self, start: int, end: int) -> np.ndarray:
+        """Fetch codes[start:end] with circular wraparound (start may be
+        negative, end may exceed length for circular contigs)."""
+        n = self.length
+        if 0 <= start and end <= n:
+            return self.codes[start:end]
+        if not self.circular:
+            raise IndexError(f"fetch [{start},{end}) out of bounds for linear contig of length {n}")
+        idx = np.arange(start, end) % n
+        return self.codes[idx]
+
+    def join_arrays(self):
+        """Sorted interval arrays for the hit→gene join: returns
+        (order, join_starts_sorted, join_ends, max_join_len) where arrays are
+        sorted by join_start."""
+        if self._join_arrays is None:
+            js = np.array([e.join_start for e in self.locus_entries], dtype=np.int64)
+            je = np.array([e.join_end for e in self.locus_entries], dtype=np.int64)
+            keep = je > js  # drop empty (out-of-range duplicates)
+            idx = np.nonzero(keep)[0]
+            order = idx[np.argsort(js[idx], kind="stable")]
+            starts = js[order]
+            ends = je[order]
+            max_len = int((ends - starts).max()) if len(order) else 0
+            self._join_arrays = (order, starts, ends, max_len)
+        return self._join_arrays
+
+
+def _build_locus_entries(record: GenBankRecord) -> tuple[list[LocusEntry], int]:
+    """Translate gene features into LocusEntry intervals with the reference's
+    adjusted-coordinate semantics (targets.py:96-163)."""
+    entries: list[LocusEntry] = []
+    n = len(record.seq)
+    gene_count = 0
+    for feature in record.features:
+        if feature.type != "gene":
+            continue
+        gene_count += 1
+        locus_tag = feature.qualifier("locus_tag")
+        gene_name = feature.qualifier("gene")
+        loc = feature.location
+        parts = loc.parts
+        is_wrapped = isinstance(loc, CompoundLocation) and any(
+            p.start == 0 or p.end == n for p in parts
+        )
+        if is_wrapped:
+            end_seg = next((p for p in parts if p.end == n), None)
+            start_seg = next((p for p in parts if p.start == 0), None)
+            if end_seg is None or start_seg is None:
+                # reference would raise StopIteration; treat as normal parts
+                is_wrapped = False
+            else:
+                adj_start = int(end_seg.start)
+                adj_end = int(start_seg.end) + n
+                entries.append(
+                    LocusEntry(
+                        locus_tag,
+                        gene_name,
+                        adj_start,
+                        adj_end,
+                        loc.strand,
+                        join_start=max(0, min(adj_start, n)),
+                        join_end=max(0, min(adj_end, n)),
+                    )
+                )
+        if not is_wrapped:
+            for part in parts:
+                s, e = int(part.start), int(part.end)
+                entries.append(
+                    LocusEntry(
+                        locus_tag,
+                        gene_name,
+                        s,
+                        e,
+                        loc.strand,
+                        join_start=max(0, min(s, n)),
+                        join_end=max(0, min(e, n)),
+                    )
+                )
+    return entries, gene_count
+
+
+def contig_from_record(record: GenBankRecord) -> Contig:
+    entries, gene_count = _build_locus_entries(record)
+    return Contig(
+        id=record.id,
+        length=len(record.seq),
+        codes=encode(record.seq),
+        seq=record.seq,
+        topology=record.topology,
+        organism=record.organism,
+        description=record.description,
+        gene_count=gene_count,
+        locus_entries=entries,
+    )
+
+
+@dataclass
+class Genome:
+    contigs: list[Contig]
+    source: str = ""
+
+    @classmethod
+    def from_genbank(cls, path: str) -> "Genome":
+        return cls([contig_from_record(r) for r in parse_genbank(path)], source=path)
+
+    @classmethod
+    def from_snapgene(cls, path: str) -> "Genome":
+        if os.path.isdir(path):
+            records = read_snapgene_dir(path)
+        else:
+            records = [parse_snapgene(path)]
+        return cls([contig_from_record(r) for r in records], source=path)
+
+    @classmethod
+    def from_fasta(cls, path: str, topology: str = "linear") -> "Genome":
+        from ..seqio.fasta import iter_fasta
+
+        contigs = []
+        for rid, desc, seq in iter_fasta(path):
+            seq = seq.upper()
+            contigs.append(
+                Contig(
+                    id=rid,
+                    length=len(seq),
+                    codes=encode(seq),
+                    seq=seq,
+                    topology=topology,
+                    description=desc,
+                )
+            )
+        return cls(contigs, source=path)
+
+    @classmethod
+    def load(cls, path: str) -> "Genome":
+        """Dispatch on extension: .gb/.gbk/.genbank (+.gz), .dna, directory of
+        .dna, else FASTA."""
+        if os.path.isdir(path):
+            return cls.from_snapgene(path)
+        base = path[:-3] if path.endswith(".gz") else path
+        if base.endswith((".gb", ".gbk", ".gbff", ".genbank")):
+            return cls.from_genbank(path)
+        if base.endswith(".dna"):
+            return cls.from_snapgene(path)
+        return cls.from_fasta(path)
+
+    # --- reference-compatible summary dicts (targets.py:77-165) ---
+    @property
+    def organisms(self) -> dict:
+        return {c.id: c.organism for c in self.contigs}
+
+    @property
+    def seq_lens(self) -> dict:
+        return {c.id: c.length for c in self.contigs}
+
+    @property
+    def topologies(self) -> dict:
+        return {c.id: c.topology for c in self.contigs}
+
+    @property
+    def all_genes(self) -> dict:
+        return {c.id: c.gene_count for c in self.contigs}
+
+    def ambiguity_stats(self) -> tuple[int, int]:
+        """(n_ambiguous_coordinates, n_ambiguous_locus_tags): folded genome
+        positions covered by >1 locus entry and the tags touching them
+        (reference: targets.py:788-797).
+
+        Computed on the unfolded [0, len + min(len, OVERHANG)) axis like the
+        reference's dict keys, then folded.
+        """
+        total_coords = 0
+        tags: set = set()
+        for c in self.contigs:
+            overhang = min(OVERHANG, c.length) if c.circular else 0
+            axis_len = c.length + max(
+                overhang, max((e.end for e in c.locus_entries), default=0) - c.length
+            )
+            cov = np.zeros(axis_len + 1, dtype=np.int32)
+            # wrapped-gene adjusted intervals + normal parts
+            for e in c.locus_entries:
+                cov[min(e.start, axis_len)] += 1
+                cov[min(e.end, axis_len)] -= 1
+            # the reference also duplicates entries of genes inside the first
+            # `overhang` bases at +len (targets.py:149-163); those duplicate
+            # keys fold onto the originals so they do not change the folded
+            # ambiguous set — skipped here.
+            cov = np.cumsum(cov[:-1])
+            amb_pos = np.nonzero(cov > 1)[0]
+            folded = set(int(p) % c.length for p in amb_pos)
+            total_coords += len(folded)
+            if len(folded):
+                fold_arr = np.fromiter(folded, dtype=np.int64)
+                for e in c.locus_entries:
+                    if e.join_end > e.join_start and np.any(
+                        (fold_arr >= e.join_start) & (fold_arr < e.join_end)
+                    ):
+                        tags.add(e.locus_tag)
+        return total_coords, len(tags)

@@ -1,0 +1,144 @@
+"""PAM pattern semantics: per-position site masks and per-hit extraction.
+
+Reference semantics reproduced (targets.py:219-307):
+
+  - pattern match: ``N`` is a wildcard, all other letters literal, matched
+    case-insensitively against the extracted genomic window via
+    ``re.match(pam.replace("N","."), extracted)`` — i.e. a *prefix* match,
+    though extracted windows are exactly ``len(pam)`` long so it is an exact
+    match in practice (targets.py:219-224);
+  - an extraction that would run off the sequence returns None and the site
+    is rejected — even for an all-N pattern (the ``if not extracted_pam``
+    check precedes the all-N shortcut, targets.py:220-222);
+  - window placement per (direction, strand): for a hit occupying
+    [p, p+L) on the forward genome axis,
+
+      downstream F: [p+L, p+L+|pam|)            (plus strand)
+      downstream R: revcomp of [p-|pam|, p)
+      upstream   F: [p-|pam|, p)
+      upstream   R: revcomp of [p+L, p+L+|pam|)
+
+  - circular contigs wrap (the reference achieves this via its 100 kb
+    topological overhang; we wrap indices directly).
+
+The *site mask* computation is vectorized over every genome position and is
+what the scan kernels consume (fused hit filter); *extraction* returns the
+PAM string for the report's ``pam`` column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .encode import N_CODE, complement_codes, decode, encode
+from .genome import Contig
+
+
+def pam_is_trivial(pam: str) -> bool:
+    """True if the pattern imposes no constraint in reference terms: empty
+    pattern → parse_sam_output never extracts (targets.py:326), so no
+    filtering at all."""
+    return not pam
+
+
+def _match_positions(codes: np.ndarray, at: np.ndarray, pat_codes: np.ndarray, n: int, circular: bool) -> np.ndarray:
+    """For each start index in ``at`` (on the forward axis, may be out of
+    [0, n) only via wrap), test whether codes[at+i] equals pat for all i.
+    Out-of-bounds (linear) → False."""
+    ok = np.ones(len(at), dtype=bool)
+    for i, pc in enumerate(pat_codes):
+        idx = at + i
+        if circular:
+            idx = idx % n
+            valid = np.ones(len(at), dtype=bool)
+        else:
+            valid = (idx >= 0) & (idx < n)
+            idx = np.clip(idx, 0, n - 1)
+        base = codes[idx]
+        if pc == N_CODE:
+            here = valid  # wildcard: any base matches (incl. genomic N, as
+            # re '.' matches 'N' in the reference)
+        else:
+            here = valid & (base == pc)
+        ok &= here
+    return ok
+
+
+def pam_site_masks(
+    contig: Contig, L: int, pam: str, direction: str = "downstream"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Boolean (ok_fwd, ok_rev) over canonical hit starts.
+
+    For circular contigs starts span [0, len); for linear, [0, len-L]
+    (arrays are still length ``len`` with the tail False).
+    """
+    n = contig.length
+    starts = np.arange(n, dtype=np.int64)
+    valid_window = starts <= n - L if not contig.circular else np.ones(n, dtype=bool)
+    if pam_is_trivial(pam):
+        return valid_window.copy(), valid_window.copy()
+
+    pat = encode(pam.upper())
+    pat_rc = pat[::-1].copy()
+    pat_rc_comp = complement_codes(pat_rc)
+    codes = contig.codes
+    circ = contig.circular
+
+    if direction == "downstream":
+        # F: genome[p+L : p+L+|pam|] matches pat
+        ok_f = _match_positions(codes, starts + L, pat, n, circ)
+        # R: revcomp(genome[p-|pam| : p]) matches pat
+        #    ⇔ genome[p-|pam|+i] == comp(pat[|pam|-1-i])
+        ok_r = _match_positions(codes, starts - len(pat), pat_rc_comp, n, circ)
+    elif direction == "upstream":
+        # F: genome[p-|pam| : p] matches pat
+        ok_f = _match_positions(codes, starts - len(pat), pat, n, circ)
+        # R: revcomp(genome[p+L : p+L+|pam|]) matches pat
+        ok_r = _match_positions(codes, starts + L, pat_rc_comp, n, circ)
+    else:
+        raise ValueError(f"pam direction must be 'downstream' or 'upstream', got {direction!r}")
+
+    return ok_f & valid_window, ok_r & valid_window
+
+
+def extract_pam(
+    contig: Contig, p: int, L: int, strand: str, pam: str, direction: str = "downstream"
+) -> str | None:
+    """Extract the PAM window string for a hit at canonical start ``p``
+    (reference: extract_downstream_pam / extract_upstream_pam,
+    targets.py:227-307). Returns None when out of bounds on a linear contig."""
+    if pam_is_trivial(pam):
+        return None
+    n = contig.length
+    m = len(pam)
+
+    def fetch(a: int, b: int) -> np.ndarray | None:
+        if contig.circular:
+            return contig.codes[np.arange(a, b) % n]
+        if a < 0 or b > n:
+            return None
+        return contig.codes[a:b]
+
+    if direction == "downstream":
+        window = fetch(p + L, p + L + m) if strand == "F" else fetch(p - m, p)
+        rc = strand == "R"
+    else:
+        window = fetch(p - m, p) if strand == "F" else fetch(p + L, p + L + m)
+        rc = strand == "R"
+    if window is None:
+        return None
+    if rc:
+        window = complement_codes(window)[::-1]
+    return decode(window)
+
+
+def pam_matches(pam_pattern: str, extracted: str | None) -> bool:
+    """Reference pam_matches (targets.py:219-224)."""
+    if not extracted:
+        return False
+    if not pam_pattern or pam_pattern == "N" * len(pam_pattern):
+        return True
+    for pc, ec in zip(pam_pattern.upper(), extracted.upper()):
+        if pc != "N" and pc != ec:
+            return False
+    return True

@@ -1,0 +1,44 @@
+"""Scan-input preparation shared by the oracle, the JAX reference scan, and
+the Pallas kernel: spacer matrices, wrap-halo scan arrays, PAM/validity masks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.encode import encode, revcomp_codes
+from ..core.genome import Contig
+from ..core.pam import pam_site_masks
+
+
+def spacer_matrix(spacers: list[str]) -> np.ndarray:
+    """(S, L) int8 code matrix; all spacers must share one length."""
+    lens = {len(s) for s in spacers}
+    if len(lens) != 1:
+        raise ValueError(f"spacer_matrix requires uniform length, got {sorted(lens)}")
+    return np.stack([encode(s) for s in spacers])
+
+
+def revcomp_matrix(mat: np.ndarray) -> np.ndarray:
+    """(S, L) → (S, L) reverse complement of every row."""
+    return np.stack([revcomp_codes(row) for row in mat])
+
+
+def build_scan_array(contig: Contig, L: int) -> np.ndarray:
+    """Genome codes extended with an (L-1)-base wrap halo for circular
+    contigs, so every canonical start p in [0, len) sees a full window.
+
+    This replaces the reference's 100 kb topological overhang
+    (targets.py:35-56) with the minimal exact halo; duplicate-hit folding
+    becomes unnecessary because starts >= len are never scanned.
+    """
+    if contig.circular and L > 1:
+        halo = contig.fetch_codes(contig.length, contig.length + L - 1)
+        return np.concatenate([contig.codes, halo])
+    return contig.codes
+
+
+def site_masks(contig: Contig, L: int, pam: str, pam_direction: str) -> tuple[np.ndarray, np.ndarray]:
+    """(mask_f, mask_r) over canonical starts [0, len): PAM-compatible and
+    window-valid positions per strand."""
+    return pam_site_masks(contig, L, pam, pam_direction)

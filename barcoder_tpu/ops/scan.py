@@ -1,0 +1,82 @@
+"""Public scan API: dispatches between the Pallas TPU kernel, the XLA
+reference path, and the numpy oracle.
+
+This is the framework's replacement for the reference's alignment engine
+(Bowtie 1 invoked via subprocess, targets.py:467-539 / BowtieRunner.py:87-141).
+All backends share the same contract:
+
+    scan(spacers, contig, max_mismatches, pam, pam_direction) -> Hits
+
+reporting every site on either strand with Hamming distance <= v whose PAM
+context matches — the semantics of ``bowtie -a -v N`` followed by the
+reference's PAM rejection (targets.py:350-352), with no -k cap.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Literal
+
+import numpy as np
+
+import jax
+
+from ..core.genome import Contig, Genome
+from .types import Hits
+
+Backend = Literal["auto", "pallas", "jax", "oracle"]
+
+
+def _tpu_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def resolve_backend(backend: Backend = "auto") -> str:
+    if backend != "auto":
+        return backend
+    env = os.environ.get("BARCODER_TPU_BACKEND")
+    if env:
+        return env
+    return "pallas" if _tpu_available() else "jax"
+
+
+def scan_contig(
+    spacers,
+    contig: Contig,
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    backend: Backend = "auto",
+) -> Hits:
+    b = resolve_backend(backend)
+    if b == "oracle":
+        from .oracle import oracle_scan
+
+        return oracle_scan(spacers, contig, max_mismatches, pam, pam_direction)
+    if b == "pallas":
+        from .pallas_scan import pallas_scan
+
+        return pallas_scan(spacers, contig, max_mismatches, pam, pam_direction)
+    if b == "jax":
+        from .ref_scan import jax_scan
+
+        return jax_scan(spacers, contig, max_mismatches, pam, pam_direction)
+    raise ValueError(f"unknown scan backend {b!r}")
+
+
+def scan_genome(
+    spacers,
+    genome: Genome,
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    backend: Backend = "auto",
+) -> dict[str, Hits]:
+    """Scan every contig; returns {contig_id: Hits}."""
+    return {
+        c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
+        for c in genome.contigs
+    }

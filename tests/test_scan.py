@@ -1,0 +1,180 @@
+"""Scan-engine correctness: planted-guide property tests + oracle↔XLA
+agreement (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import pytest
+
+from barcoder_tpu.core.encode import decode, revcomp
+from barcoder_tpu.core.genome import contig_from_record
+from barcoder_tpu.ops.oracle import oracle_scan
+from barcoder_tpu.ops.ref_scan import jax_scan
+from barcoder_tpu.ops.types import STRAND_F, STRAND_R, Hits
+
+from .genomes import make_record, plant_guide, random_seq
+
+
+def hits_tuples(h: Hits):
+    return set(zip(h.spacer_idx.tolist(), h.pos.tolist(), h.strand.tolist(), h.mismatches.tolist()))
+
+
+def mutate(seq: str, positions, rng) -> str:
+    s = list(seq)
+    for p in positions:
+        s[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[s[p]]
+    return "".join(s)
+
+
+@pytest.fixture(scope="module")
+def circ_contig():
+    rec = make_record(n=8000, topology="circular", seed=1)
+    return rec, contig_from_record(rec)
+
+
+class TestPlantedGuides:
+    def test_exact_forward(self):
+        rec = make_record(n=4000, seed=2)
+        rng = np.random.default_rng(3)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 1000)
+        contig = contig_from_record(rec)
+        hits = oracle_scan([g], contig, 0)
+        assert (0, 1000, STRAND_F, 0) in hits_tuples(hits)
+
+    def test_exact_reverse(self):
+        rec = make_record(n=4000, seed=4)
+        rng = np.random.default_rng(5)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 2000, strand="R")
+        contig = contig_from_record(rec)
+        hits = hits_tuples(oracle_scan([g], contig, 0))
+        assert (0, 2000, STRAND_R, 0) in hits
+
+    def test_mismatch_threshold(self):
+        rng = np.random.default_rng(6)
+        rec = make_record(n=4000, seed=6)
+        g = random_seq(24, rng)
+        plant_guide(rec, mutate(g, [3, 10], rng), 500)
+        contig = contig_from_record(rec)
+        t1 = hits_tuples(oracle_scan([g], contig, 1))
+        t2 = hits_tuples(oracle_scan([g], contig, 2))
+        assert not any(p == 500 for _, p, _, _ in t1)
+        assert (0, 500, STRAND_F, 2) in t2
+
+    def test_origin_wrap(self, circ_contig):
+        rec, _ = circ_contig
+        rng = np.random.default_rng(7)
+        g = random_seq(20, rng)
+        rec2 = make_record(n=8000, topology="circular", seed=1)
+        plant_guide(rec2, g, 7990)  # wraps: 10 bases at end, 10 at start
+        contig = contig_from_record(rec2)
+        hits = hits_tuples(oracle_scan([g], contig, 0))
+        assert (0, 7990, STRAND_F, 0) in hits
+
+    def test_linear_no_wrap(self):
+        rec = make_record(n=4000, topology="linear", seed=8)
+        rng = np.random.default_rng(8)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 3990)  # would wrap; linear must not report
+        contig = contig_from_record(rec)
+        hits = hits_tuples(oracle_scan([g], contig, 3))
+        assert not any(p == 3990 for _, p, _, _ in hits)
+
+    def test_pam_filtering(self):
+        rec = make_record(n=4000, seed=9)
+        rng = np.random.default_rng(9)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 700, pam="CGG", strand="F")
+        plant_guide(rec, g, 1700)  # no PAM planted
+        contig = contig_from_record(rec)
+        hits = hits_tuples(oracle_scan([g], contig, 0, pam="NGG"))
+        assert (0, 700, STRAND_F, 0) in hits
+        nopam = {t for t in hits if t[1] == 1700}
+        # site at 1700 only reported if the random context happens to be NGG
+        ctx = rec.seq[1720:1723]
+        assert bool(nopam) == (ctx[1:3] == "GG")
+
+    def test_pam_reverse_strand(self):
+        rec = make_record(n=4000, seed=10)
+        rng = np.random.default_rng(10)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 900, pam="AGG", strand="R")
+        contig = contig_from_record(rec)
+        hits = hits_tuples(oracle_scan([g], contig, 0, pam="NGG"))
+        assert (0, 900, STRAND_R, 0) in hits
+
+    def test_upstream_pam(self):
+        rec = make_record(n=4000, seed=11)
+        rng = np.random.default_rng(11)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 800, pam="TTTC", strand="F", pam_direction="upstream")
+        contig = contig_from_record(rec)
+        hits = hits_tuples(
+            oracle_scan([g], contig, 0, pam="TTTN", pam_direction="upstream")
+        )
+        assert (0, 800, STRAND_F, 0) in hits
+
+    def test_n_in_genome_never_matches(self):
+        rec = make_record(n=2000, seed=12)
+        rng = np.random.default_rng(12)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 300)
+        rec.seq = rec.seq[:305] + "N" + rec.seq[306:]
+        contig = contig_from_record(rec)
+        assert not any(
+            p == 300 for _, p, _, _ in hits_tuples(oracle_scan([g], contig, 0))
+        )
+        assert (0, 300, STRAND_F, 1) in hits_tuples(oracle_scan([g], contig, 1))
+
+    def test_palindrome_both_strands(self):
+        # a palindromic site matches F and R at the same position
+        rec = make_record(n=2000, seed=13)
+        g = "ACGTACGTACGCGTACGTACGT"[:20]
+        g = g[:10] + revcomp(g[:10])
+        plant_guide(rec, g, 600)
+        contig = contig_from_record(rec)
+        hits = hits_tuples(oracle_scan([g], contig, 0))
+        assert (0, 600, STRAND_F, 0) in hits
+        assert (0, 600, STRAND_R, 0) in hits
+
+
+class TestJaxOracleAgreement:
+    @pytest.mark.parametrize("topology", ["circular", "linear"])
+    @pytest.mark.parametrize("v", [0, 1, 3])
+    def test_random_agreement(self, topology, v):
+        rng = np.random.default_rng(42 + v)
+        rec = make_record(n=6000, topology=topology, seed=42)
+        spacers = [random_seq(20, rng) for _ in range(8)]
+        # plant some with varying mutations so hits exist
+        for i, s in enumerate(spacers[:6]):
+            mutated = mutate(s, list(range(i % 4)), rng)
+            plant_guide(rec, mutated, 500 + 700 * i, strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        a = hits_tuples(oracle_scan(spacers, contig, v))
+        b = hits_tuples(jax_scan(spacers, contig, v))
+        assert a == b
+        if v >= (0 % 4):
+            assert len(a) > 0
+
+    def test_agreement_with_pam(self):
+        rng = np.random.default_rng(77)
+        rec = make_record(n=6000, seed=77)
+        spacers = [random_seq(20, rng) for _ in range(6)]
+        for i, s in enumerate(spacers):
+            plant_guide(rec, s, 400 + 800 * i, pam="TGG", strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        a = hits_tuples(oracle_scan(spacers, contig, 1, pam="NGG"))
+        b = hits_tuples(jax_scan(spacers, contig, 1, pam="NGG"))
+        assert a == b
+        assert len(a) >= 6
+
+    def test_agreement_chunk_boundary(self):
+        # position chunking must not drop hits at chunk edges
+        rng = np.random.default_rng(88)
+        rec = make_record(n=3000, seed=88)
+        g = random_seq(20, rng)
+        for p in [1020, 1023, 1024, 1025, 2040]:
+            plant_guide(rec, g, p)
+        contig = contig_from_record(rec)
+        a = hits_tuples(oracle_scan([g], contig, 0))
+        b = hits_tuples(jax_scan([g], contig, 0, chunk=1024))
+        assert a == b
