@@ -1,0 +1,48 @@
+"""Unified CLI: ``python -m barcoder_tpu <command> ...``.
+
+Commands map 1:1 to the reference's scripts:
+  targets   ↔ targets.py        (guide→genome mapping)
+  design    ↔ design_guides.py  (genome-wide guide design)
+  count     ↔ heuristicount.py  (barcode counting in reads)
+  mismatch  ↔ mismatch.py       (mismatch-efficacy model)
+  distill   ↔ distillreads.py   (read sort/compress preprocessing)
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "targets":
+        from .targets import main as run
+
+        return run(rest)
+    if cmd == "design":
+        from .design import main as run
+
+        return run(rest)
+    if cmd == "count":
+        from .count import main as run
+
+        return run(rest)
+    if cmd == "mismatch":
+        from .mismatch import main as run
+
+        return run(rest)
+    if cmd == "distill":
+        from .distill import main as run
+
+        return run(rest)
+    print(f"unknown command: {cmd}\n", file=sys.stderr)
+    print(__doc__, file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,138 @@
+"""``barcoder-tpu targets`` — CLI frontend for guide→genome mapping.
+
+Argument-compatible with the reference's ``python targets.py`` CLI
+(targets.py:864-883): positional sgrna_file, genome_file, pam, mismatches;
+``--pam_direction {upstream,downstream}``; ``--json``. TSV/JSON goes to
+stdout; a rich summary table goes to stderr (targets.py:716-861).
+
+Additions over the reference: ``--backend`` to pick the scan engine and
+``--library-column`` for TSV libraries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import platform
+import sys
+from datetime import datetime
+
+import rich.table
+from rich.console import Console
+from rich.table import Table
+
+from ..pipeline.targets import TargetsResult, run_targets, write_output
+from ..seqio.library import BarcodeLibrary
+from ..core.genome import Genome
+
+
+def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser(description="Map barcodes to a circular genome")
+    p.add_argument("sgrna_file", help="Path to sgRNA FASTA/TSV/FASTQ file", type=str)
+    p.add_argument("genome_file", help="Path to genome GenBank/SnapGene/FASTA file", type=str)
+    p.add_argument("pam", help="PAM sequence", type=str)
+    p.add_argument("mismatches", help="Number of allowed mismatches", type=int)
+    p.add_argument(
+        "--pam_direction",
+        choices=["upstream", "downstream"],
+        default="downstream",
+        help="Direction of the PAM sequence",
+    )
+    p.add_argument("--json", action="store_true", default=False, help="Output results in JSON format")
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
+    p.add_argument("--library-column", default="spacer", help="Barcode column for TSV libraries")
+    return p
+
+
+def summary_table(args, result: TargetsResult) -> Table:
+    """The reference's combined rich summary table (targets.py:716-861)."""
+    s = result.stats
+    t = Table(
+        box=rich.table.box.SIMPLE_HEAVY,
+        caption=f"Finished at [u]{datetime.now()}[/u]",
+        title_style="bold bright_white",
+        caption_style="bold white",
+        header_style="bold bright_white",
+        border_style="bold bright_white",
+        show_header=True,
+    )
+    t.add_column(os.path.basename(sys.argv[0]) or "targets", justify="right", style="white", min_width=30)
+    t.add_column("Summary", justify="right", style="bold bright_white", min_width=20)
+
+    t.add_section()
+    t.add_row("[bold bright_magenta]Input & Config[/bold bright_magenta]", "")
+    t.add_row("Barcodes", f"[bold]{os.path.basename(args.sgrna_file)}[/bold]")
+    t.add_row("Genome File", f"[bold]{os.path.basename(args.genome_file)}[/bold]")
+    t.add_row("PAM", f"[bold]{args.pam}[/bold]")
+    t.add_row("PAM Direction", f"[bold]{args.pam_direction.capitalize()}[/bold]")
+    t.add_row("Number of Mismatches", f"[bold]{args.mismatches}[/bold]")
+    t.add_row("Backend", f"[bold]{args.backend}[/bold]")
+    t.add_row("Operating System", f"[bold]{platform.system()}[/bold]")
+
+    t.add_section()
+    t.add_row("[bold bright_blue]Heuristics[/bold bright_blue]", "")
+    t.add_row("Spacer Lengths", f"[bold]{s['spacer_len_range']}[/bold]")
+    if s.get("systematic_name"):
+        t.add_row("Systematic Name", f"[bold]{s['systematic_name']}[/bold]")
+    organisms = s["organisms"]
+    t.add_row(
+        "Organism",
+        f"[bold]{', '.join(organisms) if organisms else 'Unknown'}[/bold]",
+    )
+    t.add_row("Topology", f"[bold]{', '.join(s['topologies'])}[/bold]")
+    t.add_row(
+        "Sequence Length",
+        f"[bold]{'; '.join(format(x, ',') for x in s['seq_lens'])}[/bold]",
+    )
+    t.add_row("Chromosomes", f"[bold]{s['chromosomes']}[/bold]")
+    t.add_row("Total Genes", f"[bold]{s['total_genes']:,}[/bold]")
+    t.add_row("Overlapping Genes", f"[bold]{s['overlapping_genes']:,}[/bold]")
+    t.add_row("Ambiguous Coordinates", f"[bold]{s['ambiguous_coordinates']:,}[/bold]")
+
+    t.add_section()
+    t.add_row("[bold bright_green]Barcode Mapping Stats[/bold bright_green]", "")
+    t.add_row("Chromosomes Targeted", f"[bold]{s['chromosomes_targeted']:,}[/bold]")
+    t.add_row("Genes Targeted", f"[bold]{s['genes_targeted']:,}[/bold]")
+    t.add_row("Overlapping Genes Targeted", f"[bold]{s['overlapping_genes_targeted']:,}[/bold]")
+    t.add_row("Unique Barcodes", f"[bold]{s['unique_barcodes']:,}[/bold]")
+    for mm, count in sorted(s.get("spacers_per_mismatch", {}).items()):
+        t.add_row(f"{mm} Mismatch Barcodes", f"[bold]{count:,}[/bold]")
+    t.add_row("Intergenic Barcodes", f"[bold]{s['intergenic_barcodes']:,}[/bold]")
+    t.add_row("Off-targeting Barcodes", f"[bold]{s['off_target_barcodes']:,}[/bold]")
+    t.add_row("Non-targeting Barcodes", f"[bold]{s['non_targeting_barcodes']:,}[/bold]")
+    return t
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    console = Console(file=sys.stderr)
+    console.log("[bold red]Initializing barcode target seeker[/bold red]")
+
+    console.log("Loading barcode library...")
+    library = BarcodeLibrary.load(args.sgrna_file, column=args.library_column)
+
+    console.log("Loading genome and annotations...")
+    genome = Genome.load(args.genome_file)
+
+    console.log("Scanning genome on device...")
+    result = run_targets(
+        library,
+        genome,
+        args.pam,
+        args.mismatches,
+        pam_direction=args.pam_direction,
+        backend=args.backend,
+    )
+
+    if args.json:
+        console.log("Writing to JSON...")
+    else:
+        console.log("Writing to TSV...")
+    write_output(result, sys.stdout, as_json=args.json)
+
+    console.log(summary_table(args, result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

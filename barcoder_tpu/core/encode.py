@@ -34,6 +34,11 @@ for a, b in zip(b"ACGTacgtNn", b"TGCAtgcaNn"):
     _COMP_ASCII[a] = b
 
 
+# public aliases for vectorized ascii-level transforms
+DECODE_ASCII = _DECODE
+COMP_ASCII = _COMP_ASCII
+
+
 def encode(seq: str | bytes | bytearray) -> np.ndarray:
     """Encode a DNA string to an int8 code array (A0 C1 G2 T3, other 4)."""
     if isinstance(seq, str):

@@ -98,20 +98,32 @@ def jax_scan(
     n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
     mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
 
+    # pad shapes to stable buckets so XLA compiles are reused across calls:
+    # spacer count to the next power of two (all-N pad rows never match),
+    # position chunks to the full chunk width (N codes + False mask).
+    chunk = min(chunk, max(256, 1 << (n_starts - 1).bit_length()))
+    S_pad = max(8, 1 << (S - 1).bit_length())
+    pad_rows = np.full((S_pad - S, L), 4, dtype=q_f.dtype)
+
     out = []
     for strand, q, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
-        q_oh = jnp.asarray(np.transpose(_onehot_np(q), (0, 2, 1)))
+        q_oh = jnp.asarray(
+            np.transpose(_onehot_np(np.concatenate([q, pad_rows])), (0, 2, 1))
+        )
         for p0 in range(0, n_starts, chunk):
             p1 = min(p0 + chunk, n_starts)
-            g = scan[p0 : p1 + L - 1]
+            g = np.full(chunk + L - 1, 4, dtype=scan.dtype)
+            g[: p1 + L - 1 - p0] = scan[p0 : p1 + L - 1]
             g_oh = jnp.asarray(_onehot_np(g[None, :]).transpose(0, 2, 1))
-            mm, sel = _chunk_hitmask(
-                q_oh, g_oh, jnp.asarray(mask[p0:p1]), L, int(max_mismatches)
-            )
+            m = np.zeros(chunk, dtype=bool)
+            m[: p1 - p0] = mask[p0:p1]
+            mm, sel = _chunk_hitmask(q_oh, g_oh, jnp.asarray(m), L, int(max_mismatches))
             sel = np.asarray(sel)
             if sel.any():
                 mm = np.asarray(mm)
                 sp, pos = np.nonzero(sel)
+                keep = sp < S
+                sp, pos = sp[keep], pos[keep]
                 out.append(
                     Hits(
                         spacer_idx=sp.astype(np.int64),

@@ -1,0 +1,407 @@
+"""Workload 1 — guide→genome mapping ("targets").
+
+End-to-end equivalent of the reference's ``targets.py`` CLI: align a spacer
+library against a (circular) genome at 0–v mismatches, filter by PAM,
+annotate with gene features, and emit the reference's match-table schema
+(frozen by Example_Libraries/CN-32-zmo.tsv's header):
+
+    spacer locus_tag gene chr [count] [pam] [mismatches] target tar_start
+    tar_end offset overlap sp_dir tar_dir note
+
+The alignment itself runs on the device scan engine (ops/scan.py) instead of
+a Bowtie subprocess (reference: targets.py:467-539); everything downstream
+reproduces the reference's pandas post-processing (targets.py:542-701)
+including its output quirks:
+
+  - origin-wrapping hits report a negative tar_start (targets.py:380-384);
+  - reconstructed targets lowercase mismatched bases (pysam
+    ``get_reference_sequence`` semantics at targets.py:371-376);
+  - rows of unannotated sites carry no ``gene`` value;
+  - spacers whose every site failed PAM collapse to a single non-targeting
+    row per input name (flip-to-unmapped at targets.py:350-352 +
+    filter_offtargets_by_pam at targets.py:542-544).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+
+from ..core.coords import fold_hit_coords, get_coords, get_diff
+from ..core.encode import COMP_ASCII, DECODE_ASCII
+from ..core.genome import Contig, Genome
+from ..core.locus import join_hits_to_loci
+from ..core.pam import pam_is_trivial
+from ..ops.prep import build_scan_array, revcomp_matrix, spacer_matrix
+from ..ops.scan import scan_contig
+from ..ops.types import STRAND_R, Hits
+from ..seqio.library import BarcodeLibrary
+
+
+@dataclass
+class TargetsResult:
+    table: pd.DataFrame  # final ordered/typed output table
+    results: pd.DataFrame  # post-filter row table used for stats
+    stats: dict
+
+
+def _decode_rows(mat_ascii: np.ndarray) -> list[str]:
+    """(H, L) uint8 ascii → list of strings."""
+    if mat_ascii.size == 0:
+        return []
+    H, L = mat_ascii.shape
+    flat = np.ascontiguousarray(mat_ascii).view(f"S{L}").ravel()
+    return [b.decode("ascii") for b in flat]
+
+
+def _target_strings(
+    contig: Contig, hits: Hits, q_f: np.ndarray, q_r: np.ndarray
+) -> list[str]:
+    """Reconstructed target sequences: genome window in spacer orientation,
+    mismatched bases lowercased (reference: targets.py:371-376 via pysam)."""
+    L = q_f.shape[1]
+    scan = build_scan_array(contig, L)
+    windows = sliding_window_view(scan, L)[hits.pos]  # (H, L) codes
+    q = np.where(hits.strand[:, None] == STRAND_R, q_r[hits.spacer_idx], q_f[hits.spacer_idx])
+    match = (windows == q) & (windows < 4) & (q < 4)
+    ascii_mat = DECODE_ASCII[np.clip(windows, 0, 4)].copy()
+    ascii_mat[~match] += 32  # lowercase mismatches
+    # R-strand rows: reverse complement preserving case
+    rmask = hits.strand == STRAND_R
+    if rmask.any():
+        rc = COMP_ASCII[ascii_mat[rmask]][:, ::-1]
+        ascii_mat[rmask] = rc
+    return _decode_rows(ascii_mat)
+
+
+def _pam_strings(contig: Contig, hits: Hits, L: int, pam: str, direction: str) -> list:
+    """Extracted PAM windows per hit (vectorized, with circular wrap). Hits
+    have already passed the PAM site mask, so windows are in-bounds."""
+    if pam_is_trivial(pam):
+        return [None] * len(hits)
+    m = len(pam)
+    n = contig.length
+    p = hits.pos
+    if direction == "downstream":
+        starts = np.where(hits.strand == STRAND_R, p - m, p + L)
+    else:
+        starts = np.where(hits.strand == STRAND_R, p + L, p - m)
+    idx = starts[:, None] + np.arange(m)[None, :]
+    if contig.circular:
+        idx = idx % n
+    codes = contig.codes[np.clip(idx, 0, n - 1)]
+    ascii_mat = DECODE_ASCII[np.clip(codes, 0, 4)].copy()
+    rmask = hits.strand == STRAND_R
+    if rmask.any():
+        ascii_mat[rmask] = COMP_ASCII[ascii_mat[rmask]][:, ::-1]
+    return _decode_rows(ascii_mat)
+
+
+def build_rows(
+    contig: Contig,
+    hits: Hits,
+    seqs: list[str],
+    q_f: np.ndarray,
+    q_r: np.ndarray,
+    pam: str,
+    pam_direction: str,
+) -> list[dict]:
+    """Expand device hits into reference-schema row dicts (one per
+    overlapping gene, or one with null annotation), mirroring
+    parse_sam_output (targets.py:354-462)."""
+    H = len(hits)
+    if H == 0:
+        return []
+    L = q_f.shape[1]
+    n = contig.length
+    tar_start = hits.pos % n
+    tar_end = (hits.pos + L) % n
+    wrap = tar_end < tar_start
+    tar_start = np.where(wrap, tar_start - n, tar_start)
+
+    targets = _target_strings(contig, hits, q_f, q_r)
+    pams = _pam_strings(contig, hits, L, pam, pam_direction)
+    sp_dirs = np.where(hits.strand == STRAND_R, "R", "F")
+
+    hit_idx, entry_idx = join_hits_to_loci(contig, tar_start, tar_end)
+    genes_per_hit: dict[int, set] = {}
+    for h, e in zip(hit_idx.tolist(), entry_idx.tolist()):
+        ent = contig.locus_entries[e]
+        genes_per_hit.setdefault(h, set()).add(
+            (ent.locus_tag, ent.gene, ent.start, ent.end, ent.strand)
+        )
+
+    rows = []
+    for i in range(H):
+        spacer = seqs[int(hits.spacer_idx[i])]
+        target = targets[i]
+        mm = int(hits.mismatches[i])
+        ts, te = int(tar_start[i]), int(tar_end[i])
+        base = {
+            "spacer": spacer,
+            "len": len(spacer),
+            "target": target,
+            "mismatches": mm,
+            "chr": contig.id,
+            "tar_start": ts,
+            "tar_end": te,
+            "sp_dir": str(sp_dirs[i]),
+            "pam": pams[i],
+            "coords": get_coords(ts, te, n),
+            "type": "mismatch" if mm > 0 else "perfect",
+            "diff": get_diff(spacer, target) if mm > 0 else None,
+        }
+        aligned = genes_per_hit.get(i)
+        if not aligned:
+            row = dict(base)
+            row.update({"locus_tag": None, "offset": None, "overlap": None, "tar_dir": None})
+            rows.append(row)
+        else:
+            for locus_tag, gene_name, fstart, fend, fstrand in aligned:
+                tar_dir = "F" if fstrand == 1 else "R" if fstrand == -1 else None
+                if tar_dir == "F":
+                    offset = ts - fstart
+                elif tar_dir == "R":
+                    offset = fend - te
+                else:
+                    offset = None
+                ov_s, ov_e = max(ts, fstart), min(te, fend)
+                overlap = ov_e - ov_s if ov_s < ov_e else 0
+                row = dict(base)
+                row.update(
+                    {
+                        "locus_tag": locus_tag,
+                        "gene": gene_name if gene_name else locus_tag,
+                        "offset": offset,
+                        "overlap": overlap,
+                        "tar_dir": tar_dir,
+                    }
+                )
+                rows.append(row)
+    return rows
+
+
+def filter_offtargets_by_pam(df: pd.DataFrame) -> pd.DataFrame:
+    """Drop non-targeting rows of spacers that have targets
+    (reference: targets.py:542-544)."""
+    targeting_spacers = df[df["target"].notna()]["spacer"].unique()
+    return df[~((df["target"].isna()) & (df["spacer"].isin(targeting_spacers)))]
+
+
+def create_note(row) -> str:
+    """targets.py:547-557."""
+    parts = []
+    if row["sites"] > 0:
+        parts.append(f"{row['sites']} {'site' if row['sites'] == 1 else 'sites'}")
+        if row["genes"] > 0:
+            parts.append(f"{row['genes']} {'gene' if row['genes'] == 1 else 'genes'}")
+        if row["intergenic"] > 0:
+            parts.append(f"{row['intergenic']} intergenic")
+    else:
+        parts.append("non-targeting")
+    return ", ".join(parts)
+
+
+ROW_COLUMNS = [
+    "name",
+    "spacer",
+    "len",
+    "target",
+    "mismatches",
+    "chr",
+    "tar_start",
+    "tar_end",
+    "sp_dir",
+    "pam",
+    "coords",
+    "type",
+    "diff",
+    "locus_tag",
+    "gene",
+    "offset",
+    "overlap",
+    "tar_dir",
+]
+
+
+def run_targets(
+    library: BarcodeLibrary,
+    genome: Genome,
+    pam: str,
+    mismatches: int,
+    pam_direction: str = "downstream",
+    backend: str = "auto",
+) -> TargetsResult:
+    # unique sequences per length; names expand after annotation
+    names_per_seq: dict[str, list[str]] = {}
+    for name, seq in library.entries:
+        names_per_seq.setdefault(seq, []).append(name)
+    by_len: dict[int, list[str]] = {}
+    for seq in names_per_seq:
+        by_len.setdefault(len(seq), []).append(seq)
+
+    all_rows: list[dict] = []
+    seqs_with_hits: set[str] = set()
+    for L, seqs in sorted(by_len.items()):
+        q_f = spacer_matrix(seqs)
+        q_r = revcomp_matrix(q_f)
+        for contig in genome.contigs:
+            if contig.length < L and not contig.circular:
+                continue
+            hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
+            rows = build_rows(contig, hits, seqs, q_f, q_r, pam, pam_direction)
+            for r in rows:
+                seqs_with_hits.add(r["spacer"])
+            all_rows.extend(rows)
+
+    # expand per-name rows (reference gets one SAM stream per read name);
+    # spacers with no surviving hits contribute unmapped rows
+    expanded: list[dict] = []
+    for row in all_rows:
+        for name in names_per_seq[row["spacer"]]:
+            r = dict(row)
+            r["name"] = name
+            expanded.append(r)
+    for seq, names in names_per_seq.items():
+        if seq not in seqs_with_hits:
+            for name in names:
+                expanded.append({"name": name, "spacer": seq, "len": len(seq)})
+
+    results = pd.DataFrame(expanded, columns=ROW_COLUMNS)
+    return postprocess(results, genome, pam, pam_direction, mismatches)
+
+
+def postprocess(
+    results: pd.DataFrame,
+    genome: Genome,
+    pam: str,
+    pam_direction: str,
+    mismatches: int,
+) -> TargetsResult:
+    """The reference's main() dataframe stage (targets.py:605-701) plus the
+    summary-statistics inputs for its rich table (targets.py:716-861)."""
+    seq_lens = genome.seq_lens
+    results = results.drop_duplicates()
+    results = filter_offtargets_by_pam(results)
+
+    def adjust_min_tar(row):
+        if row["tar_start"] > row["tar_end"]:
+            return row["tar_start"] - seq_lens[row["chr"]]
+        return row["tar_start"]
+
+    if len(results):
+        results = results.copy()
+        results["min_tar"] = results.apply(adjust_min_tar, axis=1)
+        results = results.sort_values(by=["chr", "min_tar", "spacer"])
+
+    spacers_seen = results[["name", "spacer"]].drop_duplicates().groupby("spacer").size()
+    results = results.drop("name", axis=1).drop_duplicates()
+    results.loc[results["target"].notnull(), "site"] = (
+        results["chr"].astype(str) + "_" + results["coords"].astype(str)
+    )
+
+    site_counts = results.groupby("spacer")["site"].nunique()
+    gene_counts = results.loc[results["locus_tag"].notnull(), "spacer"].value_counts()
+    intergenic_counts = results.loc[
+        results["locus_tag"].isnull() & results["target"].notnull(), "spacer"
+    ].value_counts()
+
+    spacer_lengths = set(results["len"].dropna().astype(int))
+    spacer_len_range = (
+        str(next(iter(spacer_lengths)))
+        if len(spacer_lengths) == 1
+        else ",".join(str(x) for x in sorted(spacer_lengths))
+    )
+
+    note = pd.DataFrame(
+        {
+            "count": spacers_seen,
+            "sites": site_counts,
+            "genes": gene_counts,
+            "intergenic": intergenic_counts,
+        }
+    )
+    note = note.fillna(0).astype(int)
+    note["note"] = note.apply(create_note, axis=1)
+    results = results.merge(note, left_on="spacer", right_index=True, how="left")
+
+    column_order = ["spacer", "locus_tag", "gene", "chr"]
+    if not (results["count"] == 1).all():
+        column_order.append("count")
+    if not (results["pam"].isnull().all() or results["pam"].nunique() == 1):
+        column_order.append("pam")
+    if not (results["mismatches"] == 0).all():
+        column_order.append("mismatches")
+    column_order.extend(
+        ["target", "tar_start", "tar_end", "offset", "overlap", "sp_dir", "tar_dir", "note"]
+    )
+
+    final_results = results.reindex(columns=column_order)
+    for col in ["count", "mismatches", "offset", "overlap", "tar_start", "tar_end"]:
+        if col in final_results.columns:
+            final_results[col] = final_results[col].astype("Int64")
+
+    stats = _summary_stats(results, final_results, genome, spacer_len_range, pam, pam_direction, mismatches)
+    return TargetsResult(table=final_results, results=results, stats=stats)
+
+
+def _summary_stats(
+    results: pd.DataFrame,
+    final_results: pd.DataFrame,
+    genome: Genome,
+    spacer_len_range: str,
+    pam: str,
+    pam_direction: str,
+    mismatches: int,
+) -> dict:
+    ambiguous_coordinates, ambiguous_locus_tags = genome.ambiguity_stats()
+    stats = {
+        "pam": pam,
+        "pam_direction": pam_direction,
+        "mismatches": mismatches,
+        "spacer_len_range": spacer_len_range,
+        "systematic_name": (
+            f"{spacer_len_range}-{pam}" if pam_direction == "downstream" else f"{pam}-{spacer_len_range}"
+        ),
+        "organisms": sorted({v for v in genome.organisms.values() if v}),
+        "topologies": sorted({str(v) for v in genome.topologies.values()}),
+        "seq_lens": sorted(set(genome.seq_lens.values())),
+        "chromosomes": len(genome.seq_lens),
+        "total_genes": sum(genome.all_genes.values()),
+        "overlapping_genes": ambiguous_locus_tags,
+        "ambiguous_coordinates": ambiguous_coordinates,
+        "chromosomes_targeted": int(results["chr"].nunique()),
+        "genes_targeted": int(results["locus_tag"].nunique()),
+        "overlapping_genes_targeted": int(
+            results.loc[results["genes"] > 1, "locus_tag"].nunique()
+        ),
+        "unique_barcodes": int(results["spacer"].nunique()),
+        "intergenic_barcodes": int(
+            results[(results["locus_tag"].isnull()) & (results["chr"].notnull())]["spacer"].nunique()
+        ),
+        "off_target_barcodes": int(
+            results[results["target"].notnull()]
+            .groupby("spacer")["coords"]
+            .apply(set)
+            .apply(len)
+            .gt(1)
+            .sum()
+        ),
+        "non_targeting_barcodes": int(results[results["target"].isnull()]["spacer"].nunique()),
+    }
+    if "mismatches" in final_results.columns:
+        per_mm = final_results.groupby(["mismatches"])["spacer"].nunique()
+        stats["spacers_per_mismatch"] = {int(k): int(v) for k, v in per_mm.items()}
+    return stats
+
+
+def write_output(result: TargetsResult, stream, as_json: bool = False) -> None:
+    """TSV (default) or JSON records, reproducing targets.py:696-701."""
+    if as_json:
+        stream.write(result.table.to_json(orient="records", indent=4))
+        stream.write("\n")
+    else:
+        result.table.to_csv(stream, sep="\t", index=False, na_rep="None")

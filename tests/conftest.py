@@ -3,8 +3,13 @@ mesh/sharding logic is exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("BARCODER_TPU_BACKEND", "jax")
+
+# the axon TPU plugin ignores JAX_PLATFORMS; force the platform via config
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,65 @@
+"""Multi-device sharded scan: correctness vs oracle on an 8-fake-device CPU
+mesh (conftest forces --xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from barcoder_tpu.core.genome import contig_from_record
+from barcoder_tpu.ops.oracle import oracle_scan
+from barcoder_tpu.parallel.mesh import make_mesh
+from barcoder_tpu.parallel.sharded_scan import sharded_scan
+
+from .genomes import make_record, plant_guide, random_seq
+
+
+def tuples(h):
+    return set(zip(h.spacer_idx.tolist(), h.pos.tolist(), h.strand.tolist(), h.mismatches.tolist()))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 fake devices"
+    return make_mesh(8)
+
+
+class TestShardedScan:
+    @pytest.mark.parametrize("topology", ["circular", "linear"])
+    def test_agreement(self, mesh8, topology):
+        rng = np.random.default_rng(0)
+        rec = make_record(n=9000, topology=topology, seed=0)
+        spacers = [random_seq(20, rng) for _ in range(5)]
+        for i, s in enumerate(spacers):
+            plant_guide(rec, s, 700 + 1500 * i, pam="TGG", strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        a = tuples(oracle_scan(spacers, contig, 1, pam="NGG"))
+        b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh8, P=256))
+        assert a == b
+        assert len(a) >= 5
+
+    def test_device_boundary_hits(self, mesh8):
+        # hits planted exactly at per-device block boundaries must survive
+        # the ppermute halo exchange. n=8192, P=256 → per-device B=1024.
+        rng = np.random.default_rng(1)
+        rec = make_record(n=8192, topology="circular", seed=1)
+        g = random_seq(20, rng)
+        for p in [1024 - 10, 2048 - 1, 4096 - 19, 8192 - 5]:
+            plant_guide(rec, g, p)
+        contig = contig_from_record(rec)
+        a = tuples(oracle_scan([g], contig, 0))
+        b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=256))
+        assert a == b
+        positions = {t[1] for t in b}
+        assert {1014, 2047, 4077, 8187} <= positions
+
+    def test_origin_wrap_on_last_device(self, mesh8):
+        rng = np.random.default_rng(2)
+        rec = make_record(n=8000, topology="circular", seed=2)
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 7995)  # wraps origin; genome pads to 8192
+        contig = contig_from_record(rec)
+        b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=256))
+        assert any(p == 7995 for _, p, _, _ in b)
+        a = tuples(oracle_scan([g], contig, 0))
+        assert a == b
