@@ -64,7 +64,16 @@ def onehot_rows(q_codes: np.ndarray, K: int) -> np.ndarray:
     return out
 
 
-def _scan_counts_kernel(q_ref, tiles_ref, mask_ref, out_ref, g_scratch, *, L, K, P, thresh):
+MASK_BIAS = -16384.0  # added to masked-out positions; far below any score
+
+
+def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P):
+    """Phase-1 body: max masked score per (spacer-block, tile).
+
+    The epilogue is deliberately minimal — one broadcast add (site/PAM mask
+    as additive bias) and one max-reduce per element — because at K=128 the
+    matmul spends only ~128 MACs per scored position and any per-element
+    VPU work is on the same order as the MXU time."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -82,23 +91,23 @@ def _scan_counts_kernel(q_ref, tiles_ref, mask_ref, out_ref, g_scratch, *, L, K,
     scores = jnp.dot(
         q_ref[:], g_scratch[:], preferred_element_type=jnp.float32
     )  # (BS, P)
-    mm = L - scores
-    hit = (mm <= thresh) & (mask_ref[0, 0:1, :] > 0)
-    count = jnp.sum(hit.astype(jnp.int32))
+    m = jnp.max(scores + bias_ref[0, 0:1, :])
 
     @pl.when(s == 0)
     def _init_out():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[:] = jnp.full_like(out_ref, MASK_BIAS)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
-    out_ref[:] = jnp.where(lane == s, count, out_ref[:])
+    out_ref[:] = jnp.where(lane == s, m, out_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "interpret"))
-def scan_counts(q_onehot, tiles, mask_tiles, *, L, K, P, thresh, interpret=False):
+@functools.partial(jax.jit, static_argnames=("L", "K", "P", "interpret"))
+def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, interpret=False):
     """Phase 1. q_onehot (S_pad, K) bf16; tiles (n_tiles, 1, P + K//4) int32
-    codes (overlapped); mask_tiles (n_tiles, 1, P) int32.
-    Returns (n_tiles, 1, NSB_pad) int32 per-(tile, spacer-block) hit counts."""
+    codes (overlapped); bias_tiles (n_tiles, 1, P) f32 (0 where the site/PAM
+    mask allows, MASK_BIAS where not).
+    Returns (n_tiles, 1, NSB_pad) f32: max masked score per (tile, block);
+    a block contains a hit iff its max >= L - v."""
     S_pad = q_onehot.shape[0]
     n_sblocks = S_pad // BS
     n_tiles = tiles.shape[0]
@@ -106,7 +115,7 @@ def scan_counts(q_onehot, tiles, mask_tiles, *, L, K, P, thresh, interpret=False
     tile_w = tiles.shape[2]
 
     grid = (n_tiles, n_sblocks)
-    kernel = functools.partial(_scan_counts_kernel, L=L, K=K, P=P, thresh=thresh)
+    kernel = functools.partial(_scan_max_kernel, L=L, K=K, P=P)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -116,7 +125,7 @@ def scan_counts(q_onehot, tiles, mask_tiles, *, L, K, P, thresh, interpret=False
             pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, nsb_pad), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((K, P), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -127,14 +136,19 @@ def scan_counts(q_onehot, tiles, mask_tiles, *, L, K, P, thresh, interpret=False
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_onehot, tiles, mask_tiles)
+    )(q_onehot, tiles, bias_tiles)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh"))
-def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh):
-    """Phase 2 scoring for a batch of (spacer-block, tile) pairs.
+@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
+def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh, cap):
+    """Phase 2 scoring for a batch of (spacer-block, tile) pairs, with
+    on-device hit compaction (only ``cap`` flat indices + mismatch counts
+    cross the device boundary — never the dense n×BS×P hit matrix).
+
     q_oh_blocks (n, BS, K) bf16; g_tiles (n, 1, P + K//4) int32;
-    mask_chunk (n, 1, P) int32 → (mm int32 (n, BS, P), hit bool)."""
+    mask_chunk (n, 1, P) int32 →
+    (flat_idx int32 (cap,) with -1 fill, mm_vals int32 (cap,),
+     n_hits int32 scalar — if n_hits > cap the caller must retry bigger)."""
     n = g_tiles.shape[0]
     g_flat = g_tiles[:, 0, :]
     g_oh = jnp.zeros((n, K, P), dtype=jnp.bfloat16)
@@ -147,20 +161,83 @@ def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh):
     )
     mm = (L - scores).astype(jnp.int32)
     hit = (mm <= thresh) & (mask_chunk[:, 0, :][:, None, :] > 0)
-    return mm, hit
+    flat = hit.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    mm_vals = mm.reshape(-1)[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
+
+
+def extract_hits_for_pairs(
+    t_idx: np.ndarray,
+    s_idx: np.ndarray,
+    tiles,
+    mask_tiles,
+    q_blocks_all,
+    *,
+    S: int,
+    L: int,
+    K: int,
+    P: int,
+    thresh: int,
+    strand: int,
+    extract_batch: int = 32,
+) -> list[Hits]:
+    """Phase-2 driver shared by the single-chip and sharded paths: score the
+    nonzero (tile, spacer-block) pairs in fixed-size batches with on-device
+    hit compaction, returning Hits fragments."""
+    out: list[Hits] = []
+    for c0 in range(0, len(t_idx), extract_batch):
+        tc = t_idx[c0 : c0 + extract_batch]
+        sc = s_idx[c0 : c0 + extract_batch]
+        nb = len(tc)
+        pad = extract_batch - nb
+        tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)])
+        sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)])
+        q_blocks = q_blocks_all[jnp.asarray(sc_p)]
+        g_chunk = tiles[jnp.asarray(tc_p)]
+        m_chunk = mask_tiles[jnp.asarray(tc_p)]
+        cap = 1 << 14
+        while True:
+            idx, mm_vals, n_hits = _extract_chunk(
+                q_blocks, g_chunk, m_chunk, L=L, K=K, P=P, thresh=thresh, cap=cap,
+            )
+            n_hits = int(n_hits)
+            if n_hits <= cap:
+                break
+            cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+        idx = np.asarray(idx)[:n_hits]
+        mm_vals = np.asarray(mm_vals)[:n_hits]
+        if n_hits == 0:
+            continue
+        bi = idx // (BS * P)
+        rem = idx % (BS * P)
+        si = rem // P
+        pi = rem % P
+        keep = bi < nb
+        bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
+        spacer_idx = sc[bi] * BS + si
+        pos = tc[bi] * P + pi
+        keep2 = spacer_idx < S  # padding rows can't hit, but be safe
+        out.append(
+            Hits(
+                spacer_idx=spacer_idx[keep2].astype(np.int64),
+                pos=pos[keep2].astype(np.int64),
+                strand=np.full(int(keep2.sum()), strand, np.int8),
+                mismatches=mm_vals[keep2].astype(np.int32),
+            )
+        )
+    return out
 
 
 def _prep_tiles(scan_codes: np.ndarray, n_starts: int, P: int, halo: int) -> np.ndarray:
-    """(n_tiles, P + halo) int32 overlapped tile matrix; padding positions
+    """(n_tiles, 1, P + halo) int32 overlapped tile matrix; padding positions
     get code 4 (N) so they can never match."""
     n_tiles = _cdiv(n_starts, P)
     padded = np.full(n_tiles * P + halo, 4, dtype=np.int32)
     usable = min(len(scan_codes), len(padded))
     padded[:usable] = scan_codes[:usable]
-    tiles = np.empty((n_tiles, 1, P + halo), dtype=np.int32)
-    for t in range(n_tiles):
-        tiles[t, 0] = padded[t * P : t * P + P + halo]
-    return tiles
+    view = np.lib.stride_tricks.sliding_window_view(padded, P + halo)[:: P]
+    return np.ascontiguousarray(view[:n_tiles])[:, None, :]
 
 
 def _prep_mask(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
@@ -169,6 +246,11 @@ def _prep_mask(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
     flat = out.reshape(-1)
     flat[:n_starts] = mask[:n_starts]
     return out
+
+
+def _prep_bias(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
+    """f32 additive site-mask bias tiles for the phase-1 kernel."""
+    return np.where(_prep_mask(mask, n_starts, P) > 0, 0.0, MASK_BIAS).astype(np.float32)
 
 
 def pallas_scan(
@@ -196,53 +278,33 @@ def pallas_scan(
 
     S_pad = max(_cdiv(S, BS) * BS, BS)
     tiles = jnp.asarray(_prep_tiles(scan.astype(np.int32), n_starts, P, halo))
+    mask_f_i = mask_f.astype(np.int32)
+    mask_r_i = mask_r.astype(np.int32)
 
     out = []
-    for strand, q_codes, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
+    for strand, q_codes, mask in ((STRAND_F, q_f, mask_f_i), (STRAND_R, q_r, mask_r_i)):
         q_oh = np.zeros((S_pad, K), dtype=np.float32)
         q_oh[:S] = onehot_rows(q_codes, K)
         q_oh_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
-        mask_tiles = jnp.asarray(_prep_mask(mask.astype(np.int32), n_starts, P))
-
-        counts = np.asarray(
-            scan_counts(
-                q_oh_dev, tiles, mask_tiles, L=L, K=K, P=P,
-                thresh=int(max_mismatches), interpret=interpret,
+        mask_tiles = jnp.asarray(_prep_mask(mask, n_starts, P))
+        bias_tiles = jnp.asarray(_prep_bias(mask, n_starts, P))
+        block_max = np.asarray(
+            scan_block_max(
+                q_oh_dev, tiles, bias_tiles, L=L, K=K, P=P, interpret=interpret,
             )
         )[:, 0, :]
         n_sblocks = S_pad // BS
-        t_idx, s_idx = np.nonzero(counts[:, :n_sblocks])
+        t_idx, s_idx = np.nonzero(block_max[:, :n_sblocks] >= L - max_mismatches - 0.5)
         if len(t_idx) == 0:
             continue
 
-        # phase 2: exact positions for the nonzero (tile, sblock) pairs
-        for c0 in range(0, len(t_idx), extract_batch):
-            tc = t_idx[c0 : c0 + extract_batch]
-            sc = s_idx[c0 : c0 + extract_batch]
-            nb = len(tc)
-            pad = extract_batch - nb
-            tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)])
-            sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)])
-            q_blocks = q_oh_dev.reshape(-1, BS, K)[jnp.asarray(sc_p)]
-            g_chunk = tiles[jnp.asarray(tc_p)]
-            m_chunk = mask_tiles[jnp.asarray(tc_p)]
-            mm, hit = _extract_chunk(
-                q_blocks, g_chunk, m_chunk, L=L, K=K, P=P, thresh=int(max_mismatches)
+        # phase 2: exact positions for the nonzero (tile, sblock) pairs,
+        # compacted on device (fixed capacity + overflow retry)
+        out.extend(
+            extract_hits_for_pairs(
+                t_idx, s_idx, tiles, mask_tiles, q_oh_dev.reshape(-1, BS, K),
+                S=S, L=L, K=K, P=P, thresh=int(max_mismatches),
+                strand=strand, extract_batch=extract_batch,
             )
-            hit = np.asarray(hit[:nb])
-            mm = np.asarray(mm[:nb])
-            bi, si, pi = np.nonzero(hit)
-            if len(bi) == 0:
-                continue
-            spacer_idx = sc[bi] * BS + si
-            pos = tc[bi] * P + pi
-            keep = spacer_idx < S  # padding rows can't hit, but be safe
-            out.append(
-                Hits(
-                    spacer_idx=spacer_idx[keep].astype(np.int64),
-                    pos=pos[keep].astype(np.int64),
-                    strand=np.full(int(keep.sum()), strand, np.int8),
-                    mismatches=mm[bi, si, pi][keep].astype(np.int32),
-                )
-            )
+        )
     return Hits.concat(out).sorted()

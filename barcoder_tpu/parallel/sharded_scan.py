@@ -32,21 +32,21 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P_
 
 from ..core.genome import Contig
-from ..ops.pallas_scan import BS, _cdiv, onehot_rows, scan_counts
+from ..ops.pallas_scan import BS, MASK_BIAS, _cdiv, onehot_rows, scan_block_max
 from ..ops.prep import build_scan_array, revcomp_matrix, site_masks, spacer_matrix
 from ..ops.types import STRAND_F, STRAND_R, Hits
 from .mesh import GENOME_AXIS, make_mesh
 
 
-def _fallback_counts(q_oh, tiles, mask_tiles, *, L, K, P, thresh):
-    """Pure-jnp phase-1 counts with the same contract as
-    ops.pallas_scan.scan_counts — used on CPU meshes (tests, dryrun)."""
+def _fallback_block_max(q_oh, tiles, bias_tiles, *, L, K, P):
+    """Pure-jnp phase-1 with the same contract as
+    ops.pallas_scan.scan_block_max — used on CPU meshes (tests, dryrun)."""
     n_tiles = tiles.shape[0]
     S_pad = q_oh.shape[0]
     n_sblocks = S_pad // BS
     nsb_pad = max(_cdiv(n_sblocks, 128) * 128, 128)
 
-    def per_tile(tile_codes, tile_mask):
+    def per_tile(tile_codes, tile_bias):
         g = tile_codes[0]  # (P + halo,)
         g_oh = jnp.zeros((K, P), dtype=jnp.bfloat16)
         for j in range(L):
@@ -54,22 +54,16 @@ def _fallback_counts(q_oh, tiles, mask_tiles, *, L, K, P, thresh):
             for b in range(4):
                 g_oh = g_oh.at[4 * j + b, :].set((window == b).astype(jnp.bfloat16))
         scores = jnp.dot(q_oh, g_oh, preferred_element_type=jnp.float32)
-        mm = L - scores
-        hit = (mm <= thresh) & (tile_mask[0][None, :] > 0)
-        per_spacer = hit.sum(axis=1).astype(jnp.int32)  # (S_pad,)
-        per_block = per_spacer.reshape(n_sblocks, BS).sum(axis=1)
-        return jnp.pad(per_block, (0, nsb_pad - n_sblocks))[None, :]
+        biased = scores + tile_bias[0][None, :]
+        per_block = biased.reshape(n_sblocks, BS, P).max(axis=(1, 2))
+        return jnp.pad(
+            per_block, (0, nsb_pad - n_sblocks), constant_values=MASK_BIAS
+        )[None, :]
 
-    return jax.vmap(per_tile)(tiles, mask_tiles)  # (n_tiles, 1, nsb_pad)
-
-
-def counts_fn_for_platform(platform: str):
-    if platform in ("tpu", "axon"):
-        return scan_counts
-    return _fallback_counts
+    return jax.vmap(per_tile)(tiles, bias_tiles)  # (n_tiles, 1, nsb_pad)
 
 
-def sharded_scan_counts(
+def sharded_scan_block_max(
     q_oh: jnp.ndarray,
     scan_codes: np.ndarray,
     mask: np.ndarray,
@@ -78,15 +72,16 @@ def sharded_scan_counts(
     L: int,
     K: int,
     P: int,
-    thresh: int,
     use_pallas: bool | None = None,
 ):
-    """Run phase-1 counts with the genome axis sharded over ``mesh``.
+    """Run phase-1 block-max scoring with the genome axis sharded over
+    ``mesh``.
 
     scan_codes: 1-D int32 scan array (genome + circular wrap halo);
     mask: 1-D bool/int over canonical starts.
-    Returns (counts (n_tiles_total, 1, nsb_pad) np.ndarray,
-             totals_per_block (nsb_pad,) np.ndarray).
+    Returns (block_max (n_tiles_total, 1, nsb_pad) np.ndarray,
+             global_best (nsb_pad,) np.ndarray — psum-merged per-block hit
+             tallies demonstrating the count-merge collective).
     """
     n_dev = mesh.devices.size
     halo = K // 4
@@ -100,26 +95,29 @@ def sharded_scan_counts(
     mask_padded[:n_starts] = mask[:n_starts]
 
     codes_blocks = codes_padded.reshape(n_dev, B)
-    mask_blocks = mask_padded.reshape(n_dev, B)
+    bias_blocks = np.where(mask_padded > 0, 0.0, MASK_BIAS).astype(np.float32).reshape(n_dev, B)
 
     platform = mesh.devices.ravel()[0].platform
     if use_pallas is None:
         use_pallas = platform in ("tpu", "axon")
-    counts_fn = scan_counts if use_pallas else _fallback_counts
+    phase1_fn = scan_block_max if use_pallas else _fallback_block_max
     perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
     n_tiles_local = B // P
     tile_idx = (np.arange(n_tiles_local)[:, None] * P + np.arange(P + halo)[None, :])
 
-    def shard_fn(codes_b, mask_b, q):
+    def shard_fn(codes_b, bias_b, q):
         codes_local = codes_b[0]  # (B,)
-        mask_local = mask_b[0]
+        bias_local = bias_b[0]
         received = jax.lax.ppermute(codes_local[:halo], GENOME_AXIS, perm)
         scanned = jnp.concatenate([codes_local, received])  # (B + halo,)
         tiles = scanned[tile_idx][:, None, :]  # (n_tiles_local, 1, P + halo)
-        mask_tiles = mask_local.reshape(n_tiles_local, 1, P)
-        counts = counts_fn(q, tiles, mask_tiles, L=L, K=K, P=P, thresh=thresh)
-        totals = jax.lax.psum(counts.sum(axis=(0, 1)), GENOME_AXIS)
-        return counts[None], totals
+        bias_tiles = bias_local.reshape(n_tiles_local, 1, P)
+        block_max = phase1_fn(q, tiles, bias_tiles, L=L, K=K, P=P)
+        # psum-merged per-block hit tallies: the collective count merge
+        totals = jax.lax.psum(
+            (block_max >= 0.0).sum(axis=(0, 1)).astype(jnp.int32), GENOME_AXIS
+        )
+        return block_max[None], totals
 
     fn = jax.shard_map(
         shard_fn,
@@ -131,10 +129,10 @@ def sharded_scan_counts(
     codes_sharded = jax.device_put(
         codes_blocks, NamedSharding(mesh, P_(GENOME_AXIS))
     )
-    mask_sharded = jax.device_put(mask_blocks, NamedSharding(mesh, P_(GENOME_AXIS)))
-    counts, totals = jax.jit(fn)(codes_sharded, mask_sharded, q_oh)
-    counts = np.asarray(counts).reshape(-1, 1, counts.shape[-1])
-    return counts, np.asarray(totals)
+    bias_sharded = jax.device_put(bias_blocks, NamedSharding(mesh, P_(GENOME_AXIS)))
+    block_max, totals = jax.jit(fn)(codes_sharded, bias_sharded, q_oh)
+    block_max = np.asarray(block_max).reshape(-1, 1, block_max.shape[-1])
+    return block_max, np.asarray(totals)
 
 
 def sharded_scan(
@@ -148,7 +146,7 @@ def sharded_scan(
 ) -> Hits:
     """Full multi-device scan: sharded phase-1 counts + host-side phase-2
     extraction. Same contract as ops.scan.scan_contig."""
-    from ..ops.pallas_scan import _extract_chunk, _prep_mask, _prep_tiles
+    from ..ops.pallas_scan import _prep_mask, _prep_tiles, extract_hits_for_pairs
 
     if mesh is None:
         mesh = make_mesh()
@@ -169,51 +167,27 @@ def sharded_scan(
         q_oh = np.zeros((S_pad, K), dtype=np.float32)
         q_oh[:S] = onehot_rows(q_codes, K)
         q_oh_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
-        counts, _ = sharded_scan_counts(
-            q_oh_dev, scan, mask.astype(np.int32), mesh,
-            L=L, K=K, P=P, thresh=int(max_mismatches),
+        block_max, _ = sharded_scan_block_max(
+            q_oh_dev, scan, mask.astype(np.int32), mesh, L=L, K=K, P=P,
         )
         n_sblocks = S_pad // BS
-        t_idx, s_idx = np.nonzero(counts[:, 0, :n_sblocks])
+        t_idx, s_idx = np.nonzero(
+            block_max[:, 0, :n_sblocks] >= L - max_mismatches - 0.5
+        )
         if len(t_idx) == 0:
             continue
         # host-side phase 2 over nonzero pairs (hit-proportional)
         halo = K // 4
-        tiles_host = _prep_tiles(scan, n_starts, P, halo)
-        mask_tiles_host = _prep_mask(mask.astype(np.int32), n_starts, P)
+        tiles_host = jnp.asarray(_prep_tiles(scan, n_starts, P, halo))
+        mask_tiles_host = jnp.asarray(_prep_mask(mask.astype(np.int32), n_starts, P))
         n_tiles_host = tiles_host.shape[0]
-        for c0 in range(0, len(t_idx), 32):
-            tc = t_idx[c0 : c0 + 32]
-            sc = s_idx[c0 : c0 + 32]
-            in_range = tc < n_tiles_host  # padding tiles carry no hits
-            tc, sc = tc[in_range], sc[in_range]
-            if len(tc) == 0:
-                continue
-            nb = len(tc)
-            pad = 32 - nb
-            tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)])
-            sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)])
-            q_blocks = q_oh_dev.reshape(-1, BS, K)[jnp.asarray(sc_p)]
-            mm, hit = _extract_chunk(
-                q_blocks,
-                jnp.asarray(tiles_host[tc_p]),
-                jnp.asarray(mask_tiles_host[tc_p]),
-                L=L, K=K, P=P, thresh=int(max_mismatches),
+        in_range = t_idx < n_tiles_host  # padding tiles carry no hits
+        t_idx, s_idx = t_idx[in_range], s_idx[in_range]
+        out.extend(
+            extract_hits_for_pairs(
+                t_idx, s_idx, tiles_host, mask_tiles_host,
+                q_oh_dev.reshape(-1, BS, K),
+                S=S, L=L, K=K, P=P, thresh=int(max_mismatches), strand=strand,
             )
-            hit = np.asarray(hit[:nb])
-            mm = np.asarray(mm[:nb])
-            bi, si, pi = np.nonzero(hit)
-            if len(bi) == 0:
-                continue
-            spacer_idx = sc[bi] * BS + si
-            pos = tc[bi] * P + pi
-            keep = spacer_idx < S
-            out.append(
-                Hits(
-                    spacer_idx=spacer_idx[keep].astype(np.int64),
-                    pos=pos[keep].astype(np.int64),
-                    strand=np.full(int(keep.sum()), strand, np.int8),
-                    mismatches=mm[bi, si, pi][keep].astype(np.int32),
-                )
-            )
+        )
     return Hits.concat(out).sorted()

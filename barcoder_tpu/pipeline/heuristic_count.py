@@ -1,0 +1,606 @@
+"""Workload 3 — heuristic barcode counting in sequencing reads.
+
+Equivalent of the reference's ``heuristicount.py``: (a) sample reads to vote
+barcode orientation + fixed offset; (b) discover constant flanking sequences
+by length-descending vote; (c) cross-check flank complementarity between
+mates; (d) count exact flank-anchored barcode occurrences over all reads;
+(e) collate documented vs undocumented (``seq*``) counts.
+
+Phases (a)–(c) are data-dependent host control flow over a few thousand
+reads and faithfully reproduce the reference's heuristics
+(heuristicount.py:156-425, 644-697). Phase (d) — the hot loop the reference
+runs on a fork pool of Python workers (heuristicount.py:720-722) — is
+replaced by a vectorized engine: reads become a fixed-width byte matrix, the
+window/flank checks become column compares, barcode cores are 2-bit packed
+into uint64 keys and matched against the sorted library via searchsorted
+(device or numpy), counts merged with bincount/segment-sum. A direct
+per-read port is kept as the exactness oracle (count_chunk_reference).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.encode import revcomp
+from ..seqio.fasta import iter_read_chunks
+
+
+def rev_comp(sequence: str) -> str:
+    """heuristicount.py:29-30."""
+    return sequence[::-1].translate(str.maketrans("ATCGN", "TAGCN"))
+
+
+def safe_len(s) -> int:
+    return 0 if s is None else len(s)
+
+
+def validate_barcodes(barcodes) -> None:
+    """heuristicount.py:75-97."""
+    if isinstance(barcodes, list):
+        sequences = set(barcodes)
+    elif isinstance(barcodes, set):
+        sequences = barcodes
+    else:
+        raise ValueError("Pass a list or set of barcodes to validate.")
+    if len(sequences) < 10:
+        raise ValueError(
+            "The input contains fewer than 10 sequences. Please provide at least 10 short barcodes."
+        )
+    for seq in sequences:
+        if len(seq) > 1000:
+            raise ValueError(
+                f'The sequence "{seq}" is longer than 1,000 bases. Provide a list or fasta file of short barcodes.'
+            )
+
+
+@dataclass
+class SampleResult:
+    new_reads_sampled: int
+    bc_start1: int | None
+    bc_start2: int | None
+    sample1: set | None
+    sample2: set | None
+    observed_barcodes: set
+    need_swap: bool
+    num_chunks: int
+
+
+def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
+    """Reference sample_data (heuristicount.py:156-379): vote orientation and
+    offset from k-mer membership, with the diversity stopping rules."""
+    info = log.info if log else (lambda *_: None)
+    warn = log.warn if log else (lambda *_: None)
+    satisfy_diversity = False
+    rev_barcodes = {rev_comp(bc) for bc in barcodes}
+    bc_len = len(next(iter(barcodes)))
+    chunk_generator = iter_read_chunks(
+        file1, file2 if is_paired else None, chunk_size=len(barcodes)
+    )
+
+    diversity_count1 = diversity_count2 = 0
+    read1_orients: Counter = Counter()
+    read2_orients: Counter = Counter()
+    read1_offsets: Counter = Counter()
+    read2_offsets: Counter = Counter()
+    valid_reads1: set = set()
+    valid_reads2: set = set()
+    global_novel_reads: set = set()
+    observed_barcodes: set = set()
+    global_novel_barcodes: list = []
+    num_chunks = 0
+    read1 = read2 = None
+
+    for read1_chunk, read2_chunk in chunk_generator:
+        num_chunks += 1
+        novel_read1_orients: list = []
+        novel_read2_orients: list = []
+        novel_read1_offsets: list = []
+        novel_read2_offsets: list = []
+        novel_barcodes: set = set()
+        novel_reads: set = set()
+
+        for read1, read2 in zip(
+            read1_chunk, read2_chunk if read2_chunk else [None] * len(read1_chunk)
+        ):
+            if read1 in novel_reads or (read2 and read2 in novel_reads):
+                continue
+            global_novel_reads.add(read1)
+            if is_paired:
+                global_novel_reads.add(read2)
+
+            for i in range(len(read1) - bc_len + 1):
+                kmer = read1[i : i + bc_len]
+                if kmer in novel_barcodes:
+                    continue
+                if kmer in barcodes:
+                    diversity_count1 += 1
+                    novel_barcodes.add(kmer)
+                    observed_barcodes.add(kmer)
+                    novel_read1_orients.append("forward")
+                    novel_read1_offsets.append(i)
+                    valid_reads1.add(read1)
+                    novel_reads.add(read1)
+                if kmer in rev_barcodes:
+                    diversity_count1 += 1
+                    novel_barcodes.add(kmer)
+                    observed_barcodes.add(kmer)
+                    novel_read1_orients.append("reverse")
+                    novel_read1_offsets.append(i)
+                    valid_reads1.add(read1)
+                    novel_reads.add(read1)
+
+                if is_paired and i <= len(read2) - bc_len:
+                    kmer2 = read2[i : i + bc_len]
+                    if kmer2 in novel_barcodes:
+                        continue
+                    if kmer2 in barcodes:
+                        diversity_count2 += 1
+                        novel_barcodes.add(kmer2)
+                        observed_barcodes.add(kmer2)
+                        novel_read2_orients.append("forward")
+                        novel_read2_offsets.append(i)
+                        valid_reads2.add(read2)
+                        novel_reads.add(read2)
+                    if kmer2 in rev_barcodes:
+                        diversity_count2 += 1
+                        novel_barcodes.add(kmer2)
+                        observed_barcodes.add(kmer2)
+                        novel_read2_orients.append("reverse")
+                        novel_read2_offsets.append(i)
+                        valid_reads2.add(read2)
+                        novel_reads.add(read2)
+
+        global_novel_barcodes.extend(novel_barcodes)
+        read1_orients.update(novel_read1_orients)
+        read2_orients.update(novel_read2_orients)
+        read1_offsets.update(novel_read1_offsets)
+        read2_offsets.update(novel_read2_offsets)
+        read1_offsets_common = read1_offsets.most_common(2)
+        read2_offsets_common = read2_offsets.most_common(2)
+
+        if is_paired:
+            if all(c >= 5 * len(barcodes) for c in (diversity_count1, diversity_count2)):
+                info("Many barcodes seen enough in reads...")
+                satisfy_diversity = True
+            if len(global_novel_reads) >= 5 * len(barcodes) and global_novel_barcodes:
+                info("Read depth diversity satisfied...")
+                satisfy_diversity = True
+            if len(global_novel_barcodes) >= 5 * len(barcodes):
+                info("Barcode frequency diversity satisfied...")
+                satisfy_diversity = True
+            if satisfy_diversity:
+                if (len(read1_offsets_common) == 1 and len(read2_offsets_common) == 1) or (
+                    len(read1_offsets_common) > 1
+                    and len(read2_offsets_common) > 1
+                    and read1_offsets_common[0][1] >= 2 * read1_offsets_common[1][1]
+                    and read2_offsets_common[0][1] >= 2 * read2_offsets_common[1][1]
+                ):
+                    info("Dominant offsets found...")
+                    break
+        else:
+            if diversity_count1 >= 5 * len(barcodes):
+                info("Many barcodes seen enough in reads...")
+                satisfy_diversity = True
+            if len(global_novel_reads) >= 5 * len(barcodes) and global_novel_barcodes:
+                info("Read depth diversity satisfied...")
+                satisfy_diversity = True
+            if len(global_novel_barcodes) >= 5 * len(barcodes):
+                info("Barcode frequency diversity satisfied...")
+                satisfy_diversity = True
+            if satisfy_diversity:
+                if len(read1_offsets_common) == 1 or (
+                    len(read1_offsets_common) > 1
+                    and read1_offsets_common[0][1] >= 2 * read1_offsets_common[1][1]
+                ):
+                    info("Dominant offsets found...")
+                    break
+
+    if not satisfy_diversity:
+        warn("Sequencing depth is probably insufficient! Continuing anyway...")
+
+    read1_orient = read1_orients.most_common(1)[0][0] if read1_orients else None
+    read1_offset = read1_offsets.most_common(1)[0][0] if read1_offsets else None
+    read2_orient = read2_orients.most_common(1)[0][0] if read2_orients else None
+    read2_offset = read2_offsets.most_common(1)[0][0] if read2_offsets else None
+
+    if read1_orient == "forward" or read2_orient == "reverse":
+        return SampleResult(
+            len(global_novel_reads), read1_offset, read2_offset,
+            valid_reads1, valid_reads2, observed_barcodes, False, num_chunks,
+        )
+    if read1_orient == "reverse" or read2_orient == "forward":
+        return SampleResult(
+            len(global_novel_reads), read2_offset, read1_offset,
+            valid_reads2, valid_reads1, observed_barcodes, True, num_chunks,
+        )
+    raise ValueError(
+        "Unable to determine orientation of reads. Please check the input files."
+    )
+
+
+def find_flanks(reads, start: int, bc_len: int, max_flank: int = 10):
+    """Reference find_flanks (heuristicount.py:382-425)."""
+    L_flanks: Counter = Counter()
+    R_flanks: Counter = Counter()
+
+    def update_flanks(side, seq, max_len):
+        counts = L_flanks if side == "L_flank" else R_flanks
+        for i in range(max_len, 0, -1):
+            truncated = seq[-i:] if side == "L_flank" else seq[:i]
+            counts[truncated] += 1
+
+    for read in reads:
+        L_flank = read[start - max_flank : start] if start - max_flank >= 0 else read[0:start]
+        R_flank = read[start + bc_len : start + bc_len + max_flank]
+        update_flanks("L_flank", L_flank, len(L_flank))
+        update_flanks("R_flank", R_flank, len(R_flank))
+
+    def extract_best_flank(counts: Counter):
+        most_common_prev = None
+        for fl_len in range(max_flank, 0, -1):
+            potential = [seq for seq in counts if len(seq) == fl_len]
+            if not potential:
+                continue
+            most_common = max(potential, key=lambda x: counts[x])
+            if most_common_prev is None:
+                most_common_prev = most_common
+            elif counts[most_common] > 3 * counts[most_common_prev]:
+                most_common_prev = most_common
+        return most_common_prev
+
+    return extract_best_flank(L_flanks), extract_best_flank(R_flanks)
+
+
+def check_flank_complementarity(L_fwd, R_fwd, L_rev, R_rev):
+    """Reference main() flank cross-check (heuristicount.py:644-688);
+    returns list of error messages (empty = consistent)."""
+    L_rev_rev = rev_comp(L_rev) if L_rev else None
+    R_rev_rev = rev_comp(R_rev) if R_rev else None
+    errors = set()
+    if L_fwd and R_rev_rev:
+        m = min(len(L_fwd), len(R_rev_rev))
+        if L_fwd[-m:] != R_rev_rev[:m]:
+            errors.add("Flank complementarity violation")
+    if R_fwd and L_rev_rev:
+        m = min(len(R_fwd), len(L_rev_rev))
+        if R_fwd[:m] != L_rev_rev[:m]:
+            errors.add("Flank complementarity violation")
+    return sorted(errors)
+
+
+@dataclass
+class CountConfig:
+    barcodes: set
+    bc_len: int
+    L_fwd: str | None = None
+    R_fwd: str | None = None
+    L_rev: str | None = None
+    R_rev: str | None = None
+    L_fwd_start: int | None = None
+    L_rev_start: int | None = None
+    need_swap: bool = False
+    # derived
+    bcs_with_flanks_fwd: set = field(default_factory=set)
+    bcs_with_flanks_rev: set = field(default_factory=set)
+
+    def __post_init__(self):
+        def add_flank(bcs, L, R):
+            L, R = (L or ""), (R or "")
+            return {L + b + R for b in bcs}
+
+        bcs_rev = {rev_comp(b) for b in self.barcodes}
+        self.bcs_with_flanks_fwd = add_flank(self.barcodes, self.L_fwd, self.R_fwd)
+        self.bcs_with_flanks_rev = add_flank(bcs_rev, self.L_rev, self.R_rev)
+
+
+def count_chunk_reference(chunk, cfg: CountConfig) -> tuple[Counter, int]:
+    """Direct port of process_chunk (heuristicount.py:428-562): the
+    per-read oracle for the vectorized engine."""
+    counts: Counter = Counter()
+    if cfg.need_swap:
+        reads2, reads1 = chunk
+    else:
+        reads1, reads2 = chunk
+
+    L_fwd_len = safe_len(cfg.L_fwd)
+    R_fwd_len = safe_len(cfg.R_fwd)
+    L_rev_len = safe_len(cfg.L_rev)
+    R_rev_len = safe_len(cfg.R_rev)
+    bc_len = cfg.bc_len
+
+    def validate_read(seq_with_flanks, L_flank, R_flank, rev=False):
+        in_set = seq_with_flanks in (
+            cfg.bcs_with_flanks_rev if rev else cfg.bcs_with_flanks_fwd
+        )
+        seq = seq_with_flanks[safe_len(L_flank) : safe_len(seq_with_flanks) - safe_len(R_flank)]
+        has_flanks = seq_with_flanks.startswith(L_flank or "") and seq_with_flanks.endswith(
+            R_flank or ""
+        )
+        return in_set, has_flanks, seq
+
+    if reads1 and reads2:
+        if len(reads1) != len(reads2):
+            raise ValueError(
+                "Length of reads1 and reads2 must be the same for paired-end data."
+            )
+        for rf, rr in zip(reads1, reads2):
+            if "N" in rf or "N" in rr:
+                continue
+            swf = rf[cfg.L_fwd_start : cfg.L_fwd_start + L_fwd_len + bc_len + R_fwd_len]
+            swr = rr[cfg.L_rev_start : cfg.L_rev_start + L_rev_len + bc_len + R_rev_len]
+            in_f, has_f, seq1 = validate_read(swf, cfg.L_fwd, cfg.R_fwd)
+            in_r, has_r, seq2 = validate_read(swr, cfg.L_rev, cfg.R_rev, rev=True)
+            if seq1 != rev_comp(seq2):
+                continue
+            if in_f and in_r and has_f and has_r:
+                counts[seq1] += 1
+            elif has_f and has_r:
+                counts[seq1 + "*"] += 1
+    elif reads1:
+        for record in reads1:
+            if "N" in record:
+                continue
+            swf = record[cfg.L_fwd_start : cfg.L_fwd_start + L_fwd_len + bc_len + R_fwd_len]
+            in_f, has_f, seq = validate_read(swf, cfg.L_fwd, cfg.R_fwd)
+            if in_f and has_f:
+                counts[seq] += 1
+            elif has_f:
+                counts[seq + "*"] += 1
+    elif reads2:
+        for record in reads2:
+            if "N" in record:
+                continue
+            swr = record[cfg.L_rev_start : cfg.L_rev_start + L_rev_len + bc_len + R_rev_len]
+            in_r, has_r, seq = validate_read(swr, cfg.L_rev, cfg.R_rev, rev=True)
+            seq = rev_comp(seq)
+            if in_r and has_r:
+                counts[seq] += 1
+            elif has_r:
+                counts[seq + "*"] += 1
+    return counts, (len(reads1) if reads1 else len(reads2))
+
+
+# ----------------------- vectorized counting engine -----------------------
+
+_CODE_LUT = np.full(256, 4, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE_LUT[_b] = _i
+
+
+def _to_matrix(reads: list[str]) -> np.ndarray:
+    """list of read strings → (n, maxlen) uint8 ascii matrix (0-padded)."""
+    arr = np.array(reads, dtype="S")
+    return arr.view(np.uint8).reshape(len(reads), -1) if len(reads) else np.zeros((0, 0), np.uint8)
+
+
+def _window(mat: np.ndarray, start: int, width: int) -> np.ndarray:
+    """Column slice with 0-padding past the read end (ascii 0 never matches
+    any base or flank)."""
+    n, m = mat.shape
+    out = np.zeros((n, width), dtype=np.uint8)
+    s = min(max(start, 0), m)
+    e = min(start + width, m)
+    if e > s:
+        out[:, : e - s] = mat[:, s:e]
+    return out
+
+
+def _pack_codes(codes: np.ndarray) -> np.ndarray:
+    """(n, bc_len<=32) base codes → (n,) uint64 keys (2 bits/base).
+
+    Any non-ACGT base poisons the key to the sentinel ~0 (never equals a
+    packed library barcode, which is pure ACGT)."""
+    n, w = codes.shape
+    assert w <= 32
+    bad = (codes >= 4).any(axis=1)
+    vals = codes.astype(np.uint64) & np.uint64(3)
+    key = np.zeros(n, dtype=np.uint64)
+    for j in range(w):
+        key |= vals[:, j] << np.uint64(2 * j)
+    key[bad] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    return key
+
+
+def _pack_strings(seqs: list[str]) -> np.ndarray:
+    if not seqs:
+        return np.zeros(0, dtype=np.uint64)
+    mat = _to_matrix(seqs)
+    return _pack_codes(_CODE_LUT[mat])
+
+
+class VectorCounter:
+    """Chunk counter with the same observable semantics as
+    count_chunk_reference, implemented as array ops.
+
+    Requires bc_len <= 32 (covers the reference's real libraries, 20–32 nt);
+    longer barcodes automatically fall back to the per-read path in
+    run_count."""
+
+    def __init__(self, cfg: CountConfig):
+        self.cfg = cfg
+        bcs = sorted(cfg.barcodes)
+        self.bc_list = bcs
+        self.bc_keys = _pack_strings(bcs)
+        order = np.argsort(self.bc_keys)
+        self.bc_keys_sorted = self.bc_keys[order]
+        self.bc_order = order
+        self.doc_counts = np.zeros(len(bcs), dtype=np.int64)
+        self.undoc: Counter = Counter()
+        self.total_reads = 0
+
+    def _flank_ok(self, win: np.ndarray, flank: str | None, side: str) -> np.ndarray:
+        if not flank:
+            return np.ones(win.shape[0], dtype=bool)
+        fl = np.frombuffer(flank.encode(), dtype=np.uint8)
+        if side == "L":
+            return (win[:, : len(fl)] == fl[None, :]).all(axis=1)
+        return (win[:, win.shape[1] - len(fl) :] == fl[None, :]).all(axis=1)
+
+    def _process_side(self, mat, start, L_flank, R_flank, rev: bool):
+        cfg = self.cfg
+        W = safe_len(L_flank) + cfg.bc_len + safe_len(R_flank)
+        win = _window(mat, start or 0, W)
+        has_l = self._flank_ok(win, L_flank, "L")
+        has_r = self._flank_ok(win, R_flank, "R")
+        core = win[:, safe_len(L_flank) : safe_len(L_flank) + cfg.bc_len]
+        return win, has_l & has_r, core
+
+    def process_chunk(self, chunk) -> None:
+        cfg = self.cfg
+        if cfg.need_swap:
+            reads2, reads1 = chunk
+        else:
+            reads1, reads2 = chunk
+        n = len(reads1) if reads1 else len(reads2 or [])
+        self.total_reads += n
+        if n == 0:
+            return
+
+        if reads1 and reads2:
+            m1, m2 = _to_matrix(reads1), _to_matrix(reads2)
+            no_n = ~((m1 == ord("N")).any(axis=1) | (m2 == ord("N")).any(axis=1))
+            _, has_f, core_f = self._process_side(m1, cfg.L_fwd_start, cfg.L_fwd, cfg.R_fwd, False)
+            _, has_r, core_r = self._process_side(m2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
+            key1 = _pack_codes(_CODE_LUT[core_f])
+            # seq1 == rev_comp(seq2): pack revcomp of read2 core
+            rc = core_r[:, ::-1]
+            rc_codes = _CODE_LUT[rc]
+            rc_codes = np.where(rc_codes < 4, 3 - rc_codes, rc_codes)
+            key2 = _pack_codes(rc_codes)
+            consistent = key1 == key2
+            # N-containing cores poison both keys to the same sentinel, but
+            # those reads are already dropped by the no_n filter
+            eligible = no_n & consistent & has_f & has_r
+            self._tally(key1, core_f, eligible)
+        else:
+            reads, start, Lf, Rf, rev = (
+                (reads1, cfg.L_fwd_start, cfg.L_fwd, cfg.R_fwd, False)
+                if reads1
+                else (reads2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
+            )
+            mat = _to_matrix(reads)
+            no_n = ~(mat == ord("N")).any(axis=1)
+            _, has, core = self._process_side(mat, start, Lf, Rf, rev)
+            codes = _CODE_LUT[core]
+            if rev:
+                # reference reports rev_comp(core) (heuristicount.py:532-533)
+                codes = codes[:, ::-1]
+                codes = np.where(codes < 4, 3 - codes, codes)
+                ascii_lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+                core = ascii_lut[np.clip(codes, 0, 4)]
+            key = _pack_codes(codes)
+            self._tally(key, core, no_n & has)
+
+    def _tally(self, keys, cores, eligible) -> None:
+        keys = keys[eligible]
+        cores = cores[eligible]
+        if len(keys) == 0 or len(self.bc_keys_sorted) == 0:
+            return
+        idx = np.searchsorted(self.bc_keys_sorted, keys)
+        idx = np.clip(idx, 0, len(self.bc_keys_sorted) - 1)
+        matched = self.bc_keys_sorted[idx] == keys
+        if matched.any():
+            np.add.at(self.doc_counts, self.bc_order[idx[matched]], 1)
+        un = ~matched
+        if un.any():
+            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)
+
+    def results(self) -> tuple[Counter, Counter]:
+        doc = Counter()
+        for bc, cnt in zip(self.bc_list, self.doc_counts):
+            if cnt > 0:
+                doc[bc] = int(cnt)
+        return doc, Counter(self.undoc)
+
+
+def _codes_to_strings(codes: np.ndarray):
+    lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    ascii_mat = lut[np.clip(codes, 0, 4)]
+    for row in ascii_mat:
+        yield row.tobytes().decode("ascii")
+
+
+def run_count(
+    barcode_file_or_set,
+    file1: str,
+    file2: str | None = None,
+    chunk_size: int = 2**16,
+    log=None,
+    engine: str = "auto",
+):
+    """Full counting pipeline; returns (doc Counter, undoc Counter,
+    total_reads, info dict)."""
+    from ..seqio.fasta import read_barcode_fasta
+
+    if isinstance(barcode_file_or_set, str):
+        barcodes = read_barcode_fasta(barcode_file_or_set)
+    else:
+        barcodes = set(barcode_file_or_set)
+    validate_barcodes(barcodes)
+    lens = {len(b) for b in barcodes}
+    if len(lens) != 1:
+        raise ValueError("All barcodes must be the same length")
+    bc_len = lens.pop()
+    is_paired = bool(file2)
+
+    sample = sample_reads(file1, file2, barcodes, is_paired, log=log)
+
+    if sample.sample1 is not None:
+        L_fwd, R_fwd = find_flanks(sample.sample1, sample.bc_start1, bc_len)
+        L_fwd_start = sample.bc_start1 - len(L_fwd) if L_fwd else 0
+    else:
+        L_fwd = R_fwd = None
+        L_fwd_start = None
+    if sample.sample2 is not None and sample.sample2:
+        L_rev, R_rev = find_flanks(sample.sample2, sample.bc_start2, bc_len)
+        L_rev_start = sample.bc_start2 - len(L_rev) if L_rev else 0
+    else:
+        L_rev = R_rev = None
+        L_rev_start = None
+
+    errors = check_flank_complementarity(L_fwd, R_fwd, L_rev, R_rev)
+    if errors:
+        raise ValueError("A critical error occurred: " + ", ".join(errors))
+
+    cfg = CountConfig(
+        barcodes=barcodes,
+        bc_len=bc_len,
+        L_fwd=L_fwd,
+        R_fwd=R_fwd,
+        L_rev=L_rev,
+        R_rev=R_rev,
+        L_fwd_start=L_fwd_start,
+        L_rev_start=L_rev_start,
+        need_swap=sample.need_swap,
+    )
+
+    use_vector = engine == "vector" or (engine == "auto" and bc_len <= 32)
+    doc: Counter = Counter()
+    undoc: Counter = Counter()
+    total_reads = 0
+    if use_vector:
+        vc = VectorCounter(cfg)
+        for chunk in iter_read_chunks(file1, file2 if is_paired else None, chunk_size):
+            vc.process_chunk(chunk)
+        doc, undoc = vc.results()
+        total_reads = vc.total_reads
+    else:
+        for chunk in iter_read_chunks(file1, file2 if is_paired else None, chunk_size):
+            counts, nreads = count_chunk_reference(chunk, cfg)
+            total_reads += nreads
+            for bc, cnt in counts.items():
+                (undoc if bc.endswith("*") else doc)[bc] += cnt
+
+    info = {
+        "sample": sample,
+        "config": cfg,
+        "bc_len": bc_len,
+        "engine": "vector" if use_vector else "reference",
+    }
+    return doc, undoc, total_reads, info

