@@ -1,0 +1,258 @@
+"""heuristicount workload tests: simulated read sets with known truth;
+vectorized engine vs the per-read reference port."""
+
+import gzip
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from barcoder_tpu.core.encode import revcomp
+from barcoder_tpu.pipeline.heuristic_count import (
+    CountConfig,
+    check_flank_complementarity,
+    count_chunk_reference,
+    find_flanks,
+    rev_comp,
+    run_count,
+    sample_reads,
+    validate_barcodes,
+    VectorCounter,
+)
+from barcoder_tpu.seqio.fasta import write_fastq
+
+from .genomes import random_seq
+
+L_FLANK = "GGTAGCT"
+R_FLANK = "CTTAAGC"
+PREFIX = "ACGTG"  # bases before the left flank in each read
+
+
+def make_barcodes(n=20, bc_len=20, seed=0):
+    rng = np.random.default_rng(seed)
+    out = set()
+    while len(out) < n:
+        out.add(random_seq(bc_len, rng))
+    return sorted(out)
+
+
+TAIL = "TCCATGGA"  # constant vector context after the right flank
+
+
+def make_reads(barcodes, n_reads=2000, seed=1, paired=True, undocumented=None,
+               n_frac=0.0, random_tail=False):
+    """Reads: PREFIX + L_FLANK + barcode + R_FLANK + tail; mate =
+    revcomp(read). The context is constant (like a real amplicon construct)
+    so flank discovery converges on small samples — the reference's
+    extract_best_flank needs *strictly* >3x support to shorten a flank
+    (heuristicount.py:405-421)."""
+    rng = np.random.default_rng(seed)
+    reads1, reads2 = [], []
+    truth = Counter()
+    undocumented = undocumented or []
+    pool = list(barcodes) + undocumented
+    for i in range(n_reads):
+        bc = pool[rng.integers(0, len(pool))]
+        tail = random_seq(8, rng) if random_tail else TAIL
+        read = PREFIX + L_FLANK + bc + R_FLANK + tail
+        if n_frac and rng.random() < n_frac:
+            k = rng.integers(0, len(read))
+            read = read[:k] + "N" + read[k + 1 :]
+        else:
+            truth[bc] += 1
+        reads1.append(read)
+        reads2.append(revcomp(read))
+    return reads1, reads2, truth
+
+
+def write_reads(path, reads):
+    write_fastq([(f"r{i}", r) for i, r in enumerate(reads)], path, quality=35)
+
+
+class TestHelpers:
+    def test_rev_comp(self):
+        assert rev_comp("ACGTN") == "NACGT"
+
+    def test_validate_barcodes(self):
+        with pytest.raises(ValueError):
+            validate_barcodes({"ACGT"})
+        validate_barcodes(set(make_barcodes(10)))
+
+    def test_find_flanks_recovers_planted(self):
+        barcodes = make_barcodes()
+        reads1, _, _ = make_reads(barcodes, n_reads=300)
+        start = len(PREFIX) + len(L_FLANK)
+        L, R = find_flanks(reads1, start, 20)
+        # flanks recovered up to the max_flank=10 window of constant context
+        assert L == (PREFIX + L_FLANK)[-10:]
+        assert R == (R_FLANK + TAIL)[:10]
+
+    def test_flank_complementarity_consistent(self):
+        # rev flanks seen on mate reads are revcomps of fwd flanks
+        L_rev = rev_comp(R_FLANK)
+        R_rev = rev_comp(L_FLANK)
+        assert check_flank_complementarity(L_FLANK, R_FLANK, L_rev, R_rev) == []
+
+    def test_flank_complementarity_violation(self):
+        # L_rev revcomp'd is TTTT, which does not match R_fwd=CCCC
+        assert check_flank_complementarity("AAAA", "CCCC", "AAAA", "CCCC")
+
+
+class TestSampling:
+    def test_sample_orientation_and_offset(self, tmp_path):
+        barcodes = make_barcodes()
+        reads1, reads2, _ = make_reads(barcodes, n_reads=1500)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        s = sample_reads(str(f1), str(f2), set(barcodes), True)
+        assert not s.need_swap
+        assert s.bc_start1 == len(PREFIX) + len(L_FLANK)
+        assert s.observed_barcodes
+        assert s.num_chunks >= 1
+
+    def test_sample_swapped_files(self, tmp_path):
+        barcodes = make_barcodes()
+        reads1, reads2, _ = make_reads(barcodes, n_reads=1500)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads2)  # swapped on purpose
+        write_reads(f2, reads1)
+        s = sample_reads(str(f1), str(f2), set(barcodes), True)
+        assert s.need_swap
+        assert s.bc_start1 == len(PREFIX) + len(L_FLANK)
+
+    def test_sample_unresolvable_raises(self, tmp_path):
+        barcodes = make_barcodes()
+        rng = np.random.default_rng(9)
+        junk = [random_seq(50, rng) for _ in range(200)]
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, junk)
+        with pytest.raises(ValueError):
+            sample_reads(str(f1), None, set(barcodes), False)
+
+
+class TestCounting:
+    def make_cfg(self, barcodes):
+        return CountConfig(
+            barcodes=set(barcodes),
+            bc_len=20,
+            L_fwd=(PREFIX + L_FLANK)[-10:],
+            R_fwd=R_FLANK[:8],
+            L_rev=rev_comp(R_FLANK)[-8:],
+            R_rev=rev_comp((PREFIX + L_FLANK))[:10],
+            L_fwd_start=len(PREFIX) + len(L_FLANK) - 10,
+            L_rev_start=0,
+            need_swap=False,
+        )
+
+    def test_vector_matches_reference_paired(self):
+        barcodes = make_barcodes()
+        reads1, reads2, _ = make_reads(
+            barcodes, n_reads=1200, undocumented=[random_seq(20, np.random.default_rng(5))],
+            n_frac=0.05,
+        )
+        # read2 = revcomp(read1): layout revcomp(tail)(8) + revcomp(R_FLANK)
+        # (7) + revcomp(bc)(20) + ... → barcode starts at 15; L_rev window
+        # starts at 15 - len(L_rev)
+        cfg = self.make_cfg(barcodes)
+        cfg.L_rev_start = 15 - len(cfg.L_rev)
+        ref = Counter()
+        total_ref = 0
+        counts, n = count_chunk_reference((reads1, reads2), cfg)
+        ref.update(counts)
+        total_ref += n
+
+        vc = VectorCounter(cfg)
+        vc.process_chunk((reads1, reads2))
+        doc, undoc = vc.results()
+        ref_doc = Counter({k: v for k, v in ref.items() if not k.endswith("*")})
+        ref_undoc = Counter({k: v for k, v in ref.items() if k.endswith("*")})
+        assert doc == ref_doc
+        assert undoc == ref_undoc
+        assert sum(doc.values()) > 0
+        assert sum(undoc.values()) > 0
+
+    def test_vector_matches_reference_single(self):
+        barcodes = make_barcodes()
+        reads1, _, truth = make_reads(barcodes, n_reads=800, n_frac=0.02)
+        cfg = self.make_cfg(barcodes)
+        counts, _ = count_chunk_reference((reads1, None), cfg)
+        vc = VectorCounter(cfg)
+        vc.process_chunk((reads1, None))
+        doc, undoc = vc.results()
+        ref_doc = Counter({k: v for k, v in counts.items() if not k.endswith("*")})
+        assert doc == ref_doc
+        assert doc == truth
+
+    def test_single_end_reverse_orientation(self):
+        barcodes = make_barcodes()
+        reads1, reads2, truth = make_reads(barcodes, n_reads=400)
+        cfg = self.make_cfg(barcodes)
+        cfg.L_rev_start = 15 - len(cfg.L_rev)
+        cfg.need_swap = False
+        counts, _ = count_chunk_reference((None, reads2), cfg)
+        vc = VectorCounter(cfg)
+        vc.process_chunk((None, reads2))
+        doc, undoc = vc.results()
+        ref_doc = Counter({k: v for k, v in counts.items() if not k.endswith("*")})
+        assert doc == ref_doc
+        assert doc == truth  # reported in fwd orientation
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("engine", ["vector", "reference"])
+    def test_run_count_paired(self, tmp_path, engine):
+        barcodes = make_barcodes(n=15)
+        undoc_bc = random_seq(20, np.random.default_rng(42))
+        reads1, reads2, truth = make_reads(
+            barcodes, n_reads=2500, undocumented=[undoc_bc]
+        )
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        doc, undoc, total, info = run_count(set(barcodes), str(f1), str(f2), engine=engine)
+        assert total == 2500
+        for bc in doc:
+            assert doc[bc] == truth[bc]
+        assert sum(undoc.values()) == truth[undoc_bc]
+        assert set(doc) == {b for b in barcodes if truth[b] > 0}
+
+    def test_run_count_single_end_gz(self, tmp_path):
+        barcodes = make_barcodes(n=12)
+        reads1, _, truth = make_reads(barcodes, n_reads=1500)
+        f1 = tmp_path / "r1.fastq.gz"
+        with gzip.open(f1, "wt") as fh:
+            write_fastq([(f"r{i}", r) for i, r in enumerate(reads1)], fh, quality=35)
+        doc, undoc, total, info = run_count(set(barcodes), str(f1), engine="vector")
+        assert total == 1500
+        assert doc == truth
+
+    def test_run_count_engines_agree(self, tmp_path):
+        barcodes = make_barcodes(n=15)
+        reads1, reads2, _ = make_reads(barcodes, n_reads=1800, n_frac=0.03)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        a = run_count(set(barcodes), str(f1), str(f2), engine="vector")
+        b = run_count(set(barcodes), str(f1), str(f2), engine="reference")
+        assert a[0] == b[0]
+        assert a[1] == b[1]
+        assert a[2] == b[2]
+
+    def test_cli(self, tmp_path, capsys):
+        from barcoder_tpu.cli.count import main
+
+        barcodes = make_barcodes(n=12)
+        reads1, reads2, truth = make_reads(barcodes, n_reads=1500)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        bc_fasta = tmp_path / "bc.fasta"
+        bc_fasta.write_text("".join(f">{b}\n{b}\n" for b in barcodes))
+        rc = main([str(bc_fasta), str(f1), str(f2)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        lines = [l for l in out.strip().splitlines() if l]
+        parsed = dict(l.split("\t") for l in lines)
+        for bc, cnt in parsed.items():
+            assert truth[bc] == int(cnt)
