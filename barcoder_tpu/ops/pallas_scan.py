@@ -167,6 +167,101 @@ def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh, cap):
     return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
+def _extract_tile(q_blocks, valid, g_tile, mask_tile, *, L, K, P, thresh, cap):
+    """Phase-2 scoring for many spacer blocks against ONE tile (the
+    dense-hit path: G is built once and shared across all pairs of the
+    tile). q_blocks (m, BS, K) bf16; valid (m,) bool (padding rows off);
+    g_tile (1, 1, W) int32; mask_tile (1, 1, P) int32."""
+    m = q_blocks.shape[0]
+    g = g_tile[0, 0]
+    g_oh = jnp.zeros((K, P), dtype=jnp.bfloat16)
+    for j in range(L):
+        window = jax.lax.dynamic_slice_in_dim(g, j, P)
+        for b in range(4):
+            g_oh = g_oh.at[4 * j + b, :].set((window == b).astype(jnp.bfloat16))
+    scores = jnp.dot(
+        q_blocks.reshape(-1, K), g_oh, preferred_element_type=jnp.float32
+    ).reshape(m, BS, P)
+    mm = (L - scores).astype(jnp.int32)
+    hit = (mm <= thresh) & (mask_tile[0, 0][None, None, :] > 0) & valid[:, None, None]
+    flat = hit.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    mm_vals = mm.reshape(-1)[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
+
+
+def extract_hits_grouped(
+    t_idx: np.ndarray,
+    s_idx: np.ndarray,
+    tiles,
+    mask_tiles,
+    q_blocks_all,
+    *,
+    S: int,
+    L: int,
+    K: int,
+    P: int,
+    thresh: int,
+    strand: int,
+    group_width: int = 512,
+) -> list[Hits]:
+    """Dense-hit phase-2 driver: pairs grouped by tile so G is built once
+    per tile; pair lists chunked to a fixed ``group_width`` for a single
+    compiled shape. Used when the nonzero pairs are dense (e.g. the design
+    workload, where every candidate guide hits its own site)."""
+    out: list[Hits] = []
+    order = np.argsort(t_idx, kind="stable")
+    t_sorted = t_idx[order]
+    s_sorted = s_idx[order]
+    boundaries = np.nonzero(np.diff(t_sorted))[0] + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(t_sorted)]))
+    valid_template = np.zeros(group_width, dtype=bool)
+    for g0, g1 in zip(starts, ends):
+        tile = int(t_sorted[g0])
+        sbs = s_sorted[g0:g1]
+        for c0 in range(0, len(sbs), group_width):
+            chunk = sbs[c0 : c0 + group_width]
+            m = len(chunk)
+            sc_p = np.zeros(group_width, dtype=chunk.dtype)
+            sc_p[:m] = chunk
+            valid = valid_template.copy()
+            valid[:m] = True
+            q_blocks = q_blocks_all[jnp.asarray(sc_p)]
+            cap = 1 << 14
+            while True:
+                idx, mm_vals, n_hits = _extract_tile(
+                    q_blocks, jnp.asarray(valid), tiles[tile : tile + 1],
+                    mask_tiles[tile : tile + 1],
+                    L=L, K=K, P=P, thresh=thresh, cap=cap,
+                )
+                n_hits = int(n_hits)
+                if n_hits <= cap:
+                    break
+                cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+            idx = np.asarray(idx)[:n_hits]
+            mm_vals = np.asarray(mm_vals)[:n_hits]
+            if n_hits == 0:
+                continue
+            mi = idx // (BS * P)
+            rem = idx % (BS * P)
+            si = rem // P
+            pi = rem % P
+            spacer_idx = chunk[mi] * BS + si
+            pos = tile * P + pi
+            keep = spacer_idx < S
+            out.append(
+                Hits(
+                    spacer_idx=spacer_idx[keep].astype(np.int64),
+                    pos=pos[keep].astype(np.int64),
+                    strand=np.full(int(keep.sum()), strand, np.int8),
+                    mismatches=mm_vals[keep].astype(np.int32),
+                )
+            )
+    return out
+
+
 def extract_hits_for_pairs(
     t_idx: np.ndarray,
     s_idx: np.ndarray,
@@ -299,12 +394,19 @@ def pallas_scan(
             continue
 
         # phase 2: exact positions for the nonzero (tile, sblock) pairs,
-        # compacted on device (fixed capacity + overflow retry)
+        # compacted on device (fixed capacity + overflow retry). Sparse
+        # pair sets use per-pair batches; dense sets (design workload)
+        # group pairs by tile so G is shared.
+        n_pair_tiles = len(np.unique(t_idx))
+        extractor = (
+            extract_hits_grouped
+            if len(t_idx) >= 4 * n_pair_tiles
+            else extract_hits_for_pairs
+        )
         out.extend(
-            extract_hits_for_pairs(
+            extractor(
                 t_idx, s_idx, tiles, mask_tiles, q_oh_dev.reshape(-1, BS, K),
-                S=S, L=L, K=K, P=P, thresh=int(max_mismatches),
-                strand=strand, extract_batch=extract_batch,
+                S=S, L=L, K=K, P=P, thresh=int(max_mismatches), strand=strand,
             )
         )
     return Hits.concat(out).sorted()

@@ -1,0 +1,253 @@
+"""Workload 2 — genome-wide guide-library design.
+
+Equivalent of the reference's ``design_guides.py``: enumerate every
+PAM-adjacent k-mer on both strands, map all of them back through the targets
+engine to find off-targets, then apply the selection-filter cascade
+(orientation, offtargets, ambiguity, intergenic, full-overlap, tiling,
+top-N per gene).
+
+TPU-native differences from the reference:
+  - candidate enumeration is the PAM site mask + a packed-key dedup
+    (vectorized) instead of a Python regex over both strand strings
+    (design_guides.py:22-49);
+  - the targets stage runs in-process on the device engine instead of
+    ``subprocess: python targets.py`` (design_guides.py:90-104);
+  - the all-vs-all off-target scan uses the dense-hit grouped phase-2
+    extraction path (every candidate hits its own site).
+
+Filter semantics reproduce design_guides.py:111-310 exactly, including the
+note-regex-derived sites/genes/intergenic counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+
+from ..core.encode import decode
+from ..core.genome import Genome
+from ..ops.prep import build_scan_array, site_masks
+from ..pipeline.targets import TargetsResult, run_targets
+from ..seqio.library import BarcodeLibrary
+
+
+def is_dna(sequence: str) -> bool:
+    """design_guides.py:18-19."""
+    return all(base in "GATC" for base in sequence)
+
+
+def _pack_windows(codes_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L<=32) codes → (keys uint64, valid bool) — N poisons validity."""
+    n, L = codes_mat.shape
+    valid = (codes_mat < 4).all(axis=1)
+    vals = codes_mat.astype(np.uint64) & np.uint64(3)
+    keys = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        keys |= vals[:, j] << np.uint64(2 * j)
+    return keys, valid
+
+
+def find_candidate_guides(
+    genome: Genome, barcode_length: int, pam: str, pam_direction: str = "downstream"
+) -> list[str]:
+    """All distinct PAM-adjacent spacers of the given length on either
+    strand (reference: find_sequences_with_barcode_and_pam,
+    design_guides.py:22-49)."""
+    L = barcode_length
+    keys_all = []
+    key_to_codes: dict = {}
+    for contig in genome.contigs:
+        if contig.length < L:
+            continue
+        scan = build_scan_array(contig, L)
+        windows = sliding_window_view(scan, L)[: contig.length]
+        mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
+        mask_f = mask_f[: len(windows)]
+        mask_r = mask_r[: len(windows)]
+        for mask, rc in ((mask_f, False), (mask_r, True)):
+            sel = windows[mask]
+            if not len(sel):
+                continue
+            if rc:
+                sel = sel[:, ::-1]
+                sel = np.where(sel < 4, 3 - sel, sel)
+            keys, valid = _pack_windows(sel)
+            keys = keys[valid]
+            sel = sel[valid]
+            uniq, first = np.unique(keys, return_index=True)
+            keys_all.append(uniq)
+            for k, i in zip(uniq, first):
+                if k not in key_to_codes:
+                    key_to_codes[int(k)] = sel[i]
+    if not keys_all:
+        return []
+    all_keys = np.unique(np.concatenate(keys_all))
+    return [decode(key_to_codes[int(k)]) for k in all_keys]
+
+
+@dataclass
+class DesignOptions:
+    """design_guides.py:329-403 flags with their defaults and the
+    omit_ambiguous → omit_offtargets implication."""
+
+    orientation: str = "forward"  # forward / reverse / both
+    mismatches: int = 1
+    pam_direction: str = "downstream"
+    omit_intergenic: bool = True
+    omit_offtargets: bool = False
+    omit_ambiguous: bool = False
+    keep_top: int = 10
+    tile_size: int | None = None
+    full_overlap: bool = False
+
+    def resolve(self, barcode_length: int) -> "DesignOptions":
+        if not self.tile_size:
+            self.tile_size = barcode_length
+        if self.omit_ambiguous:
+            self.omit_offtargets = True
+        return self
+
+
+def apply_design_filters(
+    targets: pd.DataFrame, barcode_length: int, opts: DesignOptions, log=None
+) -> pd.DataFrame:
+    """The selection cascade (design_guides.py:111-326)."""
+    info = log.info if log else (lambda *_: None)
+    targets = targets.copy()
+    targets["target"] = targets["target"].str.upper()
+    if "mismatches" not in targets.columns:
+        targets["mismatches"] = 0
+    if "count" in targets.columns:
+        targets = targets.drop(columns=["count"])
+
+    if opts.orientation == "forward":
+        targets = targets.loc[targets["sp_dir"] == targets["tar_dir"]]
+    elif opts.orientation == "reverse":
+        targets = targets.loc[targets["sp_dir"] != targets["tar_dir"]]
+
+    if opts.omit_offtargets:
+        len_before = len(targets)
+        targets.loc[:, "sites"] = (
+            targets["note"].str.extract(r"(\d+) site", expand=False).astype(int)
+        )
+        targets = targets[targets["sites"] == 1]
+        info(f"Removed {len_before - len(targets):,} off-targeting guides")
+
+    if opts.mismatches > 0:
+        len_before = len(targets)
+        targets = targets.loc[targets["mismatches"] == 0]
+        info(f"Removed {len_before - len(targets):,} mismatched guides")
+
+    if opts.omit_ambiguous:
+        if "note" in targets.columns:
+            targets["sites"] = (
+                targets["note"].str.extract(r"(\d+) site", expand=False).fillna(0).astype(int)
+            )
+            targets["genes"] = (
+                targets["note"].str.extract(r"(\d+) gene", expand=False).fillna(0).astype(int)
+            )
+            targets["intergenic"] = (
+                targets["note"]
+                .str.extract(r"(\d+) intergenic", expand=False)
+                .fillna(0)
+                .astype(int)
+            )
+        else:
+            targets["sites"] = 0
+            targets["genes"] = 0
+            targets["intergenic"] = 0
+        len_before = len(targets)
+        targets = targets[
+            (targets["sites"] == 1) & (targets["genes"] == 1) & (targets["intergenic"] == 0)
+        ]
+        info(f"Removed {len_before - len(targets):,} ambiguous guides")
+
+    if opts.omit_intergenic:
+        len_before = len(targets)
+        targets = targets[~targets["note"].str.contains("intergenic")]
+        info(f"Removed {len_before - len(targets):,} intergenic guides")
+
+    if opts.full_overlap:
+        len_before = len(targets)
+        overlap_spacers = set(
+            targets.loc[targets["overlap"] == barcode_length, "spacer"]
+        )
+        targets = targets[targets["spacer"].isin(overlap_spacers)]
+        info(f"Removed {len_before - len(targets):,} partial-overlap guides")
+
+    if opts.tile_size and opts.tile_size > 0:
+        targets = targets.sort_values(["locus_tag", "offset"])
+        selected_spacers = set()
+        for _, group in targets.groupby("locus_tag"):
+            if opts.full_overlap:
+                filtered = group["offset"].loc[group["overlap"] == barcode_length]
+                last_offset = filtered.iloc[0] if not filtered.empty else None
+            else:
+                last_offset = group["offset"].iloc[0]
+            if last_offset is not None:
+                selected_spacers.add(
+                    group["spacer"].loc[group["offset"] == last_offset].iloc[0]
+                )
+            for _, row in group.iterrows():
+                if last_offset is not None and row["offset"] >= last_offset + opts.tile_size:
+                    selected_spacers.add(row["spacer"])
+                    last_offset = row["offset"]
+        targets = targets[targets["spacer"].isin(selected_spacers)]
+
+    if opts.keep_top and opts.keep_top > 0:
+        len_before = len(targets)
+        if opts.full_overlap:
+            targets = targets[targets["overlap"] >= barcode_length]
+        targets = targets.sort_values(["locus_tag", "offset"])
+        top_targets = (
+            targets.groupby("locus_tag")
+            .apply(lambda x: x.nsmallest(opts.keep_top, "offset"), include_groups=False)
+            if len(targets)
+            else targets
+        )
+        if len(targets):
+            top_spacers = top_targets["spacer"].unique()
+            targets = targets[targets["spacer"].isin(top_spacers)]
+        info(f"Removed {len_before - len(targets):,} beyond-top-{opts.keep_top} guides")
+
+    # integer coercion + final sort (design_guides.py:312-326 applies it to
+    # every non-object column; under pandas 3 strings are `str` dtype, so
+    # the equivalent guard is is_numeric_dtype)
+    targets = targets.apply(
+        lambda col: (
+            pd.to_numeric(col, errors="coerce").fillna(0).astype(int)
+            if pd.api.types.is_numeric_dtype(col)
+            else col
+        )
+    )
+    targets = targets.sort_values(
+        ["chr", "tar_start", "tar_end", "locus_tag", "offset", "overlap"]
+    )
+    return targets
+
+
+def run_design(
+    genome: Genome,
+    pam: str,
+    barcode_length: int,
+    opts: DesignOptions | None = None,
+    backend: str = "auto",
+    log=None,
+) -> tuple[pd.DataFrame, TargetsResult, list[str]]:
+    """Full design pipeline; returns (final table, targets stage result,
+    candidate guides)."""
+    opts = (opts or DesignOptions()).resolve(barcode_length)
+    candidates = find_candidate_guides(genome, barcode_length, pam, opts.pam_direction)
+    if log:
+        log.info(f"Found {len(candidates):,} potential guides in the genome")
+    # name = sequence, like create_sgRNA_fasta (design_guides.py:53-56)
+    library = BarcodeLibrary.from_list(candidates)
+    tr = run_targets(
+        library, genome, pam, opts.mismatches,
+        pam_direction=opts.pam_direction, backend=backend,
+    )
+    final = apply_design_filters(tr.table, barcode_length, opts, log=log)
+    return final, tr, candidates

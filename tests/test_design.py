@@ -1,0 +1,109 @@
+"""Design workload tests: candidate enumeration vs a regex oracle, and the
+filter cascade on synthetic genomes."""
+
+import re
+
+import numpy as np
+import pytest
+
+from barcoder_tpu.core.encode import revcomp
+from barcoder_tpu.pipeline.design import (
+    DesignOptions,
+    apply_design_filters,
+    find_candidate_guides,
+    is_dna,
+    run_design,
+)
+
+from .genomes import genome_from_records, make_record
+
+
+def regex_candidates(seq, circular, L, pam):
+    """Oracle mirroring design_guides.py:22-49 (downstream PAM) with the
+    minimal exact halo instead of the 100 kb overhang."""
+    out = set()
+    pam_regex = re.compile(pam.replace("N", "[ATGC]"))
+    topo = seq + seq[: L + len(pam) - 1] if circular else seq
+    for s in (topo, revcomp(topo)):
+        for i in range(len(s) - L - len(pam) + 1):
+            if pam_regex.match(s[i + L : i + L + len(pam)]):
+                spacer = s[i : i + L]
+                if is_dna(spacer):
+                    out.add(spacer)
+    return out
+
+
+class TestEnumeration:
+    @pytest.mark.parametrize("topology", ["circular", "linear"])
+    def test_matches_regex_oracle(self, topology):
+        rec = make_record(n=3000, topology=topology, seed=21)
+        genome = genome_from_records([rec])
+        got = set(find_candidate_guides(genome, 20, "NGG"))
+        want = regex_candidates(rec.seq, topology == "circular", 20, "NGG")
+        assert got == want
+        assert len(got) > 100
+
+    def test_n_excluded(self):
+        rec = make_record(n=1000, seed=22)
+        rec.seq = rec.seq[:100] + "N" + rec.seq[101:]
+        genome = genome_from_records([rec])
+        got = find_candidate_guides(genome, 20, "NGG")
+        assert all("N" not in g for g in got)
+
+    def test_upstream_pam(self):
+        rec = make_record(n=2000, seed=23)
+        genome = genome_from_records([rec])
+        got = set(find_candidate_guides(genome, 20, "TTTN", pam_direction="upstream"))
+        # oracle: upstream on forward strand
+        found_any = False
+        for i in range(4, len(rec.seq) - 20):
+            if re.match("TTT[ATGC]", rec.seq[i - 4 : i]):
+                assert rec.seq[i : i + 20] in got or "N" in rec.seq[i : i + 20]
+                found_any = True
+        assert found_any
+
+
+class TestDesignEndToEnd:
+    @pytest.fixture(scope="class")
+    def design_result(self):
+        rec = make_record(n=8000, topology="circular", seed=24, n_genes=6)
+        genome = genome_from_records([rec])
+        opts = DesignOptions(mismatches=1, omit_offtargets=True, keep_top=3)
+        final, tr, candidates = run_design(genome, "NGG", 20, opts)
+        return rec, final, tr, candidates
+
+    def test_pipeline_produces_guides(self, design_result):
+        rec, final, tr, candidates = design_result
+        assert len(candidates) > 200
+        assert len(final) > 0
+        # all retained rows are perfect, oriented, unique-site, genic
+        assert (final["mismatches"] == 0).all() if "mismatches" in final.columns else True
+        assert (final["sp_dir"] == final["tar_dir"]).all()
+        assert final["note"].str.startswith("1 site").all()
+        assert (~final["note"].str.contains("intergenic")).all()
+
+    def test_keep_top(self, design_result):
+        rec, final, tr, candidates = design_result
+        per_gene = final.groupby("locus_tag")["spacer"].nunique()
+        assert (per_gene <= 3).all()
+
+    def test_guides_hit_their_site(self, design_result):
+        rec, final, tr, candidates = design_result
+        # non-wrapping rows only (wrapping rows have negative tar_start)
+        plain = final[(final.tar_start >= 0) & (final.tar_end > final.tar_start)]
+        assert len(plain) > 0
+        for _, row in plain.head(10).iterrows():
+            window = rec.seq[int(row.tar_start) : int(row.tar_end)]
+            if row.sp_dir == "R":
+                window = revcomp(window)
+            assert window == row.spacer
+
+    def test_tiling_spacing(self):
+        rec = make_record(n=6000, topology="circular", seed=25, n_genes=3)
+        genome = genome_from_records([rec])
+        opts = DesignOptions(mismatches=0, omit_offtargets=True, keep_top=0, tile_size=50)
+        final, tr, _ = run_design(genome, "NGG", 20, opts)
+        if len(final):
+            for _, group in final.groupby("locus_tag"):
+                offs = sorted(group["offset"].unique())
+                assert all(b - a >= 50 for a, b in zip(offs, offs[1:]))

@@ -1,0 +1,77 @@
+"""distill workload: sorted .reads.zst output equivalent to the reference's
+sort-of-co-indexed-tuples semantics."""
+
+import numpy as np
+import pytest
+import zstandard as zstd
+
+from barcoder_tpu.pipeline.distill import distill_reads, get_output_filename
+from barcoder_tpu.seqio.fasta import write_fastq
+
+from .genomes import random_seq
+
+
+def read_zst_lines(path):
+    with zstd.open(path, "rt") as fh:
+        return [line.rstrip("\n") for line in fh]
+
+
+def test_output_filename_mapping():
+    assert get_output_filename("a.fastq.gz") == "a.reads.zst"
+    assert get_output_filename("a.fastq") == "a.reads.zst"
+    assert get_output_filename("a.reads") == "a.reads.reads.zst"
+
+
+def test_paired_sort(tmp_path):
+    rng = np.random.default_rng(0)
+    r1 = [random_seq(30, rng) for _ in range(500)]
+    r2 = [random_seq(30, rng) for _ in range(500)]
+    f1, f2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r1)], f1, quality=30)
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r2)], f2, quality=30)
+    outs = distill_reads([str(f1), str(f2)], chunk_size=128)
+    got1 = read_zst_lines(outs[0])
+    got2 = read_zst_lines(outs[1])
+    want = sorted(zip(r1, r2))
+    assert got1 == [a for a, _ in want]
+    assert got2 == [b for _, b in want]
+
+
+def test_single_file_gz(tmp_path):
+    import gzip
+
+    rng = np.random.default_rng(1)
+    reads = [random_seq(25, rng) for _ in range(300)]
+    f1 = tmp_path / "x.fastq.gz"
+    with gzip.open(f1, "wt") as fh:
+        write_fastq([(f"r{i}", s) for i, s in enumerate(reads)], fh, quality=30)
+    outs = distill_reads([str(f1)], chunk_size=100)
+    assert outs[0].endswith("x.reads.zst")
+    assert read_zst_lines(outs[0]) == sorted(reads)
+
+
+def test_reads_input_roundtrip(tmp_path):
+    # .reads.zst output can itself be consumed by the counting reader
+    from barcoder_tpu.seqio.fasta import iter_read_chunks
+
+    rng = np.random.default_rng(2)
+    reads = [random_seq(20, rng) for _ in range(50)]
+    f1 = tmp_path / "y.fastq"
+    write_fastq([(f"r{i}", s) for i, s in enumerate(reads)], f1, quality=30)
+    outs = distill_reads([str(f1)])
+    chunks = list(iter_read_chunks(outs[0], chunk_size=1000))
+    assert chunks[0][0] == sorted(reads)
+
+
+def test_external_merge_path(tmp_path, monkeypatch):
+    # force the spill-to-runs path with a tiny in-memory cap
+    import barcoder_tpu.pipeline.distill as distill_mod
+
+    rng = np.random.default_rng(3)
+    reads = [random_seq(15, rng) for _ in range(400)]
+    f1 = tmp_path / "z.fastq"
+    write_fastq([(f"r{i}", s) for i, s in enumerate(reads)], f1, quality=30)
+
+    src = distill_mod.distill_reads.__globals__  # patch the constant via code path
+    outs = distill_reads([str(f1)], chunk_size=3)  # 134 chunks > 64 → spill
+    assert read_zst_lines(outs[0]) == sorted(reads)
