@@ -151,6 +151,10 @@ def main(argv=None) -> int:
     except ValueError as ve:
         log.error(str(ve))
         return 1
+    except Exception as e:  # reference behavior: log, don't traceback
+        # (heuristicount.py:886-888)
+        log.error(f"An unexpected error occurred: {e}")
+        return 1
 
 
 if __name__ == "__main__":

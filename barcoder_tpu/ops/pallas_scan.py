@@ -42,8 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.genome import Contig
+from ..utils.jaxcache import enable_compilation_cache
 from .prep import build_scan_array, revcomp_matrix, site_masks, spacer_matrix
 from .types import STRAND_F, STRAND_R, Hits
+
+enable_compilation_cache()
 
 BS = 128  # spacer block (MXU M dim)
 DEFAULT_P = 2048  # genome positions per tile (MXU N dim)
@@ -150,12 +153,7 @@ def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh, cap):
     (flat_idx int32 (cap,) with -1 fill, mm_vals int32 (cap,),
      n_hits int32 scalar — if n_hits > cap the caller must retry bigger)."""
     n = g_tiles.shape[0]
-    g_flat = g_tiles[:, 0, :]
-    g_oh = jnp.zeros((n, K, P), dtype=jnp.bfloat16)
-    for j in range(L):
-        window = jax.lax.dynamic_slice_in_dim(g_flat, j, P, axis=1)  # (n, P)
-        for b in range(4):
-            g_oh = g_oh.at[:, 4 * j + b, :].set((window == b).astype(jnp.bfloat16))
+    g_oh = _build_g_onehot(g_tiles[:, 0, :], L=L, K=K, P=P)
     scores = jnp.einsum(
         "nsk,nkp->nsp", q_oh_blocks, g_oh, preferred_element_type=jnp.float32
     )
@@ -167,6 +165,23 @@ def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh, cap):
     return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
 
 
+def _build_g_onehot(g_flat, *, L, K, P):
+    """codes (..., W) → one-hot G (..., K, P) with layout row = 4j+b,
+    built from a stacked window tensor in one vectorized compare (keeps the
+    XLA graph small — an unrolled .at[].set loop here costs minutes of
+    compile time for L=32)."""
+    windows = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(g_flat, j, P, axis=-1) for j in range(L)],
+        axis=-2,
+    )  # (..., L, P)
+    onehot = windows[..., :, None, :] == jnp.arange(4, dtype=g_flat.dtype)[None, :, None]
+    g4l = onehot.astype(jnp.bfloat16).reshape(*g_flat.shape[:-1], 4 * L, P)
+    if 4 * L < K:
+        pad = [(0, 0)] * (g4l.ndim - 2) + [(0, K - 4 * L), (0, 0)]
+        g4l = jnp.pad(g4l, pad)
+    return g4l
+
+
 @functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
 def _extract_tile(q_blocks, valid, g_tile, mask_tile, *, L, K, P, thresh, cap):
     """Phase-2 scoring for many spacer blocks against ONE tile (the
@@ -174,12 +189,7 @@ def _extract_tile(q_blocks, valid, g_tile, mask_tile, *, L, K, P, thresh, cap):
     tile). q_blocks (m, BS, K) bf16; valid (m,) bool (padding rows off);
     g_tile (1, 1, W) int32; mask_tile (1, 1, P) int32."""
     m = q_blocks.shape[0]
-    g = g_tile[0, 0]
-    g_oh = jnp.zeros((K, P), dtype=jnp.bfloat16)
-    for j in range(L):
-        window = jax.lax.dynamic_slice_in_dim(g, j, P)
-        for b in range(4):
-            g_oh = g_oh.at[4 * j + b, :].set((window == b).astype(jnp.bfloat16))
+    g_oh = _build_g_onehot(g_tile[0, 0], L=L, K=K, P=P)
     scores = jnp.dot(
         q_blocks.reshape(-1, K), g_oh, preferred_element_type=jnp.float32
     ).reshape(m, BS, P)

@@ -46,13 +46,10 @@ def _fallback_block_max(q_oh, tiles, bias_tiles, *, L, K, P):
     n_sblocks = S_pad // BS
     nsb_pad = max(_cdiv(n_sblocks, 128) * 128, 128)
 
+    from ..ops.pallas_scan import _build_g_onehot
+
     def per_tile(tile_codes, tile_bias):
-        g = tile_codes[0]  # (P + halo,)
-        g_oh = jnp.zeros((K, P), dtype=jnp.bfloat16)
-        for j in range(L):
-            window = jax.lax.dynamic_slice_in_dim(g, j, P)
-            for b in range(4):
-                g_oh = g_oh.at[4 * j + b, :].set((window == b).astype(jnp.bfloat16))
+        g_oh = _build_g_onehot(tile_codes[0], L=L, K=K, P=P)
         scores = jnp.dot(q_oh, g_oh, preferred_element_type=jnp.float32)
         biased = scores + tile_bias[0][None, :]
         per_block = biased.reshape(n_sblocks, BS, P).max(axis=(1, 2))
