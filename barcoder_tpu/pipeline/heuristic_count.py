@@ -449,18 +449,28 @@ class VectorCounter:
         return win, has_l & has_r, core
 
     def process_chunk(self, chunk) -> None:
+        """String-list entry point (mirrors process_chunk in the reference);
+        converts to byte matrices and delegates."""
         cfg = self.cfg
         if cfg.need_swap:
             reads2, reads1 = chunk
         else:
             reads1, reads2 = chunk
-        n = len(reads1) if reads1 else len(reads2 or [])
+        m1 = _to_matrix(reads1) if reads1 else None
+        m2 = _to_matrix(reads2) if reads2 else None
+        self.process_matrices(m1, m2)
+
+    def process_matrices(self, m1, m2) -> None:
+        """Matrix entry point (rows already swapped if cfg.need_swap was
+        applied by the caller of process_chunk; direct callers pass matrices
+        in fwd/rev orientation)."""
+        cfg = self.cfg
+        n = m1.shape[0] if m1 is not None else (m2.shape[0] if m2 is not None else 0)
         self.total_reads += n
         if n == 0:
             return
 
-        if reads1 and reads2:
-            m1, m2 = _to_matrix(reads1), _to_matrix(reads2)
+        if m1 is not None and m2 is not None:
             no_n = ~((m1 == ord("N")).any(axis=1) | (m2 == ord("N")).any(axis=1))
             _, has_f, core_f = self._process_side(m1, cfg.L_fwd_start, cfg.L_fwd, cfg.R_fwd, False)
             _, has_r, core_r = self._process_side(m2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
@@ -476,12 +486,11 @@ class VectorCounter:
             eligible = no_n & consistent & has_f & has_r
             self._tally(key1, core_f, eligible)
         else:
-            reads, start, Lf, Rf, rev = (
-                (reads1, cfg.L_fwd_start, cfg.L_fwd, cfg.R_fwd, False)
-                if reads1
-                else (reads2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
+            mat, start, Lf, Rf, rev = (
+                (m1, cfg.L_fwd_start, cfg.L_fwd, cfg.R_fwd, False)
+                if m1 is not None
+                else (m2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
             )
-            mat = _to_matrix(reads)
             no_n = ~(mat == ord("N")).any(axis=1)
             _, has, core = self._process_side(mat, start, Lf, Rf, rev)
             codes = _CODE_LUT[core]
@@ -585,9 +594,17 @@ def run_count(
     undoc: Counter = Counter()
     total_reads = 0
     if use_vector:
+        from ..seqio.fast_reader import iter_matrix_chunks
+
         vc = VectorCounter(cfg)
-        for chunk in iter_read_chunks(file1, file2 if is_paired else None, chunk_size):
-            vc.process_chunk(chunk)
+        f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
+        if f_a is None:
+            # swapped single-end: the lone file is the reverse-orientation one
+            for r1, _ in iter_matrix_chunks(f_b, None, chunk_size):
+                vc.process_matrices(None, r1[0])
+        else:
+            for r1, r2 in iter_matrix_chunks(f_a, f_b, chunk_size):
+                vc.process_matrices(r1[0], r2[0] if r2 else None)
         doc, undoc = vc.results()
         total_reads = vc.total_reads
     else:

@@ -1,0 +1,116 @@
+"""Slab-based FASTQ/.reads readers producing byte matrices.
+
+The reference feeds its counting pool with per-line Python string lists
+(heuristicount.py:100-153); at millions of reads the Python loop is the
+bottleneck. Here files are read as large byte slabs, cut at record
+boundaries with one vectorized newline scan, and parsed into fixed-width
+uint8 matrices by the native seqpack library (numpy fallback built in) —
+the representation the vectorized counting engine consumes directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import native_bridge
+from .fasta import detect_reads_format, open_seq_file
+
+_SLAB = 8 << 20  # bytes per read() call
+
+
+class MatrixStream:
+    """Stream of (matrix uint8 (n, width), lengths int64) record batches."""
+
+    def __init__(self, path: str):
+        self.fmt = detect_reads_format(path)  # 'fastq' or 'reads'
+        self.lines_per_record = 4 if self.fmt == "fastq" else 1
+        self.fh = open_seq_file(path, "rb")
+        self.buf = b""
+        self.eof = False
+
+    def close(self):
+        self.fh.close()
+
+    def _fill(self, want_records: int) -> None:
+        need_newlines = want_records * self.lines_per_record + 1
+        while not self.eof and self.buf.count(b"\n") < need_newlines:
+            blob = self.fh.read(_SLAB)
+            if not blob:
+                self.eof = True
+                break
+            self.buf += blob
+
+    def next_records(self, n: int):
+        """Up to n records as (matrix, lengths); None at end of stream."""
+        self._fill(n)
+        if not self.buf:
+            return None
+        arr = np.frombuffer(self.buf, dtype=np.uint8)
+        nl = np.nonzero(arr == 10)[0]
+        lpr = self.lines_per_record
+        n_records = len(nl) // lpr
+        tail_complete = False
+        if self.eof and len(nl) % lpr != 0:
+            # final record may lack a trailing newline; treat remainder as a
+            # last line
+            pass
+        if self.eof and len(self.buf) > (nl[-1] + 1 if len(nl) else 0):
+            # buffer ends without newline: one extra (partial) line
+            total_lines = len(nl) + 1
+            if total_lines % lpr == 0:
+                n_records = total_lines // lpr
+                tail_complete = True
+        take = min(n, n_records)
+        if take == 0:
+            if self.eof:
+                self.buf = b""
+                return None
+            return None
+        if take == n_records and tail_complete:
+            cut = len(self.buf)
+        else:
+            cut = int(nl[take * lpr - 1]) + 1
+        chunk, self.buf = self.buf[:cut], self.buf[cut:]
+
+        # row width = longest sequence line in the chunk
+        carr = np.frombuffer(chunk, dtype=np.uint8)
+        cnl = np.nonzero(carr == 10)[0]
+        starts = np.concatenate(([0], cnl + 1))
+        ends = np.concatenate((cnl, [len(carr)]))
+        line_lens = ends - starts[: len(ends)]
+        if self.fmt == "fastq":
+            seq_lens = line_lens[1::4]
+        else:
+            seq_lens = line_lens
+        width = int(seq_lens.max()) if len(seq_lens) else 1
+        width = max(width, 1)
+        if self.fmt == "fastq":
+            mat, lens = native_bridge.parse_fastq_buffer(chunk, width, take)
+        else:
+            mat, lens = native_bridge.parse_reads_buffer(chunk, width, take)
+        return mat, lens
+
+
+def iter_matrix_chunks(file1: str, file2: str | None = None, chunk_size: int = 2**16):
+    """Yield ((mat1, lens1), (mat2, lens2) | None) batches of co-indexed
+    records; the final batch may be short."""
+    s1 = MatrixStream(file1)
+    s2 = MatrixStream(file2) if file2 else None
+    try:
+        while True:
+            r1 = s1.next_records(chunk_size)
+            if r1 is None:
+                break
+            if s2 is not None:
+                r2 = s2.next_records(len(r1[0]))
+                if r2 is None or len(r2[0]) != len(r1[0]):
+                    raise ValueError(
+                        "Length of reads1 and reads2 must be the same for paired-end data."
+                    )
+                yield r1, r2
+            else:
+                yield r1, None
+    finally:
+        s1.close()
+        if s2:
+            s2.close()
