@@ -39,6 +39,16 @@ def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.Argu
         help="Direction of the PAM sequence",
     )
     p.add_argument("--json", action="store_true", default=False, help="Output results in JSON format")
+    p.add_argument(
+        "--gene_window", choices=["body", "upstream"], default="body",
+        help="Join hits to gene bodies (targets.py) or promoter windows "
+        "(targets_in_upstream.py equivalent)",
+    )
+    p.add_argument(
+        "--insert-site", action="store_true", default=False,
+        help="Add CRISPRt transposon insertion-site columns "
+        "(insertCharacteristics.py equivalent)",
+    )
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
     p.add_argument("--library-column", default="spacer", help="Barcode column for TSV libraries")
     return p
@@ -122,6 +132,8 @@ def main(argv=None) -> int:
         args.mismatches,
         pam_direction=args.pam_direction,
         backend=args.backend,
+        gene_window=args.gene_window,
+        insert_site=args.insert_site,
     )
 
     if args.json:

@@ -63,13 +63,32 @@ class Contig:
     description: str = ""
     gene_count: int = 0
     locus_entries: list[LocusEntry] = field(default_factory=list)
+    features: list = field(default_factory=list)  # retained GenBank features
 
-    # vectorized join index (built lazily)
-    _join_arrays: tuple | None = None
+    # lazily-built join indexes
+    _locus_index: object = None
+    _upstream_index: object = None
 
     @property
     def circular(self) -> bool:
         return self.topology == "circular"
+
+    def locus_index(self):
+        """Gene-body interval index (targets.py locus-map semantics)."""
+        if self._locus_index is None:
+            from .locus import LocusIndex
+
+            self._locus_index = LocusIndex(self.locus_entries)
+        return self._locus_index
+
+    def upstream_locus_index(self):
+        """Promoter-window interval index (targets_in_upstream.py:47-171
+        semantics)."""
+        if self._upstream_index is None:
+            from .locus import LocusIndex
+
+            self._upstream_index = LocusIndex(build_upstream_entries(self))
+        return self._upstream_index
 
     def fetch_codes(self, start: int, end: int) -> np.ndarray:
         """Fetch codes[start:end] with circular wraparound (start may be
@@ -81,23 +100,6 @@ class Contig:
             raise IndexError(f"fetch [{start},{end}) out of bounds for linear contig of length {n}")
         idx = np.arange(start, end) % n
         return self.codes[idx]
-
-    def join_arrays(self):
-        """Sorted interval arrays for the hit→gene join: returns
-        (order, join_starts_sorted, join_ends, max_join_len) where arrays are
-        sorted by join_start."""
-        if self._join_arrays is None:
-            js = np.array([e.join_start for e in self.locus_entries], dtype=np.int64)
-            je = np.array([e.join_end for e in self.locus_entries], dtype=np.int64)
-            keep = je > js  # drop empty (out-of-range duplicates)
-            idx = np.nonzero(keep)[0]
-            order = idx[np.argsort(js[idx], kind="stable")]
-            starts = js[order]
-            ends = je[order]
-            max_len = int((ends - starts).max()) if len(order) else 0
-            self._join_arrays = (order, starts, ends, max_len)
-        return self._join_arrays
-
 
 def _build_locus_entries(record: GenBankRecord) -> tuple[list[LocusEntry], int]:
     """Translate gene features into LocusEntry intervals with the reference's
@@ -153,6 +155,44 @@ def _build_locus_entries(record: GenBankRecord) -> tuple[list[LocusEntry], int]:
     return entries, gene_count
 
 
+def build_upstream_entries(contig: "Contig") -> list[LocusEntry]:
+    """Promoter-window locus entries per gene occurrence, reproducing
+    create_upstream_locus_map (targets_in_upstream.py:47-171):
+
+      - origin-wrapping genes: strand +1 → window [adj_start-205,
+        adj_start-95); strand -1 → [adj_end+95, adj_end+205);
+      - all other genes, per location part: strand +1 → [start-205,
+        start+95); strand -1 → [end+95, end+205) (note the reference's
+        asymmetric +95 upper bound for normal + strand genes);
+      - stored feature coords remain the gene's own (adjusted) interval, so
+        offset/overlap math is unchanged;
+      - windows may start below 0 — those positions are reachable by
+        origin-wrapping hit queries, exactly like the reference's negative
+        dict keys; portions at or beyond ``len`` are unreachable and clipped.
+
+    Genes with no strand are skipped (the reference would crash on them,
+    targets_in_upstream.py:96-136).
+    """
+    n = contig.length
+    out: list[LocusEntry] = []
+    for e in contig.locus_entries:
+        if e.strand == 1:
+            ws, we = e.start - 205, (e.start - 95 if e.end > n else e.start + 95)
+            # wrapped genes (end > n) use the -95 bound; normal parts +95
+        elif e.strand == -1:
+            ws, we = e.end + 95, e.end + 205
+        else:
+            continue
+        out.append(
+            LocusEntry(
+                e.locus_tag, e.gene, e.start, e.end, e.strand,
+                join_start=ws,
+                join_end=min(we, n),
+            )
+        )
+    return out
+
+
 def contig_from_record(record: GenBankRecord) -> Contig:
     entries, gene_count = _build_locus_entries(record)
     return Contig(
@@ -165,6 +205,7 @@ def contig_from_record(record: GenBankRecord) -> Contig:
         description=record.description,
         gene_count=gene_count,
         locus_entries=entries,
+        features=list(record.features),
     )
 
 

@@ -108,10 +108,18 @@ def build_rows(
     q_r: np.ndarray,
     pam: str,
     pam_direction: str,
+    gene_window: str = "body",
+    insert_site: bool = False,
 ) -> list[dict]:
     """Expand device hits into reference-schema row dicts (one per
     overlapping gene, or one with null annotation), mirroring
-    parse_sam_output (targets.py:354-462)."""
+    parse_sam_output (targets.py:354-462).
+
+    gene_window="upstream" joins hits against promoter windows instead of
+    gene bodies (targets_in_upstream.py); insert_site=True adds the CRISPRt
+    transposon insertion-site columns — insertion 49 bp downstream of the
+    target end (F) / upstream of the start (R), mod chromosome length
+    (insertCharacteristics.py:482-486)."""
     H = len(hits)
     if H == 0:
         return []
@@ -125,8 +133,15 @@ def build_rows(
     targets = _target_strings(contig, hits, q_f, q_r)
     pams = _pam_strings(contig, hits, L, pam, pam_direction)
     sp_dirs = np.where(hits.strand == STRAND_R, "R", "F")
+    if insert_site:
+        ins_sites = np.where(
+            hits.strand == STRAND_R, (tar_start - 49) % n, (tar_end + 49) % n
+        )
 
-    hit_idx, entry_idx = join_hits_to_loci(contig, tar_start, tar_end)
+    index = (
+        contig.upstream_locus_index() if gene_window == "upstream" else contig.locus_index()
+    )
+    hit_idx, entry_idx = index.join(tar_start, tar_end)
     genes_per_hit: dict[int, set] = {}
     for h, e in zip(hit_idx.tolist(), entry_idx.tolist()):
         ent = contig.locus_entries[e]
@@ -154,6 +169,9 @@ def build_rows(
             "type": "mismatch" if mm > 0 else "perfect",
             "diff": get_diff(spacer, target) if mm > 0 else None,
         }
+        if insert_site:
+            base["insSite"] = int(ins_sites[i])
+            base["insDirection"] = str(sp_dirs[i])
         aligned = genes_per_hit.get(i)
         if not aligned:
             row = dict(base)
@@ -224,6 +242,8 @@ ROW_COLUMNS = [
     "offset",
     "overlap",
     "tar_dir",
+    "insSite",
+    "insDirection",
 ]
 
 
@@ -234,7 +254,12 @@ def run_targets(
     mismatches: int,
     pam_direction: str = "downstream",
     backend: str = "auto",
+    gene_window: str = "body",
+    insert_site: bool = False,
 ) -> TargetsResult:
+    """gene_window: "body" (targets.py) or "upstream" promoter windows
+    (targets_in_upstream.py); insert_site adds the CRISPRt insSite /
+    insDirection columns (insertCharacteristics.py)."""
     # unique sequences per length; names expand after annotation
     names_per_seq: dict[str, list[str]] = {}
     for name, seq in library.entries:
@@ -252,7 +277,10 @@ def run_targets(
             if contig.length < L and not contig.circular:
                 continue
             hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
-            rows = build_rows(contig, hits, seqs, q_f, q_r, pam, pam_direction)
+            rows = build_rows(
+                contig, hits, seqs, q_f, q_r, pam, pam_direction,
+                gene_window=gene_window, insert_site=insert_site,
+            )
             for r in rows:
                 seqs_with_hits.add(r["spacer"])
             all_rows.extend(rows)
@@ -270,8 +298,9 @@ def run_targets(
             for name in names:
                 expanded.append({"name": name, "spacer": seq, "len": len(seq)})
 
-    results = pd.DataFrame(expanded, columns=ROW_COLUMNS)
-    return postprocess(results, genome, pam, pam_direction, mismatches)
+    columns = ROW_COLUMNS if insert_site else ROW_COLUMNS[:-2]
+    results = pd.DataFrame(expanded, columns=columns)
+    return postprocess(results, genome, pam, pam_direction, mismatches, insert_site=insert_site)
 
 
 def postprocess(
@@ -280,6 +309,7 @@ def postprocess(
     pam: str,
     pam_direction: str,
     mismatches: int,
+    insert_site: bool = False,
 ) -> TargetsResult:
     """The reference's main() dataframe stage (targets.py:605-701) plus the
     summary-statistics inputs for its rich table (targets.py:716-861)."""
@@ -335,9 +365,17 @@ def postprocess(
         column_order.append("pam")
     if not (results["mismatches"] == 0).all():
         column_order.append("mismatches")
-    column_order.extend(
-        ["target", "tar_start", "tar_end", "offset", "overlap", "sp_dir", "tar_dir", "note"]
-    )
+    if insert_site:
+        # insertCharacteristics.py:811-823 places the insertion columns
+        # between overlap and the target direction
+        column_order.extend(
+            ["target", "tar_start", "tar_end", "offset", "overlap",
+             "insDirection", "insSite", "sp_dir", "tar_dir", "note"]
+        )
+    else:
+        column_order.extend(
+            ["target", "tar_start", "tar_end", "offset", "overlap", "sp_dir", "tar_dir", "note"]
+        )
 
     final_results = results.reindex(columns=column_order)
     for col in ["count", "mismatches", "offset", "overlap", "tar_start", "tar_end"]:
