@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--engine", choices=["auto", "vector", "reference"], default="auto",
         help="Counting engine (vectorized array path or per-read port).",
     )
+    p.add_argument(
+        "--checkpoint", default=None, metavar="PATH",
+        help="Crash-safe streaming: persist partial counts to PATH and "
+        "resume from it on rerun.",
+    )
     return p
 
 
@@ -134,7 +139,8 @@ def main(argv=None) -> int:
         log.info("Reading barcodes...")
         log.info("Sampling reads to identify diversity characteristics...")
         doc, undoc, total_reads, info = run_count(
-            args.fasta_file, args.file1, args.file2, log=log, engine=args.engine
+            args.fasta_file, args.file1, args.file2, log=log, engine=args.engine,
+            checkpoint_path=args.checkpoint,
         )
         sample = info["sample"]
         log.info(

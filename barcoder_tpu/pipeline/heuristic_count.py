@@ -411,6 +411,69 @@ def _pack_strings(seqs: list[str]) -> np.ndarray:
     return _pack_codes(_CODE_LUT[mat])
 
 
+class _CheckpointState:
+    """Per-batch partial-count persistence for the vector engine."""
+
+    def __init__(self, path: str, cfg: "CountConfig"):
+        import hashlib
+
+        self.path = path
+        sig = "|".join(
+            str(x)
+            for x in (
+                sorted(cfg.barcodes)[:50], len(cfg.barcodes), cfg.bc_len,
+                cfg.L_fwd, cfg.R_fwd, cfg.L_rev, cfg.R_rev,
+                cfg.L_fwd_start, cfg.L_rev_start, cfg.need_swap,
+            )
+        )
+        self.cfg_hash = hashlib.sha256(sig.encode()).hexdigest()[:16]
+
+    def restore(self, vc: "VectorCounter") -> int:
+        import json
+        import os
+
+        import numpy as _np
+
+        if not os.path.exists(self.path):
+            return 0
+        try:
+            with _np.load(self.path, allow_pickle=False) as z:
+                meta = json.loads(str(z["meta"]))
+                if meta["cfg_hash"] != self.cfg_hash:
+                    return 0
+                vc.doc_counts[:] = z["doc_counts"]
+                vc.total_reads = int(meta["total_reads"])
+                vc.undoc.update(
+                    {k: int(v) for k, v in zip(meta["undoc_keys"], meta["undoc_vals"])}
+                )
+                return int(meta["chunk_no"])
+        except Exception:
+            return 0
+
+    def save(self, vc: "VectorCounter", chunk_no: int) -> None:
+        import json
+        import os
+
+        import numpy as _np
+
+        meta = {
+            "cfg_hash": self.cfg_hash,
+            "chunk_no": chunk_no,
+            "total_reads": vc.total_reads,
+            "undoc_keys": list(vc.undoc.keys()),
+            "undoc_vals": [int(v) for v in vc.undoc.values()],
+        }
+        tmp = self.path + ".tmp"
+        _np.savez(tmp, doc_counts=vc.doc_counts, meta=json.dumps(meta))
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, self.path)
+
+    def finalize(self) -> None:
+        import os
+
+        if os.path.exists(self.path):
+            os.remove(self.path)
+
+
 class VectorCounter:
     """Chunk counter with the same observable semantics as
     count_chunk_reference, implemented as array ops.
@@ -542,9 +605,17 @@ def run_count(
     chunk_size: int = 2**16,
     log=None,
     engine: str = "auto",
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 16,
 ):
     """Full counting pipeline; returns (doc Counter, undoc Counter,
-    total_reads, info dict)."""
+    total_reads, info dict).
+
+    checkpoint_path enables crash-safe streaming (SURVEY.md §5: the
+    reference recomputes everything in deleted temp dirs; here partial
+    per-batch counts are persisted every ``checkpoint_every`` chunks and a
+    rerun resumes from the last checkpoint when the discovered counting
+    config matches)."""
     from ..seqio.fasta import read_barcode_fasta
 
     if isinstance(barcode_file_or_set, str):
@@ -597,14 +668,29 @@ def run_count(
         from ..seqio.fast_reader import iter_matrix_chunks
 
         vc = VectorCounter(cfg)
+        ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
+        skip_chunks = ckpt.restore(vc) if ckpt else 0
         f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
+        chunk_no = 0
         if f_a is None:
             # swapped single-end: the lone file is the reverse-orientation one
             for r1, _ in iter_matrix_chunks(f_b, None, chunk_size):
+                chunk_no += 1
+                if chunk_no <= skip_chunks:
+                    continue
                 vc.process_matrices(None, r1[0])
+                if ckpt and chunk_no % checkpoint_every == 0:
+                    ckpt.save(vc, chunk_no)
         else:
             for r1, r2 in iter_matrix_chunks(f_a, f_b, chunk_size):
+                chunk_no += 1
+                if chunk_no <= skip_chunks:
+                    continue
                 vc.process_matrices(r1[0], r2[0] if r2 else None)
+                if ckpt and chunk_no % checkpoint_every == 0:
+                    ckpt.save(vc, chunk_no)
+        if ckpt:
+            ckpt.finalize()
         doc, undoc = vc.results()
         total_reads = vc.total_reads
     else:

@@ -256,10 +256,15 @@ def run_targets(
     backend: str = "auto",
     gene_window: str = "body",
     insert_site: bool = False,
+    phases=None,
 ) -> TargetsResult:
     """gene_window: "body" (targets.py) or "upstream" promoter windows
     (targets_in_upstream.py); insert_site adds the CRISPRt insSite /
-    insDirection columns (insertCharacteristics.py)."""
+    insDirection columns (insertCharacteristics.py); phases: optional
+    utils.profiling.Phases collector."""
+    from ..utils.profiling import Phases
+
+    phases = phases if phases is not None else Phases()
     # unique sequences per length; names expand after annotation
     names_per_seq: dict[str, list[str]] = {}
     for name, seq in library.entries:
@@ -276,11 +281,15 @@ def run_targets(
         for contig in genome.contigs:
             if contig.length < L and not contig.circular:
                 continue
-            hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
-            rows = build_rows(
-                contig, hits, seqs, q_f, q_r, pam, pam_direction,
-                gene_window=gene_window, insert_site=insert_site,
-            )
+            with phases.phase("scan"):
+                hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
+            phases.count("spacer_positions", 2 * len(seqs) * contig.length)
+            phases.count("hits", len(hits))
+            with phases.phase("annotate"):
+                rows = build_rows(
+                    contig, hits, seqs, q_f, q_r, pam, pam_direction,
+                    gene_window=gene_window, insert_site=insert_site,
+                )
             for r in rows:
                 seqs_with_hits.add(r["spacer"])
             all_rows.extend(rows)
@@ -300,7 +309,12 @@ def run_targets(
 
     columns = ROW_COLUMNS if insert_site else ROW_COLUMNS[:-2]
     results = pd.DataFrame(expanded, columns=columns)
-    return postprocess(results, genome, pam, pam_direction, mismatches, insert_site=insert_site)
+    with phases.phase("postprocess"):
+        result = postprocess(
+            results, genome, pam, pam_direction, mismatches, insert_site=insert_site
+        )
+    result.stats["profile"] = phases.summary()
+    return result
 
 
 def postprocess(
