@@ -41,26 +41,36 @@ def pam_is_trivial(pam: str) -> bool:
     return not pam
 
 
-def _match_positions(codes: np.ndarray, at: np.ndarray, pat_codes: np.ndarray, n: int, circular: bool) -> np.ndarray:
-    """For each start index in ``at`` (on the forward axis, may be out of
-    [0, n) only via wrap), test whether codes[at+i] equals pat for all i.
-    Out-of-bounds (linear) → False."""
-    ok = np.ones(len(at), dtype=bool)
+_OOB = 5  # sentinel for out-of-bounds positions on linear contigs
+
+
+def _extended_codes(codes: np.ndarray, n: int, left: int, right: int, circular: bool) -> np.ndarray:
+    """codes with ``left``/``right`` halo bases: wrapped for circular,
+    out-of-bounds sentinel for linear."""
+    if circular:
+        lh = codes[n - (left % n) :] if left else codes[:0]
+        if left and len(lh) < left:  # tiny contigs
+            reps = -(-left // n)
+            lh = np.tile(codes, reps)[-left:]
+        rh = np.tile(codes, -(-right // n))[:right] if right else codes[:0]
+        return np.concatenate([lh, codes, rh])
+    pad_l = np.full(left, _OOB, dtype=codes.dtype)
+    pad_r = np.full(right, _OOB, dtype=codes.dtype)
+    return np.concatenate([pad_l, codes, pad_r])
+
+
+def _match_shifted(ext: np.ndarray, left: int, n: int, shift: int, pat_codes: np.ndarray) -> np.ndarray:
+    """ok[p] = pattern matches ext at genome position p + shift, computed as
+    pure shifted slices (no gathers/modulo — this runs over whole genomes)."""
+    ok = np.ones(n, dtype=bool)
     for i, pc in enumerate(pat_codes):
-        idx = at + i
-        if circular:
-            idx = idx % n
-            valid = np.ones(len(at), dtype=bool)
-        else:
-            valid = (idx >= 0) & (idx < n)
-            idx = np.clip(idx, 0, n - 1)
-        base = codes[idx]
+        base = ext[left + shift + i : left + shift + i + n]
         if pc == N_CODE:
-            here = valid  # wildcard: any base matches (incl. genomic N, as
-            # re '.' matches 'N' in the reference)
+            # wildcard matches any real base (re '.' matches 'N' in the
+            # reference) but never out-of-bounds
+            ok &= base != _OOB
         else:
-            here = valid & (base == pc)
-        ok &= here
+            ok &= base == pc
     return ok
 
 
@@ -81,20 +91,20 @@ def pam_site_masks(
     pat = encode(pam.upper())
     pat_rc = pat[::-1].copy()
     pat_rc_comp = complement_codes(pat_rc)
-    codes = contig.codes
-    circ = contig.circular
+    m = len(pat)
+    ext = _extended_codes(contig.codes, n, left=m, right=L + m, circular=contig.circular)
 
     if direction == "downstream":
         # F: genome[p+L : p+L+|pam|] matches pat
-        ok_f = _match_positions(codes, starts + L, pat, n, circ)
+        ok_f = _match_shifted(ext, m, n, L, pat)
         # R: revcomp(genome[p-|pam| : p]) matches pat
         #    ⇔ genome[p-|pam|+i] == comp(pat[|pam|-1-i])
-        ok_r = _match_positions(codes, starts - len(pat), pat_rc_comp, n, circ)
+        ok_r = _match_shifted(ext, m, n, -m, pat_rc_comp)
     elif direction == "upstream":
         # F: genome[p-|pam| : p] matches pat
-        ok_f = _match_positions(codes, starts - len(pat), pat, n, circ)
+        ok_f = _match_shifted(ext, m, n, -m, pat)
         # R: revcomp(genome[p+L : p+L+|pam|]) matches pat
-        ok_r = _match_positions(codes, starts + L, pat_rc_comp, n, circ)
+        ok_r = _match_shifted(ext, m, n, L, pat_rc_comp)
     else:
         raise ValueError(f"pam direction must be 'downstream' or 'upstream', got {direction!r}")
 

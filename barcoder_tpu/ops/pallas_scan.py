@@ -49,7 +49,9 @@ from .types import STRAND_F, STRAND_R, Hits
 enable_compilation_cache()
 
 BS = 128  # spacer block (MXU M dim)
-DEFAULT_P = 2048  # genome positions per tile (MXU N dim)
+DEFAULT_P = 16384  # genome positions per tile (MXU N dim); at K=128 the
+# phase-1 kernel hits ~80% of bf16 matmul speed-of-light at this width
+# (VMEM: G 4MB + scores 8MB)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -70,13 +72,15 @@ def onehot_rows(q_codes: np.ndarray, K: int) -> np.ndarray:
 MASK_BIAS = -16384.0  # added to masked-out positions; far below any score
 
 
-def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P):
-    """Phase-1 body: max masked score per (spacer-block, tile).
+def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P, SUB):
+    """Phase-1 body: max masked score per (spacer-block, subtile).
 
     The epilogue is deliberately minimal — one broadcast add (site/PAM mask
     as additive bias) and one max-reduce per element — because at K=128 the
     matmul spends only ~128 MACs per scored position and any per-element
-    VPU work is on the same order as the MXU time."""
+    VPU work is on the same order as the MXU time. P is large (MXU
+    efficiency and per-step overhead amortization) while the reduce keys on
+    SUB subtiles of P/SUB positions, so phase 2 re-scans narrow windows."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
@@ -94,23 +98,24 @@ def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P)
     scores = jnp.dot(
         q_ref[:], g_scratch[:], preferred_element_type=jnp.float32
     )  # (BS, P)
-    m = jnp.max(scores + bias_ref[0, 0:1, :])
+    biased = scores + bias_ref[0, 0:1, :]
+    m_sub = jnp.max(biased.reshape(BS, SUB, P // SUB), axis=(0, 2))  # (SUB,)
 
     @pl.when(s == 0)
     def _init_out():
         out_ref[:] = jnp.full_like(out_ref, MASK_BIAS)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 2)
-    out_ref[:] = jnp.where(lane == s, m, out_ref[:])
+    out_ref[:] = jnp.where(lane == s, m_sub[None, :, None], out_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "P", "interpret"))
-def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, interpret=False):
+def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=False):
     """Phase 1. q_onehot (S_pad, K) bf16; tiles (n_tiles, 1, P + K//4) int32
     codes (overlapped); bias_tiles (n_tiles, 1, P) f32 (0 where the site/PAM
     mask allows, MASK_BIAS where not).
-    Returns (n_tiles, 1, NSB_pad) f32: max masked score per (tile, block);
-    a block contains a hit iff its max >= L - v."""
+    Returns (n_tiles, SUB, NSB_pad) f32: max masked score per
+    (subtile of P/SUB positions, spacer block); a block contains a hit iff
+    its max >= L - v."""
     S_pad = q_onehot.shape[0]
     n_sblocks = S_pad // BS
     n_tiles = tiles.shape[0]
@@ -118,7 +123,7 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, interpret=False):
     tile_w = tiles.shape[2]
 
     grid = (n_tiles, n_sblocks)
-    kernel = functools.partial(_scan_max_kernel, L=L, K=K, P=P)
+    kernel = functools.partial(_scan_max_kernel, L=L, K=K, P=P, SUB=SUB)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -127,8 +132,8 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, interpret=False):
             pl.BlockSpec((1, 1, tile_w), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, nsb_pad), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, nsb_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, SUB, nsb_pad), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, SUB, nsb_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((K, P), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -142,27 +147,103 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, interpret=False):
     )(q_onehot, tiles, bias_tiles)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
-def _extract_chunk(q_oh_blocks, g_tiles, mask_chunk, *, L, K, P, thresh, cap):
-    """Phase 2 scoring for a batch of (spacer-block, tile) pairs, with
-    on-device hit compaction (only ``cap`` flat indices + mismatch counts
-    cross the device boundary — never the dense n×BS×P hit matrix).
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_starts", "halo", "L", "K", "P", "thresh", "cap", "shift", "pat", "circular",
+    ),
+)
+def extract_full(q_blocks_all, scan_dev, n_real, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, shift, pat, circular):
+    """One-dispatch phase 2: subtile arrays + PAM mask built on device,
+    scoring + compaction fused."""
+    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
+    ok = _pam_ok_device(
+        scan_dev, n_real, n_starts_b=n_starts, L=L, shift=shift, pat=pat,
+        circular=circular,
+    )
+    n_tiles = _cdiv(n_starts, P)
+    mask_tiles = ok.astype(jnp.int32).reshape(n_tiles, 1, P)
+    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap)
 
-    q_oh_blocks (n, BS, K) bf16; g_tiles (n, 1, P + K//4) int32;
-    mask_chunk (n, 1, P) int32 →
+
+@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
+def _extract_chunk(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap):
+    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap)
+
+
+def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap):
+    """Phase 2 scoring for a batch of (spacer-block, tile) pairs, with
+    on-device hit compaction — only ``cap`` flat indices + mismatch counts
+    cross the device boundary, never the dense n×BS×P hit matrix — and all
+    gathers fused into this one dispatch (each extra dispatch is a full
+    round trip on tunneled links).
+
+    q_blocks_all (n_sblocks, BS, K) bf16; tiles (n_tiles, 1, P + K//4);
+    mask_tiles (n_tiles, 1, P); sc_p/tc_p (B,) pair indices; valid (B,)
+    masks padding pairs →
     (flat_idx int32 (cap,) with -1 fill, mm_vals int32 (cap,),
      n_hits int32 scalar — if n_hits > cap the caller must retry bigger)."""
-    n = g_tiles.shape[0]
+    q_oh_blocks = q_blocks_all[sc_p]
+    g_tiles = tiles[tc_p]
+    mask_chunk = mask_tiles[tc_p]
     g_oh = _build_g_onehot(g_tiles[:, 0, :], L=L, K=K, P=P)
     scores = jnp.einsum(
         "nsk,nkp->nsp", q_oh_blocks, g_oh, preferred_element_type=jnp.float32
     )
     mm = (L - scores).astype(jnp.int32)
-    hit = (mm <= thresh) & (mask_chunk[:, 0, :][:, None, :] > 0)
+    hit = (
+        (mm <= thresh)
+        & (mask_chunk[:, 0, :][:, None, :] > 0)
+        & valid[:, None, None]
+    )
     flat = hit.reshape(-1)
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
     mm_vals = mm.reshape(-1)[jnp.clip(idx, 0, flat.shape[0] - 1)]
     return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
+
+
+def _pam_specs(pam: str, direction: str, L: int):
+    """Static (shift, pattern-codes) per strand, mirroring
+    core.pam.pam_site_masks window placement. Pattern codes: 0-3 bases,
+    4 = N wildcard, 6 = letter outside ACGTN (never matches)."""
+    def enc(ch: str) -> int:
+        return "ACGT".index(ch) if ch in "ACGT" else (4 if ch == "N" else 6)
+
+    if not pam:
+        return 0, (), 0, ()
+    p = pam.upper()
+    pat = tuple(enc(c) for c in p)
+    # reverse-complement-of-window match: window matches revcomp(pat)
+    # with complemented codes (wildcards stay wildcards)
+    comp = {0: 3, 1: 2, 2: 1, 3: 0, 4: 4, 6: 6}
+    pat_rc_comp = tuple(comp[c] for c in pat[::-1])
+    m = len(pat)
+    if direction == "downstream":
+        return L, pat, -m, pat_rc_comp
+    if direction == "upstream":
+        return -m, pat, L, pat_rc_comp
+    raise ValueError(f"pam direction must be 'downstream' or 'upstream', got {direction!r}")
+
+
+def _batch_buckets(n: int) -> int:
+    """Pad pair batches to a few fixed sizes so compiles are reused."""
+    for b in (32, 256, 1024):
+        if n <= b:
+            return b
+    return 1024
+
+
+def _geom_bucket(n: int, quantum: int) -> int:
+    """Round n up to quantum * {1, 1.5} * 2^k — geometric size buckets so
+    jit compiles (keyed on static shapes) are reused across genomes and
+    libraries at <= 50% padding waste."""
+    n = max(n, 1)
+    units = _cdiv(n, quantum)
+    k = max(units.bit_length() - 1, 0)
+    for cand in (1 << k, ((1 << k) * 3) // 2, 1 << (k + 1)):
+        if units <= cand:
+            return cand * quantum
+    return (1 << (k + 1)) * quantum
 
 
 def _build_g_onehot(g_flat, *, L, K, P):
@@ -285,26 +366,29 @@ def extract_hits_for_pairs(
     P: int,
     thresh: int,
     strand: int,
-    extract_batch: int = 32,
+    extract_batch: int = 1024,
 ) -> list[Hits]:
     """Phase-2 driver shared by the single-chip and sharded paths: score the
-    nonzero (tile, spacer-block) pairs in fixed-size batches with on-device
-    hit compaction, returning Hits fragments."""
+    nonzero (tile, spacer-block) pairs in bucketed batches (one fused
+    dispatch each) with on-device hit compaction, returning Hits
+    fragments."""
     out: list[Hits] = []
     for c0 in range(0, len(t_idx), extract_batch):
         tc = t_idx[c0 : c0 + extract_batch]
         sc = s_idx[c0 : c0 + extract_batch]
         nb = len(tc)
-        pad = extract_batch - nb
+        bucket = _batch_buckets(nb)
+        pad = bucket - nb
         tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)])
         sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)])
-        q_blocks = q_blocks_all[jnp.asarray(sc_p)]
-        g_chunk = tiles[jnp.asarray(tc_p)]
-        m_chunk = mask_tiles[jnp.asarray(tc_p)]
-        cap = 1 << 14
+        valid = np.zeros(bucket, dtype=bool)
+        valid[:nb] = True
+        cap = 1 << 16
         while True:
             idx, mm_vals, n_hits = _extract_chunk(
-                q_blocks, g_chunk, m_chunk, L=L, K=K, P=P, thresh=thresh, cap=cap,
+                q_blocks_all, tiles, mask_tiles,
+                jnp.asarray(tc_p * 0 + sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+                L=L, K=K, P=P, thresh=thresh, cap=cap,
             )
             n_hits = int(n_hits)
             if n_hits <= cap:
@@ -332,6 +416,96 @@ def extract_hits_for_pairs(
             )
         )
     return out
+
+
+def _pam_ok_device(scan_dev, n_real, *, n_starts_b, L, shift, pat, circular):
+    """Device-side PAM site mask: ok[p] = pattern matches at genome position
+    p + shift (wrapping for circular contigs). ``pat`` is a static tuple of
+    base codes (4 = N wildcard); n_real is the traced true contig length so
+    one compiled function serves every genome in a size bucket.
+
+    Semantics mirror core.pam.pam_site_masks: the wildcard matches genomic
+    N but never out-of-bounds; linear windows must fit ([p, p+L) within the
+    contig)."""
+    p = jnp.arange(n_starts_b, dtype=jnp.int32)
+    ok = p < n_real
+    if not circular:
+        ok &= p <= n_real - L
+    for i, pc in enumerate(pat):
+        if pc == 6:  # letter outside ACGTN: the literal can never match
+            return jnp.zeros_like(ok)
+        idx = p + (shift + i)
+        if circular:
+            idx = jnp.where(idx < 0, idx + n_real, idx)
+            idx = jnp.where(idx >= n_real, idx - n_real, idx)
+            base = scan_dev[idx]
+            here = (base == pc) if pc != 4 else jnp.ones_like(ok)
+        else:
+            oob = (idx < 0) | (idx >= n_real)
+            base = scan_dev[jnp.clip(idx, 0, scan_dev.shape[0] - 1)]
+            here = (~oob) & ((base == pc) if pc != 4 else True)
+        ok &= here
+    return ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_starts", "P", "halo", "L", "K", "SUB", "shift", "pat", "circular", "interpret",
+    ),
+)
+def phase1_full(scan_dev, n_real, q_onehot, *, n_starts, P, halo, L, K, SUB,
+                shift, pat, circular, interpret=False):
+    """One-dispatch phase 1: overlapped tiles, the PAM site mask, and the
+    bias are all built on device from the 1-D int8 scan array, then the
+    Pallas kernel runs — a single host round trip per strand (dispatch
+    latency dominates on tunneled dev links)."""
+    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
+    ok = _pam_ok_device(
+        scan_dev, n_real, n_starts_b=n_starts, L=L, shift=shift, pat=pat,
+        circular=circular,
+    )
+    n_tiles = _cdiv(n_starts, P)
+    bias = jnp.where(ok, 0.0, MASK_BIAS).astype(jnp.float32).reshape(n_tiles, 1, P)
+    return scan_block_max(q_onehot, tiles, bias, L=L, K=K, P=P, SUB=SUB, interpret=interpret)
+
+
+def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: int):
+    """Device-side overlapped tile construction from the 1-D int8 scan
+    array — only ~1 byte/base crosses the host↔device link instead of the
+    4-byte overlapped tile matrix (a 16x traffic saving that dominates
+    end-to-end latency on tunneled links)."""
+    n_tiles = _cdiv(n_starts, P)
+    total = n_tiles * P + halo
+    padded = jnp.full(total, 4, dtype=jnp.int32)
+    usable = min(scan_dev.shape[0], total)
+    padded = padded.at[:usable].set(scan_dev[:usable].astype(jnp.int32))
+    idx = (
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * P
+        + jnp.arange(P + halo, dtype=jnp.int32)[None, :]
+    )
+    return padded[idx][:, None, :]
+
+
+_tiles_on_device = jax.jit(
+    _tiles_device_impl, static_argnames=("n_starts", "P", "halo")
+)
+
+
+def _mask_bias_device_impl(mask_dev: jnp.ndarray, *, n_starts: int, P: int):
+    """(mask_tiles int32 (n_tiles,1,P), bias_tiles f32 (n_tiles,1,P)) from a
+    1-D int8 site mask."""
+    n_tiles = _cdiv(n_starts, P)
+    padded = jnp.zeros(n_tiles * P, dtype=jnp.int32)
+    padded = padded.at[:n_starts].set(mask_dev[:n_starts].astype(jnp.int32))
+    tiles = padded.reshape(n_tiles, 1, P)
+    bias = jnp.where(tiles > 0, 0.0, MASK_BIAS).astype(jnp.float32)
+    return tiles, bias
+
+
+_mask_bias_on_device = jax.jit(
+    _mask_bias_device_impl, static_argnames=("n_starts", "P")
+)
 
 
 def _prep_tiles(scan_codes: np.ndarray, n_starts: int, P: int, halo: int) -> np.ndarray:
@@ -367,8 +541,13 @@ def pallas_scan(
     P: int = DEFAULT_P,
     interpret: bool = False,
     extract_batch: int = 32,
+    sub_width: int = 512,
 ) -> Hits:
-    """Same contract as oracle_scan/jax_scan, on the TPU MXU."""
+    """Same contract as oracle_scan/jax_scan, on the TPU MXU.
+
+    Phase 1 runs at tile width P (MXU-efficient); its output keys on
+    subtiles of ``sub_width`` positions so phase-2 re-scoring (memory-bound
+    one-hot builds) only touches narrow windows around actual hits."""
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     K = max(_cdiv(4 * L, 128) * 128, 128)
@@ -379,44 +558,108 @@ def pallas_scan(
     n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
     if n_starts <= 0 or S == 0:
         return Hits()
-    mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
 
-    S_pad = max(_cdiv(S, BS) * BS, BS)
-    tiles = jnp.asarray(_prep_tiles(scan.astype(np.int32), n_starts, P, halo))
-    mask_f_i = mask_f.astype(np.int32)
-    mask_r_i = mask_r.astype(np.int32)
+    sub_width = min(sub_width, P)
+    SUB = max(P // sub_width, 1)
+    P2 = P // SUB  # phase-2 tile width (= subtile width)
+    S_pad = _geom_bucket(S, BS)
+    # bucket the genome axis so the fused jits recompile only per size
+    # bucket, not per genome
+    n_starts_b = _geom_bucket(n_starts, P)
+    scan_padded = np.full(n_starts_b + halo, 4, dtype=np.int8)
+    usable = min(len(scan), len(scan_padded))
+    scan_padded[:usable] = scan[:usable]
+    scan_dev = jnp.asarray(scan_padded)
+    n_real = jnp.int32(contig.length)
+    n_tiles2 = _cdiv(n_starts_b, P2)
+
+    # static per-strand PAM specs (shift, pattern codes); code 4 = N
+    # wildcard, code 6 = letter outside ACGTN (never matches — the
+    # reference's literal regex treatment of unexpected letters)
+    shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, pam_direction, L)
+    circular = bool(contig.circular)
+
+    q_oh_f = np.zeros((S_pad, K), dtype=np.float32)
+    q_oh_f[:S] = onehot_rows(q_f, K)
+    q_oh_r = np.zeros((S_pad, K), dtype=np.float32)
+    q_oh_r[:S] = onehot_rows(q_r, K)
+    q_dev = {
+        STRAND_F: jnp.asarray(q_oh_f, dtype=jnp.bfloat16),
+        STRAND_R: jnp.asarray(q_oh_r, dtype=jnp.bfloat16),
+    }
+    specs = {STRAND_F: (shift_f, pat_f), STRAND_R: (shift_r, pat_r)}
+
+    # dispatch phase 1 for both strands before fetching either (overlaps
+    # device work with the tunnel round trip)
+    futures = {}
+    for strand in (STRAND_F, STRAND_R):
+        shift, pat = specs[strand]
+        futures[strand] = phase1_full(
+            scan_dev, n_real, q_dev[strand],
+            n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
+            shift=shift, pat=pat, circular=circular, interpret=interpret,
+        )
 
     out = []
-    for strand, q_codes, mask in ((STRAND_F, q_f, mask_f_i), (STRAND_R, q_r, mask_r_i)):
-        q_oh = np.zeros((S_pad, K), dtype=np.float32)
-        q_oh[:S] = onehot_rows(q_codes, K)
-        q_oh_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
-        mask_tiles = jnp.asarray(_prep_mask(mask, n_starts, P))
-        bias_tiles = jnp.asarray(_prep_bias(mask, n_starts, P))
-        block_max = np.asarray(
-            scan_block_max(
-                q_oh_dev, tiles, bias_tiles, L=L, K=K, P=P, interpret=interpret,
-            )
-        )[:, 0, :]
+    for strand in (STRAND_F, STRAND_R):
+        shift, pat = specs[strand]
+        block_max = np.asarray(futures[strand])  # (n_tiles, SUB, nsb_pad)
         n_sblocks = S_pad // BS
-        t_idx, s_idx = np.nonzero(block_max[:, :n_sblocks] >= L - max_mismatches - 0.5)
-        if len(t_idx) == 0:
+        t_big, sub_idx, s_idx = np.nonzero(
+            block_max[:, :, :n_sblocks] >= L - max_mismatches - 0.5
+        )
+        if len(t_big) == 0:
             continue
+        t_idx = t_big * SUB + sub_idx  # subtile index on the P2 grid
+        in_range = t_idx < n_tiles2
+        t_idx, s_idx = t_idx[in_range], s_idx[in_range]
 
-        # phase 2: exact positions for the nonzero (tile, sblock) pairs,
-        # compacted on device (fixed capacity + overflow retry). Sparse
-        # pair sets use per-pair batches; dense sets (design workload)
-        # group pairs by tile so G is shared.
-        n_pair_tiles = len(np.unique(t_idx))
-        extractor = (
-            extract_hits_grouped
-            if len(t_idx) >= 4 * n_pair_tiles
-            else extract_hits_for_pairs
-        )
-        out.extend(
-            extractor(
-                t_idx, s_idx, tiles, mask_tiles, q_oh_dev.reshape(-1, BS, K),
-                S=S, L=L, K=K, P=P, thresh=int(max_mismatches), strand=strand,
+        # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
+        # compacted on device (fixed capacity + overflow retry) — one fused
+        # dispatch per bucketed pair batch.
+        q_blocks_all = q_dev[strand].reshape(-1, BS, K)
+        for c0 in range(0, len(t_idx), 1024):
+            tc = t_idx[c0 : c0 + 1024]
+            sc = s_idx[c0 : c0 + 1024]
+            nb = len(tc)
+            bucket = _batch_buckets(nb)
+            pad = bucket - nb
+            tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
+            sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
+            valid = np.zeros(bucket, dtype=bool)
+            valid[:nb] = True
+            cap = 1 << 16
+            while True:
+                idx, mm_vals, n_hits = extract_full(
+                    q_blocks_all, scan_dev, n_real,
+                    jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+                    n_starts=n_starts_b, halo=halo, L=L, K=K, P=P2,
+                    thresh=int(max_mismatches), cap=cap,
+                    shift=shift, pat=pat, circular=circular,
+                )
+                n_hits = int(n_hits)
+                if n_hits <= cap:
+                    break
+                cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+            idx = np.asarray(idx)[:n_hits]
+            mm_vals = np.asarray(mm_vals)[:n_hits]
+            if n_hits == 0:
+                continue
+            bi = idx // (BS * P2)
+            rem = idx % (BS * P2)
+            si = rem // P2
+            pi = rem % P2
+            keep = bi < nb
+            bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
+            spacer_idx = sc[bi] * BS + si
+            pos = tc[bi] * P2 + pi
+            keep2 = spacer_idx < S
+            out.append(
+                Hits(
+                    spacer_idx=spacer_idx[keep2].astype(np.int64),
+                    pos=pos[keep2].astype(np.int64),
+                    strand=np.full(int(keep2.sum()), strand, np.int8),
+                    mismatches=mm_vals[keep2].astype(np.int32),
+                )
             )
-        )
     return Hits.concat(out).sorted()

@@ -30,6 +30,27 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _strip_device_assignment_from_cache_key()
         _enabled = True
     except Exception:  # pragma: no cover - cache is best-effort
         pass
+
+
+def _strip_device_assignment_from_cache_key() -> None:
+    """Upstream JAX strips the device assignment from the persistent cache
+    key only on GPU; the axon TPU tunnel embeds session-specific device info
+    in the compile options, so every process computed a fresh key and paid a
+    full Mosaic recompile (~minutes). Stripping it on every backend makes
+    keys stable across processes. Safe on single-controller setups where
+    the assignment carries no partitioning information."""
+    from jax._src import cache_key as _ck
+
+    orig = _ck._hash_serialized_compile_options
+    if getattr(orig, "_barcoder_tpu_patched", False):
+        return
+
+    def patched(hash_obj, compile_options_obj, strip_device_assignment=False):
+        return orig(hash_obj, compile_options_obj, strip_device_assignment=True)
+
+    patched._barcoder_tpu_patched = True
+    _ck._hash_serialized_compile_options = patched

@@ -27,7 +27,7 @@ N_SPACERS = 9_984
 L = 20
 PAM = "NGG"
 V = 3
-P = 4096
+P = 16384
 SOL_PAIRS_PER_S = 7.7e11  # 197e12 bf16 FLOP/s / (2*128 FLOP per pair)
 
 
@@ -53,6 +53,32 @@ def build_config():
     return contig, spacers
 
 
+def bench_counting() -> dict:
+    """Secondary metric (BASELINE config 4): barcodes matched/s on a
+    1M-read simulated FASTQ against a 10k-barcode library (host engine)."""
+    import tempfile
+
+    from barcoder_tpu.core.encode import decode
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    rng = np.random.default_rng(1)
+    barcodes = sorted(
+        {decode(rng.integers(0, 4, 20).astype(np.int8)) for _ in range(10_000)}
+    )
+    pre, l_fl, r_fl, tail = "ACGTG", "GGTAGCT", "CTTAAGC", "TCCATGGA"
+    idx = rng.integers(0, len(barcodes), size=1_000_000)
+    with tempfile.NamedTemporaryFile("w", suffix=".fastq", delete=False) as fh:
+        for i in idx:
+            r = pre + l_fl + barcodes[i] + r_fl + tail
+            fh.write(f"@r\n{r}\n+\n{'I' * len(r)}\n")
+        path = fh.name
+    t0 = time.time()
+    doc, undoc, total, _ = run_count(set(barcodes), path, engine="vector")
+    dt = time.time() - t0
+    exact = sum(doc.values()) == len(idx)
+    return {"reads": total, "count_s": dt, "reads_per_s": total / dt, "counts_exact": exact}
+
+
 def main() -> int:
     import jax
 
@@ -68,6 +94,8 @@ def main() -> int:
     t0 = time.time()
     hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
     total_s = time.time() - t0
+
+    counting = bench_counting()
 
     pairs = len(spacers) * contig.length * 2  # both strands
     rate = pairs / total_s
@@ -86,6 +114,7 @@ def main() -> int:
             "hits": len(hits),
             "end_to_end_s": total_s,
             "first_call_s": warm_s,
+            "counting": counting,
         },
     }
     print(json.dumps(result))

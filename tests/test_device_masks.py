@@ -1,0 +1,73 @@
+"""Device-side PAM mask (_pam_ok_device) must agree with the host
+reference implementation (core.pam.pam_site_masks) for every direction,
+strand, topology, and PAM pattern."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from barcoder_tpu.core.genome import contig_from_record
+from barcoder_tpu.core.pam import pam_site_masks
+from barcoder_tpu.ops.pallas_scan import _geom_bucket, _pam_ok_device, _pam_specs
+from barcoder_tpu.ops.prep import build_scan_array
+from barcoder_tpu.ops.types import STRAND_F, STRAND_R
+
+from .genomes import make_record
+
+
+@pytest.mark.parametrize("topology", ["circular", "linear"])
+@pytest.mark.parametrize("pam,direction", [
+    ("NGG", "downstream"),
+    ("TTTN", "upstream"),
+    ("NGNC", "downstream"),
+    ("", "downstream"),
+    ("N", "downstream"),
+    ("CC", "upstream"),
+])
+def test_device_mask_matches_host(topology, pam, direction):
+    L = 20
+    rec = make_record(n=3000, topology=topology, seed=hash((topology, pam)) % 1000)
+    if topology == "circular":
+        # add some genomic Ns to exercise wildcard-vs-N semantics
+        rec.seq = rec.seq[:500] + "N" + rec.seq[501:]
+    contig = contig_from_record(rec)
+    n = contig.length
+    host_f, host_r = pam_site_masks(contig, L, pam, direction)
+
+    scan = build_scan_array(contig, L)
+    halo = 32
+    n_b = _geom_bucket(n, 256)
+    scan_padded = np.full(n_b + halo, 4, dtype=np.int8)
+    usable = min(len(scan), len(scan_padded))
+    scan_padded[:usable] = scan[:usable]
+    scan_dev = jnp.asarray(scan_padded)
+
+    shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, direction, L)
+    dev_f = np.asarray(
+        _pam_ok_device(scan_dev, jnp.int32(n), n_starts_b=n_b, L=L,
+                       shift=shift_f, pat=pat_f, circular=contig.circular)
+    )
+    dev_r = np.asarray(
+        _pam_ok_device(scan_dev, jnp.int32(n), n_starts_b=n_b, L=L,
+                       shift=shift_r, pat=pat_r, circular=contig.circular)
+    )
+    assert np.array_equal(dev_f[:n], host_f), "forward mask mismatch"
+    assert np.array_equal(dev_r[:n], host_r), "reverse mask mismatch"
+    assert not dev_f[n:].any() and not dev_r[n:].any(), "padding must be masked"
+
+
+def test_invalid_pam_letter_never_matches():
+    rec = make_record(n=1000, seed=9)
+    contig = contig_from_record(rec)
+    scan = build_scan_array(contig, 20)
+    n_b = _geom_bucket(contig.length, 256)
+    scan_padded = np.full(n_b + 32, 4, dtype=np.int8)
+    scan_padded[: len(scan)] = scan
+    shift_f, pat_f, _, _ = _pam_specs("RGG", "downstream", 20)
+    dev_f = np.asarray(
+        _pam_ok_device(jnp.asarray(scan_padded), jnp.int32(contig.length),
+                       n_starts_b=n_b, L=20, shift=shift_f, pat=pat_f,
+                       circular=True)
+    )
+    assert not dev_f.any()
