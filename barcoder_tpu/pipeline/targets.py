@@ -110,10 +110,11 @@ def build_rows(
     pam_direction: str,
     gene_window: str = "body",
     insert_site: bool = False,
-) -> list[dict]:
-    """Expand device hits into reference-schema row dicts (one per
+) -> pd.DataFrame:
+    """Expand device hits into a reference-schema row frame (one row per
     overlapping gene, or one with null annotation), mirroring
-    parse_sam_output (targets.py:354-462).
+    parse_sam_output (targets.py:354-462) — fully vectorized so the design
+    workload's ~10^6 hit rows assemble in numpy, not a Python loop.
 
     gene_window="upstream" joins hits against promoter windows instead of
     gene bodies (targets_in_upstream.py); insert_site=True adds the CRISPRt
@@ -122,7 +123,7 @@ def build_rows(
     (insertCharacteristics.py:482-486)."""
     H = len(hits)
     if H == 0:
-        return []
+        return pd.DataFrame()
     L = q_f.shape[1]
     n = contig.length
     tar_start = hits.pos % n
@@ -130,76 +131,115 @@ def build_rows(
     wrap = tar_end < tar_start
     tar_start = np.where(wrap, tar_start - n, tar_start)
 
-    targets = _target_strings(contig, hits, q_f, q_r)
-    pams = _pam_strings(contig, hits, L, pam, pam_direction)
+    targets = np.array(_target_strings(contig, hits, q_f, q_r), dtype=object)
+    pams = np.array(_pam_strings(contig, hits, L, pam, pam_direction), dtype=object)
     sp_dirs = np.where(hits.strand == STRAND_R, "R", "F")
-    if insert_site:
-        ins_sites = np.where(
-            hits.strand == STRAND_R, (tar_start - 49) % n, (tar_end + 49) % n
-        )
+    seq_arr = np.array(seqs, dtype=object)
+    spacers = seq_arr[hits.spacer_idx]
+    mm = hits.mismatches.astype(np.int64)
+
+    coords = np.empty(H, dtype=object)
+    plain = ~wrap
+    ts_p = tar_start[plain]
+    te_p = tar_end[plain]
+    coords[plain] = [f"{a}..{b}" for a, b in zip(ts_p.tolist(), te_p.tolist())]
+    if wrap.any():
+        coords[wrap] = [
+            get_coords(int(a), int(b), n)
+            for a, b in zip(tar_start[wrap], tar_end[wrap])
+        ]
+
+    diffs = np.full(H, None, dtype=object)
+    mm_rows = np.nonzero(mm > 0)[0]
+    for i in mm_rows.tolist():
+        diffs[i] = get_diff(spacers[i], targets[i])
 
     index = (
         contig.upstream_locus_index() if gene_window == "upstream" else contig.locus_index()
     )
     hit_idx, entry_idx = index.join(tar_start, tar_end)
-    genes_per_hit: dict[int, set] = {}
-    for h, e in zip(hit_idx.tolist(), entry_idx.tolist()):
-        ent = contig.locus_entries[e]
-        genes_per_hit.setdefault(h, set()).add(
-            (ent.locus_tag, ent.gene, ent.start, ent.end, ent.strand)
+    # set semantics per hit: drop duplicate (tag, gene, coords, strand)
+    # tuples like the reference's aligned_genes set (targets.py:412-416)
+    if len(hit_idx):
+        ent_sig = np.array(
+            [
+                (e.locus_tag, e.gene, e.start, e.end, e.strand)
+                for e in (contig.locus_entries if gene_window == "body" else index.entries)
+            ],
+            dtype=object,
         )
+        sig_keys = np.array(
+            ["\x00".join(map(str, s)) for s in ent_sig], dtype=object
+        )
+        pair_key = np.char.add(
+            np.char.add(hit_idx.astype(str), "|"), sig_keys[entry_idx].astype(str)
+        )
+        _, uniq = np.unique(pair_key, return_index=True)
+        uniq.sort()
+        hit_idx, entry_idx = hit_idx[uniq], entry_idx[uniq]
 
-    rows = []
-    for i in range(H):
-        spacer = seqs[int(hits.spacer_idx[i])]
-        target = targets[i]
-        mm = int(hits.mismatches[i])
-        ts, te = int(tar_start[i]), int(tar_end[i])
-        base = {
-            "spacer": spacer,
-            "len": len(spacer),
-            "target": target,
-            "mismatches": mm,
-            "chr": contig.id,
-            "tar_start": ts,
-            "tar_end": te,
-            "sp_dir": str(sp_dirs[i]),
-            "pam": pams[i],
-            "coords": get_coords(ts, te, n),
-            "type": "mismatch" if mm > 0 else "perfect",
-            "diff": get_diff(spacer, target) if mm > 0 else None,
-        }
-        if insert_site:
-            base["insSite"] = int(ins_sites[i])
-            base["insDirection"] = str(sp_dirs[i])
-        aligned = genes_per_hit.get(i)
-        if not aligned:
-            row = dict(base)
-            row.update({"locus_tag": None, "offset": None, "overlap": None, "tar_dir": None})
-            rows.append(row)
-        else:
-            for locus_tag, gene_name, fstart, fend, fstrand in aligned:
-                tar_dir = "F" if fstrand == 1 else "R" if fstrand == -1 else None
-                if tar_dir == "F":
-                    offset = ts - fstart
-                elif tar_dir == "R":
-                    offset = fend - te
-                else:
-                    offset = None
-                ov_s, ov_e = max(ts, fstart), min(te, fend)
-                overlap = ov_e - ov_s if ov_s < ov_e else 0
-                row = dict(base)
-                row.update(
-                    {
-                        "locus_tag": locus_tag,
-                        "gene": gene_name if gene_name else locus_tag,
-                        "offset": offset,
-                        "overlap": overlap,
-                        "tar_dir": tar_dir,
-                    }
-                )
-                rows.append(row)
-    return rows
+    base_cols = {
+        "spacer": spacers,
+        "len": np.full(H, L, dtype=np.int64),
+        "target": targets,
+        "mismatches": mm,
+        "chr": np.full(H, contig.id, dtype=object),
+        "tar_start": tar_start,
+        "tar_end": tar_end,
+        "sp_dir": sp_dirs.astype(object),
+        "pam": pams,
+        "coords": coords,
+        "type": np.where(mm > 0, "mismatch", "perfect").astype(object),
+        "diff": diffs,
+    }
+    if insert_site:
+        base_cols["insSite"] = np.where(
+            hits.strand == STRAND_R, (tar_start - 49) % n, (tar_end + 49) % n
+        )
+        base_cols["insDirection"] = sp_dirs.astype(object)
+
+    entries = contig.locus_entries if gene_window == "body" else index.entries
+    annotated_mask = np.zeros(H, dtype=bool)
+    annotated_mask[hit_idx] = True
+    un_idx = np.nonzero(~annotated_mask)[0]
+
+    frames = []
+    if len(un_idx):
+        d = {k: v[un_idx] for k, v in base_cols.items()}
+        d["locus_tag"] = np.full(len(un_idx), None, dtype=object)
+        d["gene"] = np.full(len(un_idx), None, dtype=object)
+        d["offset"] = np.full(len(un_idx), np.nan)
+        d["overlap"] = np.full(len(un_idx), np.nan)
+        d["tar_dir"] = np.full(len(un_idx), None, dtype=object)
+        frames.append(pd.DataFrame(d))
+    if len(hit_idx):
+        e_tag = np.array([e.locus_tag for e in entries], dtype=object)
+        e_gene = np.array(
+            [e.gene if e.gene else e.locus_tag for e in entries], dtype=object
+        )
+        e_start = np.array([e.start for e in entries], dtype=np.int64)
+        e_end = np.array([e.end for e in entries], dtype=np.int64)
+        e_strand = np.array(
+            [e.strand if e.strand is not None else 0 for e in entries], dtype=np.int64
+        )
+        fs = e_start[entry_idx]
+        fe = e_end[entry_idx]
+        fstrand = e_strand[entry_idx]
+        ts = tar_start[hit_idx]
+        te = tar_end[hit_idx]
+        tar_dir = np.where(fstrand == 1, "F", np.where(fstrand == -1, "R", None)).astype(object)
+        offset = np.where(fstrand == 1, ts - fs, np.where(fstrand == -1, fe - te, 0)).astype(float)
+        offset[fstrand == 0] = np.nan
+        ov = np.minimum(te, fe) - np.maximum(ts, fs)
+        overlap = np.maximum(ov, 0).astype(float)
+        d = {k: v[hit_idx] for k, v in base_cols.items()}
+        d["locus_tag"] = e_tag[entry_idx]
+        d["gene"] = e_gene[entry_idx]
+        d["offset"] = offset
+        d["overlap"] = overlap
+        d["tar_dir"] = tar_dir
+        frames.append(pd.DataFrame(d))
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
 
 def filter_offtargets_by_pam(df: pd.DataFrame) -> pd.DataFrame:
@@ -273,7 +313,7 @@ def run_targets(
     for seq in names_per_seq:
         by_len.setdefault(len(seq), []).append(seq)
 
-    all_rows: list[dict] = []
+    frames: list[pd.DataFrame] = []
     seqs_with_hits: set[str] = set()
     for L, seqs in sorted(by_len.items()):
         q_f = spacer_matrix(seqs)
@@ -286,29 +326,33 @@ def run_targets(
             phases.count("spacer_positions", 2 * len(seqs) * contig.length)
             phases.count("hits", len(hits))
             with phases.phase("annotate"):
-                rows = build_rows(
+                frame = build_rows(
                     contig, hits, seqs, q_f, q_r, pam, pam_direction,
                     gene_window=gene_window, insert_site=insert_site,
                 )
-            for r in rows:
-                seqs_with_hits.add(r["spacer"])
-            all_rows.extend(rows)
+            if len(frame):
+                seqs_with_hits.update(frame["spacer"].unique())
+                frames.append(frame)
 
-    # expand per-name rows (reference gets one SAM stream per read name);
-    # spacers with no surviving hits contribute unmapped rows
-    expanded: list[dict] = []
-    for row in all_rows:
-        for name in names_per_seq[row["spacer"]]:
-            r = dict(row)
-            r["name"] = name
-            expanded.append(r)
-    for seq, names in names_per_seq.items():
-        if seq not in seqs_with_hits:
-            for name in names:
-                expanded.append({"name": name, "spacer": seq, "len": len(seq)})
-
+    # unmapped rows for spacers with no surviving hits, then expand per-name
+    # (reference gets one SAM stream per read name)
+    unmapped = [
+        {"spacer": seq, "len": len(seq)}
+        for seq in names_per_seq
+        if seq not in seqs_with_hits
+    ]
+    if unmapped:
+        frames.append(pd.DataFrame(unmapped))
     columns = ROW_COLUMNS if insert_site else ROW_COLUMNS[:-2]
-    results = pd.DataFrame(expanded, columns=columns)
+    body = (
+        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    )
+    names_df = pd.DataFrame(
+        [(name, seq) for seq, names in names_per_seq.items() for name in names],
+        columns=["name", "spacer"],
+    )
+    results = body.merge(names_df, on="spacer", how="left")
+    results = results.reindex(columns=columns)
     with phases.phase("postprocess"):
         result = postprocess(
             results, genome, pam, pam_direction, mismatches, insert_site=insert_site
