@@ -53,6 +53,49 @@ def build_config():
     return contig, spacers
 
 
+def bench_kernel_phase(contig, spacers) -> dict:
+    """Phase-1 kernel rate with dispatch pipelining (amortizes the dev
+    tunnel's per-dispatch latency the way a multi-batch production run
+    does)."""
+    import jax.numpy as jnp
+
+    from barcoder_tpu.ops import pallas_scan as ps
+
+    L = len(spacers[0])
+    K = 128
+    halo = K // 4
+    from barcoder_tpu.ops.prep import build_scan_array, spacer_matrix
+
+    q_f = spacer_matrix(spacers)
+    scan = build_scan_array(contig, L)
+    S_pad = ps._geom_bucket(len(spacers), ps.BS)
+    n_b = ps._geom_bucket(contig.length, P)
+    scan_padded = np.full(n_b + halo, 4, dtype=np.int8)
+    scan_padded[: len(scan)] = scan
+    scan_dev = jnp.asarray(scan_padded)
+    q_oh = np.zeros((S_pad, K), np.float32)
+    q_oh[: len(spacers)] = ps.onehot_rows(q_f, K)
+    q_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
+    shift_f, pat_f, _, _ = ps._pam_specs(PAM, "downstream", L)
+    SUB = P // 512
+    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
+                shift=shift_f, pat=pat_f, circular=True)
+    n_real = jnp.int32(contig.length)
+    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, **args))  # warm
+    REP = 8
+    t0 = time.time()
+    futs = [ps.phase1_full(scan_dev, n_real, q_dev, **args) for _ in range(REP)]
+    for f in futs:
+        np.asarray(f)
+    dt = (time.time() - t0) / REP
+    rate = len(spacers) * contig.length / dt
+    return {
+        "phase1_s_per_strand_call": dt,
+        "phase1_pairs_per_s": rate,
+        "phase1_vs_bf16_sol": rate / SOL_PAIRS_PER_S,
+    }
+
+
 def bench_counting() -> dict:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine)."""
@@ -95,6 +138,7 @@ def main() -> int:
     hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
     total_s = time.time() - t0
 
+    kernel = bench_kernel_phase(contig, spacers)
     counting = bench_counting()
 
     pairs = len(spacers) * contig.length * 2  # both strands
@@ -114,6 +158,7 @@ def main() -> int:
             "hits": len(hits),
             "end_to_end_s": total_s,
             "first_call_s": warm_s,
+            "kernel": kernel,
             "counting": counting,
         },
     }
