@@ -149,17 +149,15 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=Fal
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "n_starts", "halo", "L", "K", "P", "thresh", "cap", "shift", "pat", "circular",
-    ),
+    static_argnames=("n_starts", "halo", "L", "K", "P", "thresh", "cap", "circular"),
 )
-def extract_full(q_blocks_all, scan_dev, n_real, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, shift, pat, circular):
+def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, circular):
     """One-dispatch phase 2: subtile arrays + PAM mask built on device,
-    scoring + compaction fused."""
+    scoring + compaction fused; shift/pat traced (shared executable across
+    strands and PAMs)."""
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
-        scan_dev, n_real, n_starts_b=n_starts, L=L, shift=shift, pat=pat,
-        circular=circular,
+        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
     )
     n_tiles = _cdiv(n_starts, P)
     mask_tiles = ok.astype(jnp.int32).reshape(n_tiles, 1, P)
@@ -418,52 +416,62 @@ def extract_hits_for_pairs(
     return out
 
 
-def _pam_ok_device(scan_dev, n_real, *, n_starts_b, L, shift, pat, circular):
-    """Device-side PAM site mask: ok[p] = pattern matches at genome position
-    p + shift (wrapping for circular contigs). ``pat`` is a static tuple of
-    base codes (4 = N wildcard); n_real is the traced true contig length so
-    one compiled function serves every genome in a size bucket.
+MAX_PAM = 12  # pattern slots in the traced PAM spec (reference PAMs are 2-4 nt)
 
-    Semantics mirror core.pam.pam_site_masks: the wildcard matches genomic
-    N but never out-of-bounds; linear windows must fit ([p, p+L) within the
-    contig)."""
+
+def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
+    """Device-side PAM site mask: ok[p] = pattern matches at genome position
+    p + shift (wrapping for circular contigs).
+
+    ``shift`` (int32 scalar) and ``pat`` (int8[MAX_PAM]) are TRACED so one
+    compiled executable serves every strand, direction, and PAM pattern —
+    executable load over the dev tunnel costs ~minutes each, so collapsing
+    variants matters more than the negligible per-slot compute. Pattern
+    codes: 0-3 base, 4 = N wildcard (matches genomic N, like the
+    reference's '.' regex), 6 = letter outside ACGTN (never matches),
+    7 = unused slot. n_real is the traced true contig length so one
+    executable also serves every genome in a size bucket.
+
+    Linear windows must fit ([p, p+L) within the contig)."""
     p = jnp.arange(n_starts_b, dtype=jnp.int32)
     ok = p < n_real
     if not circular:
         ok &= p <= n_real - L
-    for i, pc in enumerate(pat):
-        if pc == 6:  # letter outside ACGTN: the literal can never match
-            return jnp.zeros_like(ok)
+    for i in range(MAX_PAM):
+        pc = pat[i].astype(jnp.int32)
         idx = p + (shift + i)
         if circular:
             idx = jnp.where(idx < 0, idx + n_real, idx)
             idx = jnp.where(idx >= n_real, idx - n_real, idx)
-            base = scan_dev[idx]
-            here = (base == pc) if pc != 4 else jnp.ones_like(ok)
+            base = scan_dev[idx].astype(jnp.int32)
+            in_bounds = jnp.ones_like(ok)
         else:
             oob = (idx < 0) | (idx >= n_real)
-            base = scan_dev[jnp.clip(idx, 0, scan_dev.shape[0] - 1)]
-            here = (~oob) & ((base == pc) if pc != 4 else True)
+            base = scan_dev[jnp.clip(idx, 0, scan_dev.shape[0] - 1)].astype(jnp.int32)
+            in_bounds = ~oob
+        here = jnp.where(
+            pc == 7,
+            True,  # unused slot
+            jnp.where(pc == 4, in_bounds, in_bounds & (base == pc)),
+        )
         ok &= here
     return ok
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "n_starts", "P", "halo", "L", "K", "SUB", "shift", "pat", "circular", "interpret",
-    ),
+    static_argnames=("n_starts", "P", "halo", "L", "K", "SUB", "circular", "interpret"),
 )
-def phase1_full(scan_dev, n_real, q_onehot, *, n_starts, P, halo, L, K, SUB,
-                shift, pat, circular, interpret=False):
+def phase1_full(scan_dev, n_real, q_onehot, shift, pat, *, n_starts, P, halo, L, K, SUB,
+                circular, interpret=False):
     """One-dispatch phase 1: overlapped tiles, the PAM site mask, and the
     bias are all built on device from the 1-D int8 scan array, then the
     Pallas kernel runs — a single host round trip per strand (dispatch
-    latency dominates on tunneled dev links)."""
+    latency dominates on tunneled dev links). shift/pat are traced (see
+    _pam_ok_device) so both strands and every PAM share one executable."""
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
-        scan_dev, n_real, n_starts_b=n_starts, L=L, shift=shift, pat=pat,
-        circular=circular,
+        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
     )
     n_tiles = _cdiv(n_starts, P)
     bias = jnp.where(ok, 0.0, MASK_BIAS).astype(jnp.float32).reshape(n_tiles, 1, P)
@@ -558,6 +566,10 @@ def pallas_scan(
     n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
     if n_starts <= 0 or S == 0:
         return Hits()
+    if len(pam) > MAX_PAM:
+        from .ref_scan import jax_scan
+
+        return jax_scan(spacers, contig, max_mismatches, pam, pam_direction)
 
     sub_width = min(sub_width, P)
     SUB = max(P // sub_width, 1)
@@ -573,11 +585,17 @@ def pallas_scan(
     n_real = jnp.int32(contig.length)
     n_tiles2 = _cdiv(n_starts_b, P2)
 
-    # static per-strand PAM specs (shift, pattern codes); code 4 = N
-    # wildcard, code 6 = letter outside ACGTN (never matches — the
-    # reference's literal regex treatment of unexpected letters)
+    # per-strand PAM specs (shift, pattern codes) as traced device values
     shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, pam_direction, L)
     circular = bool(contig.circular)
+
+    def _pat_arr(pat):
+        arr = np.full(MAX_PAM, 7, dtype=np.int8)
+        arr[: len(pat)] = pat
+        return jnp.asarray(arr)
+
+    pat_dev = {STRAND_F: _pat_arr(pat_f), STRAND_R: _pat_arr(pat_r)}
+    shift_dev = {STRAND_F: jnp.int32(shift_f), STRAND_R: jnp.int32(shift_r)}
 
     q_oh_f = np.zeros((S_pad, K), dtype=np.float32)
     q_oh_f[:S] = onehot_rows(q_f, K)
@@ -595,9 +613,9 @@ def pallas_scan(
     for strand in (STRAND_F, STRAND_R):
         shift, pat = specs[strand]
         futures[strand] = phase1_full(
-            scan_dev, n_real, q_dev[strand],
+            scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
             n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-            shift=shift, pat=pat, circular=circular, interpret=interpret,
+            circular=circular, interpret=interpret,
         )
 
     out = []
@@ -632,10 +650,10 @@ def pallas_scan(
             while True:
                 idx, mm_vals, n_hits = extract_full(
                     q_blocks_all, scan_dev, n_real,
+                    shift_dev[strand], pat_dev[strand],
                     jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
                     n_starts=n_starts_b, halo=halo, L=L, K=K, P=P2,
-                    thresh=int(max_mismatches), cap=cap,
-                    shift=shift, pat=pat, circular=circular,
+                    thresh=int(max_mismatches), cap=cap, circular=circular,
                 )
                 n_hits = int(n_hits)
                 if n_hits <= cap:

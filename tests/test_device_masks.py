@@ -44,13 +44,21 @@ def test_device_mask_matches_host(topology, pam, direction):
     scan_dev = jnp.asarray(scan_padded)
 
     shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, direction, L)
+
+    def pat_arr(pat):
+        from barcoder_tpu.ops.pallas_scan import MAX_PAM
+
+        arr = np.full(MAX_PAM, 7, dtype=np.int8)
+        arr[: len(pat)] = pat
+        return jnp.asarray(arr)
+
     dev_f = np.asarray(
-        _pam_ok_device(scan_dev, jnp.int32(n), n_starts_b=n_b, L=L,
-                       shift=shift_f, pat=pat_f, circular=contig.circular)
+        _pam_ok_device(scan_dev, jnp.int32(n), jnp.int32(shift_f), pat_arr(pat_f),
+                       n_starts_b=n_b, L=L, circular=contig.circular)
     )
     dev_r = np.asarray(
-        _pam_ok_device(scan_dev, jnp.int32(n), n_starts_b=n_b, L=L,
-                       shift=shift_r, pat=pat_r, circular=contig.circular)
+        _pam_ok_device(scan_dev, jnp.int32(n), jnp.int32(shift_r), pat_arr(pat_r),
+                       n_starts_b=n_b, L=L, circular=contig.circular)
     )
     assert np.array_equal(dev_f[:n], host_f), "forward mask mismatch"
     assert np.array_equal(dev_r[:n], host_r), "reverse mask mismatch"
@@ -64,10 +72,14 @@ def test_invalid_pam_letter_never_matches():
     n_b = _geom_bucket(contig.length, 256)
     scan_padded = np.full(n_b + 32, 4, dtype=np.int8)
     scan_padded[: len(scan)] = scan
+    from barcoder_tpu.ops.pallas_scan import MAX_PAM
+
     shift_f, pat_f, _, _ = _pam_specs("RGG", "downstream", 20)
+    arr = np.full(MAX_PAM, 7, dtype=np.int8)
+    arr[: len(pat_f)] = pat_f
     dev_f = np.asarray(
         _pam_ok_device(jnp.asarray(scan_padded), jnp.int32(contig.length),
-                       n_starts_b=n_b, L=20, shift=shift_f, pat=pat_f,
-                       circular=True)
+                       jnp.int32(shift_f), jnp.asarray(arr),
+                       n_starts_b=n_b, L=20, circular=True)
     )
     assert not dev_f.any()
