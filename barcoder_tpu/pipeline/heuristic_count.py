@@ -554,6 +554,8 @@ class VectorCounter:
                 if m1 is not None
                 else (m2, cfg.L_rev_start, cfg.L_rev, cfg.R_rev, True)
             )
+            if not rev and self._try_native_single_end(mat, start, Lf, Rf):
+                return
             no_n = ~(mat == ord("N")).any(axis=1)
             _, has, core = self._process_side(mat, start, Lf, Rf, rev)
             codes = _CODE_LUT[core]
@@ -565,6 +567,32 @@ class VectorCounter:
                 core = ascii_lut[np.clip(codes, 0, 4)]
             key = _pack_codes(codes)
             self._tally(key, core, no_n & has)
+
+    def _try_native_single_end(self, mat, start, Lf, Rf) -> bool:
+        """Forward single-end counting via the C++ seqpack hot loop
+        (native/seqpack.cpp sp_count_exact); returns False to fall back to
+        the numpy path when the native library is unavailable."""
+        from .. import native_bridge
+
+        if not native_bridge.seqpack_available():
+            return False
+        lengths = (mat != 0).sum(axis=1).astype(np.int64)
+        res = native_bridge.count_exact(
+            mat, lengths, start or 0, Lf or "", Rf or "", self.cfg.bc_len,
+            self.bc_keys_sorted,
+        )
+        if res is None:
+            return False
+        doc, undoc_rows = res
+        np.add.at(self.doc_counts, self.bc_order, doc)
+        if len(undoc_rows):
+            W0 = len(Lf or "")
+            cores = mat[undoc_rows, (start or 0) + W0 : (start or 0) + W0 + self.cfg.bc_len]
+            uniq, counts = np.unique(cores, axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)
+        return True
 
     def _tally(self, keys, cores, eligible) -> None:
         keys = keys[eligible]
