@@ -57,8 +57,10 @@ class Logger:
             handler = RichHandler(console=console)
             handler.setFormatter(logging.Formatter("%(message)s", datefmt="[%X]"))
             root.addHandler(handler)
-            root.setLevel(logging.NOTSET)
             root.propagate = False
+        # explicit level: with propagate=False the effective level would
+        # otherwise inherit the root default (WARNING) and drop info logs
+        root.setLevel(logging.DEBUG)
         self.logger = root
         logging.addLevelName(SUBPROC, "SUBPROC")
         logging.addLevelName(HELP, "HELP")

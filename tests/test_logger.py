@@ -1,0 +1,52 @@
+"""Logger parity: custom levels, locale number formatting, JSON logging
+(reference: Logger.py:12-94)."""
+
+import logging
+
+from barcoder_tpu.utils.logger import HELP, SUBPROC, Logger
+
+
+def test_levels_registered():
+    log = Logger()
+    assert logging.getLevelName(SUBPROC) == "SUBPROC"
+    assert logging.getLevelName(HELP) == "HELP"
+    assert SUBPROC == 25 and HELP == 15
+
+
+def test_format_numbers_tokens():
+    log = Logger()
+    out = log.format_numbers("processed 1234567 reads in 2 files")
+    # some locale-formatted representation of the number appears
+    assert "reads" in out and "files" in out
+    assert "1234567" not in out or "," in out or "." in out
+
+
+def test_format_numbers_int():
+    log = Logger()
+    out = log.format_numbers(1234567)
+    assert isinstance(out, str)
+
+
+def test_log_methods_do_not_raise():
+    log = Logger()
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture(level=logging.DEBUG)
+    log.logger.addHandler(handler)
+    try:
+        log.info("hello 42")
+        log.warn("warn")
+        log.error("err")
+        log.debug("dbg")
+        log.subproc("")
+        log.help("")
+        log.json({"a": 1})
+    finally:
+        log.logger.removeHandler(handler)
+    assert any("hello" in m for m in records)
+    assert any("No errors reported" in m for m in records)
+    assert any("No help available" in m for m in records)
