@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from .core.encode import revcomp
-from .core.genome import Contig, Genome
+from .core.genome import Genome
 from .ops.scan import scan_contig
 from .ops.types import STRAND_R
 from .seqio.library import BarcodeLibrary  # re-export for API parity

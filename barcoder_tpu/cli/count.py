@@ -45,8 +45,6 @@ def build_parser() -> argparse.ArgumentParser:
 def summary_table(args, doc, undoc, total_reads, info, num_threads=1) -> Table:
     cfg = info["config"]
     sample = info["sample"]
-    from ..seqio.fasta import read_barcode_fasta
-
     barcodes = cfg.barcodes
     need_swap = cfg.need_swap
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 import pandas as pd
 from rich.console import Console
 

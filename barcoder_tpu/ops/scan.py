@@ -17,8 +17,6 @@ from __future__ import annotations
 import os
 from typing import Literal
 
-import numpy as np
-
 import jax
 
 from ..core.genome import Contig, Genome

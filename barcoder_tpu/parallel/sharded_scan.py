@@ -23,8 +23,6 @@ single device against the nonzero (block, tile) pairs.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

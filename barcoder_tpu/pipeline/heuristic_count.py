@@ -24,7 +24,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.encode import revcomp
 from ..seqio.fasta import iter_read_chunks
 
 

@@ -30,10 +30,9 @@ import numpy as np
 import pandas as pd
 from numpy.lib.stride_tricks import sliding_window_view
 
-from ..core.coords import fold_hit_coords, get_coords, get_diff
+from ..core.coords import get_coords, get_diff
 from ..core.encode import COMP_ASCII, DECODE_ASCII
 from ..core.genome import Contig, Genome
-from ..core.locus import join_hits_to_loci
 from ..core.pam import pam_is_trivial
 from ..ops.prep import build_scan_array, revcomp_matrix, spacer_matrix
 from ..ops.scan import scan_contig
