@@ -80,6 +80,22 @@ def _chunk_hitmask(q_oh, g_oh, mask_chunk, L: int, thresh: int):
     return mm, sel
 
 
+@functools.partial(jax.jit, static_argnames=("L", "K", "thresh"))
+def _chunk_hitmask_mm(q_oh_rows, g_codes, mask_chunk, L: int, K: int, thresh: int):
+    """Matmul formulation of the chunk scorer: q_oh_rows (S_pad, K) one-hot
+    rows (layout 4j+b), g_codes (P + L - 1,) int32 → same contract as
+    _chunk_hitmask. Shares the G build with the Pallas phase-2 path and
+    lowers to plain GEMM — much faster than the conv path on CPU backends."""
+    from .pallas_scan import _build_g_onehot
+
+    P = mask_chunk.shape[0]
+    g_oh = _build_g_onehot(g_codes, L=L, K=K, P=P)  # (K, P)
+    scores = jnp.dot(q_oh_rows, g_oh, preferred_element_type=jnp.float32)
+    mm = (L - scores).astype(jnp.int32)
+    sel = (mm <= thresh) & mask_chunk[None, :]
+    return mm, sel
+
+
 def jax_scan(
     spacers: list[str] | np.ndarray,
     contig: Contig,
@@ -105,19 +121,21 @@ def jax_scan(
     S_pad = max(8, 1 << (S - 1).bit_length())
     pad_rows = np.full((S_pad - S, L), 4, dtype=q_f.dtype)
 
+    from .pallas_scan import onehot_rows
+
+    K = max(-(-4 * L // 128) * 128, 128)
     out = []
     for strand, q, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
-        q_oh = jnp.asarray(
-            np.transpose(_onehot_np(np.concatenate([q, pad_rows])), (0, 2, 1))
-        )
+        q_oh = jnp.asarray(onehot_rows(np.concatenate([q, pad_rows]), K), dtype=jnp.float32)
         for p0 in range(0, n_starts, chunk):
             p1 = min(p0 + chunk, n_starts)
-            g = np.full(chunk + L - 1, 4, dtype=scan.dtype)
+            g = np.full(chunk + L - 1, 4, dtype=np.int32)
             g[: p1 + L - 1 - p0] = scan[p0 : p1 + L - 1]
-            g_oh = jnp.asarray(_onehot_np(g[None, :]).transpose(0, 2, 1))
             m = np.zeros(chunk, dtype=bool)
             m[: p1 - p0] = mask[p0:p1]
-            mm, sel = _chunk_hitmask(q_oh, g_oh, jnp.asarray(m), L, int(max_mismatches))
+            mm, sel = _chunk_hitmask_mm(
+                q_oh, jnp.asarray(g), jnp.asarray(m), L, K, int(max_mismatches)
+            )
             sel = np.asarray(sel)
             if sel.any():
                 mm = np.asarray(mm)
