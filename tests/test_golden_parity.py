@@ -1,0 +1,84 @@
+"""Golden-data parity: the reference's own output file
+(Example_Libraries/CN-32-zmo.tsv, a design_guides run at PAM NGNC) must be
+reproduced exactly on the bundled SnapGene contigs.
+
+Full check (all four plasmids, 750 sites) runs in the verify skill; here the
+smallest contig keeps the suite fast while still exercising real data
+end-to-end on the CPU backend.
+"""
+
+import pandas as pd
+import pytest
+
+from barcoder_tpu.core.genome import Genome
+from barcoder_tpu.pipeline.targets import run_targets
+from barcoder_tpu.seqio.library import BarcodeLibrary
+
+GOLD = "/root/reference/Example_Libraries/CN-32-zmo.tsv"
+DNA = "/root/reference/GCA_003054575.1/CP023716.dna"
+
+
+@pytest.fixture(scope="module")
+def golden_result():
+    gold = pd.read_csv(GOLD, sep="\t")
+    g = gold[gold.chr == "CP023716.1"].copy()
+    g["chr"] = "CP023716"
+    genome = Genome.from_snapgene(DNA)
+    # restrict the library to spacers golden maps to this contig (plus a few
+    # non-targeting ones to exercise the unmapped path)
+    spacers = sorted(set(g.spacer)) + sorted(set(gold.spacer))[:20]
+    lib = BarcodeLibrary.from_list(sorted(set(spacers)))
+    res = run_targets(lib, genome, "NGNC", 0, backend="jax")
+    return g, res
+
+
+def test_all_golden_sites_reproduced(golden_result):
+    g, res = golden_result
+    lib_spacers = set(res.table.spacer)
+    g = g[g.spacer.isin(lib_spacers)]
+    assert len(g) >= 100
+    ours = res.table[res.table.chr.notna()].copy()
+    key = ["spacer", "tar_start", "tar_end", "sp_dir", "pam", "target"]
+    gk = set(map(tuple, g[key].itertuples(index=False)))
+    ok = set(
+        map(
+            tuple,
+            ours.dropna(subset=["tar_start"])
+            .astype({"tar_start": int, "tar_end": int})[key]
+            .itertuples(index=False),
+        )
+    )
+    missing = gk - ok
+    assert not missing, f"{len(missing)} golden sites missing, e.g. {list(missing)[:3]}"
+
+
+def test_annotation_parity(golden_result):
+    """Per-site annotation sets (locus_tag, offset, overlap, tar_dir) must
+    match golden, compared set-wise per site (multi-gene sites produce one
+    row per gene in both outputs). A small fraction of sites may differ —
+    SnapGene XML vs .gb feature boundaries in the data source."""
+    g, res = golden_result
+    ours = res.table[res.table.chr.notna()].dropna(subset=["tar_start"]).astype(
+        {"tar_start": int, "tar_end": int}
+    )
+
+    def ann_sets(df):
+        out = {}
+        for _, r in df.iterrows():
+            k = (r.spacer, int(r.tar_start), r.sp_dir)
+            out.setdefault(k, set()).add(
+                (
+                    r.locus_tag if pd.notna(r.locus_tag) else None,
+                    int(r.offset) if pd.notna(r.offset) else None,
+                    int(r.overlap) if pd.notna(r.overlap) else None,
+                    r.tar_dir if pd.notna(r.tar_dir) else None,
+                )
+            )
+        return out
+
+    ga = ann_sets(g)
+    oa = ann_sets(ours[ours.spacer.isin(set(g.spacer))])
+    common = set(ga) & set(oa)
+    assert len(common) >= 100
+    diff = [k for k in common if ga[k] != oa[k]]
+    assert len(diff) / len(common) < 0.05, f"{len(diff)}/{len(common)} sites differ"
