@@ -123,6 +123,64 @@ def bench_counting() -> dict:
 
 
 def main() -> int:
+    """Watchdog wrapper: run the real benchmark in a subprocess so a wedged
+    accelerator (observed: the tunneled dev chip can hang in d2h after an
+    earlier client was killed) cannot hang the driver — on timeout/failure a
+    reduced CPU-backend measurement is reported instead, flagged in detail."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--inner"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+    except subprocess.TimeoutExpired:
+        pass
+    return cpu_fallback()
+
+
+def cpu_fallback() -> int:
+    import os
+
+    os.environ["BARCODER_TPU_BACKEND"] = "jax"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from barcoder_tpu.ops.ref_scan import jax_scan
+    from barcoder_tpu.core.encode import decode, encode
+    from barcoder_tpu.core.genome import Contig
+
+    rng = np.random.default_rng(0)
+    n = 400_000
+    seq = decode(rng.integers(0, 4, size=n).astype(np.int8))
+    contig = Contig(id="CPU0.1", length=n, codes=encode(seq), seq=seq, topology="circular")
+    spacers = [seq[p : p + L] for p in range(100, 100 + 512 * 37, 37)][:512]
+    jax_scan(spacers[:8], contig, V, pam=PAM)
+    t0 = time.time()
+    hits = jax_scan(spacers, contig, V, pam=PAM)
+    dt = time.time() - t0
+    pairs = len(spacers) * n * 2
+    rate = pairs / dt
+    print(json.dumps({
+        "metric": "genome-positions-scanned/s/chip",
+        "value": rate,
+        "unit": "spacer-positions/s",
+        "vs_baseline": rate / SOL_PAIRS_PER_S,
+        "detail": {
+            "platform": "cpu-fallback (accelerator unavailable/wedged)",
+            "genome_bp": n, "spacers": len(spacers), "hits": len(hits),
+            "end_to_end_s": dt,
+            "counting": bench_counting(),
+        },
+    }))
+    return 0
+
+
+def inner_main() -> int:
     import jax
 
     from barcoder_tpu.ops.pallas_scan import pallas_scan
@@ -167,4 +225,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--inner" in sys.argv:
+        sys.exit(inner_main())
     sys.exit(main())
