@@ -11,10 +11,23 @@ Commands map 1:1 to the reference's scripts:
 
 from __future__ import annotations
 
+import os
 import sys
 
 
+def _apply_platform_override() -> None:
+    """BARCODER_TPU_PLATFORM=cpu forces the JAX platform before first use —
+    needed because the axon TPU plugin ignores JAX_PLATFORMS (tests and CI
+    run the CLIs on CPU this way)."""
+    platform = os.environ.get("BARCODER_TPU_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
+    _apply_platform_override()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
