@@ -432,23 +432,34 @@ def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
     7 = unused slot. n_real is the traced true contig length so one
     executable also serves every genome in a size bucket.
 
+    Implementation note: each slot reads its shifted base vector as one
+    CONTIGUOUS dynamic slice of a left-halo-extended array (a gather over
+    the whole genome axis here measured ~10x the kernel's own runtime).
+    Correct wrap therefore relies on scan_dev carrying L-1+MAX_PAM wrap
+    codes after the genome (pallas_scan fills them) and the MAX_PAM-wide
+    left halo prepended below; out-of-bounds on linear contigs is decided
+    arithmetically so the N-wildcard never matches past the ends.
+
     Linear windows must fit ([p, p+L) within the contig)."""
     p = jnp.arange(n_starts_b, dtype=jnp.int32)
     ok = p < n_real
     if not circular:
         ok &= p <= n_real - L
+    if circular:
+        left = jax.lax.dynamic_slice(scan_dev, (n_real - MAX_PAM,), (MAX_PAM,))
+    else:
+        left = jnp.full((MAX_PAM,), 5, dtype=scan_dev.dtype)  # OOB sentinel
+    ext = jnp.concatenate([left, scan_dev])
     for i in range(MAX_PAM):
         pc = pat[i].astype(jnp.int32)
-        idx = p + (shift + i)
+        base = jax.lax.dynamic_slice(
+            ext, (MAX_PAM + shift + i,), (n_starts_b,)
+        ).astype(jnp.int32)
         if circular:
-            idx = jnp.where(idx < 0, idx + n_real, idx)
-            idx = jnp.where(idx >= n_real, idx - n_real, idx)
-            base = scan_dev[idx].astype(jnp.int32)
             in_bounds = jnp.ones_like(ok)
         else:
-            oob = (idx < 0) | (idx >= n_real)
-            base = scan_dev[jnp.clip(idx, 0, scan_dev.shape[0] - 1)].astype(jnp.int32)
-            in_bounds = ~oob
+            idx = p + (shift + i)
+            in_bounds = (idx >= 0) & (idx < n_real)
         here = jnp.where(
             pc == 7,
             True,  # unused slot
@@ -516,6 +527,27 @@ _mask_bias_on_device = jax.jit(
 )
 
 
+def prep_scan_padded(
+    contig: Contig, scan: np.ndarray, L: int, n_starts_b: int, halo_total: int
+) -> np.ndarray:
+    """The device scan array: genome + full wrap halo (L - 1 + MAX_PAM codes
+    for circular contigs, so the slice-based PAM mask can read past the
+    origin), padded to the bucketed length with 4 (N, circular) or 5 (OOB
+    sentinel, linear — distinguishes real genomic N, which the PAM wildcard
+    matches, from past-the-end, which it must not)."""
+    n = contig.length
+    pad_code = 4 if contig.circular else 5
+    scan_padded = np.full(n_starts_b + halo_total, pad_code, dtype=np.int8)
+    usable = min(len(scan), len(scan_padded))
+    scan_padded[:usable] = scan[:usable]
+    if contig.circular:
+        end = min(n + L - 1 + MAX_PAM, len(scan_padded))
+        if end > n + L - 1:
+            extra = contig.fetch_codes(n + L - 1, end)
+            scan_padded[n + L - 1 : end] = extra
+    return scan_padded
+
+
 def _prep_tiles(scan_codes: np.ndarray, n_starts: int, P: int, halo: int) -> np.ndarray:
     """(n_tiles, 1, P + halo) int32 overlapped tile matrix; padding positions
     get code 4 (N) so they can never match."""
@@ -559,7 +591,10 @@ def pallas_scan(
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     K = max(_cdiv(4 * L, 128) * 128, 128)
-    halo = K // 4  # >= L, keeps tile width lane-aligned
+    halo = K // 4  # tile overlap; >= L, keeps tile width lane-aligned
+    # total device halo also carries MAX_PAM extra wrap codes so the
+    # slice-based PAM mask can read past position n (see _pam_ok_device)
+    halo_total = halo + MAX_PAM
     q_r = revcomp_matrix(q_f)
     scan = build_scan_array(contig, L)
     n = contig.length
@@ -578,10 +613,7 @@ def pallas_scan(
     # bucket the genome axis so the fused jits recompile only per size
     # bucket, not per genome
     n_starts_b = _geom_bucket(n_starts, P)
-    scan_padded = np.full(n_starts_b + halo, 4, dtype=np.int8)
-    usable = min(len(scan), len(scan_padded))
-    scan_padded[:usable] = scan[:usable]
-    scan_dev = jnp.asarray(scan_padded)
+    scan_dev = jnp.asarray(prep_scan_padded(contig, scan, L, n_starts_b, halo_total))
     n_real = jnp.int32(contig.length)
     n_tiles2 = _cdiv(n_starts_b, P2)
 

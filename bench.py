@@ -77,14 +77,17 @@ def bench_kernel_phase(contig, spacers) -> dict:
     q_oh[: len(spacers)] = ps.onehot_rows(q_f, K)
     q_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
     shift_f, pat_f, _, _ = ps._pam_specs(PAM, "downstream", L)
+    pat_arr = np.full(ps.MAX_PAM, 7, dtype=np.int8)
+    pat_arr[: len(pat_f)] = pat_f
     SUB = P // 512
-    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-                shift=shift_f, pat=pat_f, circular=True)
+    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB, circular=True)
+    shift_dev = jnp.int32(shift_f)
+    pat_dev = jnp.asarray(pat_arr)
     n_real = jnp.int32(contig.length)
-    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, **args))  # warm
+    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, **args))  # warm
     REP = 8
     t0 = time.time()
-    futs = [ps.phase1_full(scan_dev, n_real, q_dev, **args) for _ in range(REP)]
+    futs = [ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, **args) for _ in range(REP)]
     for f in futs:
         np.asarray(f)
     dt = (time.time() - t0) / REP

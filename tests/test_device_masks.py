@@ -9,7 +9,13 @@ import jax.numpy as jnp
 
 from barcoder_tpu.core.genome import contig_from_record
 from barcoder_tpu.core.pam import pam_site_masks
-from barcoder_tpu.ops.pallas_scan import _geom_bucket, _pam_ok_device, _pam_specs
+from barcoder_tpu.ops.pallas_scan import (
+    MAX_PAM,
+    _geom_bucket,
+    _pam_ok_device,
+    _pam_specs,
+    prep_scan_padded,
+)
 from barcoder_tpu.ops.prep import build_scan_array
 from barcoder_tpu.ops.types import STRAND_F, STRAND_R
 
@@ -36,12 +42,8 @@ def test_device_mask_matches_host(topology, pam, direction):
     host_f, host_r = pam_site_masks(contig, L, pam, direction)
 
     scan = build_scan_array(contig, L)
-    halo = 32
     n_b = _geom_bucket(n, 256)
-    scan_padded = np.full(n_b + halo, 4, dtype=np.int8)
-    usable = min(len(scan), len(scan_padded))
-    scan_padded[:usable] = scan[:usable]
-    scan_dev = jnp.asarray(scan_padded)
+    scan_dev = jnp.asarray(prep_scan_padded(contig, scan, L, n_b, 32 + MAX_PAM))
 
     shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, direction, L)
 
@@ -70,9 +72,7 @@ def test_invalid_pam_letter_never_matches():
     contig = contig_from_record(rec)
     scan = build_scan_array(contig, 20)
     n_b = _geom_bucket(contig.length, 256)
-    scan_padded = np.full(n_b + 32, 4, dtype=np.int8)
-    scan_padded[: len(scan)] = scan
-    from barcoder_tpu.ops.pallas_scan import MAX_PAM
+    scan_padded = prep_scan_padded(contig, scan, 20, n_b, 32 + MAX_PAM)
 
     shift_f, pat_f, _, _ = _pam_specs("RGG", "downstream", 20)
     arr = np.full(MAX_PAM, 7, dtype=np.int8)
