@@ -12,16 +12,24 @@ from ..core.pam import pam_site_masks
 
 
 def spacer_matrix(spacers: list[str]) -> np.ndarray:
-    """(S, L) int8 code matrix; all spacers must share one length."""
+    """(S, L) int8 code matrix; all spacers must share one length
+    (vectorized: one fixed-width bytes array + LUT, no per-row encode)."""
     lens = {len(s) for s in spacers}
     if len(lens) != 1:
         raise ValueError(f"spacer_matrix requires uniform length, got {sorted(lens)}")
-    return np.stack([encode(s) for s in spacers])
+    from ..core.encode import _LUT
+
+    arr = np.array(list(spacers), dtype="S")
+    mat = arr.view(np.uint8).reshape(len(spacers), -1)
+    return _LUT[mat]
 
 
 def revcomp_matrix(mat: np.ndarray) -> np.ndarray:
-    """(S, L) → (S, L) reverse complement of every row."""
-    return np.stack([revcomp_codes(row) for row in mat])
+    """(S, L) → (S, L) reverse complement of every row (vectorized — the
+    design workload passes ~10^6 rows)."""
+    from ..core.encode import _COMP
+
+    return np.ascontiguousarray(_COMP[np.asarray(mat, dtype=np.int8)][:, ::-1])
 
 
 def build_scan_array(contig: Contig, L: int) -> np.ndarray:

@@ -85,7 +85,13 @@ def find_candidate_guides(
     if not keys_all:
         return []
     all_keys = np.unique(np.concatenate(keys_all))
-    return [decode(key_to_codes[int(k)]) for k in all_keys]
+    codes_mat = np.stack([key_to_codes[int(k)] for k in all_keys])
+    from ..core.encode import DECODE_ASCII
+
+    ascii_mat = DECODE_ASCII[np.clip(codes_mat, 0, 4)]
+    Lw = ascii_mat.shape[1]
+    flat = np.ascontiguousarray(ascii_mat).view(f"S{Lw}").ravel()
+    return [b.decode("ascii") for b in flat]
 
 
 @dataclass
