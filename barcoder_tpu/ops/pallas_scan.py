@@ -493,17 +493,19 @@ def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: in
     """Device-side overlapped tile construction from the 1-D int8 scan
     array — only ~1 byte/base crosses the host↔device link instead of the
     4-byte overlapped tile matrix (a 16x traffic saving that dominates
-    end-to-end latency on tunneled links)."""
+    end-to-end latency on tunneled links).
+
+    Built from two contiguous reshapes + a concat (row t's halo is the first
+    ``halo`` columns of the P-shifted reshape) — a whole-array gather here
+    measured comparable to the scan kernel itself."""
     n_tiles = _cdiv(n_starts, P)
-    total = n_tiles * P + halo
+    total = (n_tiles + 1) * P  # >= n_tiles*P + halo since halo <= P
     padded = jnp.full(total, 4, dtype=jnp.int32)
     usable = min(scan_dev.shape[0], total)
     padded = padded.at[:usable].set(scan_dev[:usable].astype(jnp.int32))
-    idx = (
-        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * P
-        + jnp.arange(P + halo, dtype=jnp.int32)[None, :]
-    )
-    return padded[idx][:, None, :]
+    body = padded[: n_tiles * P].reshape(n_tiles, P)
+    shifted = padded[P : (n_tiles + 1) * P].reshape(n_tiles, P)
+    return jnp.concatenate([body, shifted[:, :halo]], axis=1)[:, None, :]
 
 
 _tiles_on_device = jax.jit(
