@@ -72,20 +72,26 @@ def onehot_rows(q_codes: np.ndarray, K: int) -> np.ndarray:
 MASK_BIAS = -16384.0  # added to masked-out positions; far below any score
 
 
-def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P, SUB):
+def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P, SUB,
+                     fold_bias=False):
     """Phase-1 body: max masked score per (spacer-block, subtile).
 
-    The epilogue is deliberately minimal — one broadcast add (site/PAM mask
-    as additive bias) and one max-reduce per element — because at K=128 the
-    matmul spends only ~128 MACs per scored position and any per-element
-    VPU work is on the same order as the MXU time. P is large (MXU
-    efficiency and per-step overhead amortization) while the reduce keys on
-    SUB subtiles of P/SUB positions, so phase 2 re-scans narrow windows."""
+    The epilogue must be minimal — at K=128 the matmul spends only ~128
+    MACs per scored position, so one extra VPU op per score element costs
+    on the order of the MXU time itself. With ``fold_bias`` the site/PAM
+    mask bias rides INSIDE the matmul: it is written into spare G row 4L
+    (zero padding otherwise) and every Q row carries a constant 1 in column
+    4L, so the MXU emits already-biased scores and the epilogue is a single
+    max-reduce per element. The additive path remains for 4L == K (L=32:
+    no spare row). P is large (MXU efficiency and per-step overhead
+    amortization) while the reduce keys on SUB subtiles of P/SUB positions,
+    so phase 2 re-scans narrow windows."""
     s = pl.program_id(1)
 
     @pl.when(s == 0)
     def _build_g():
-        # G[4j+b, p] = (codes[p+j] == b); padding rows (>= 4L) stay zero.
+        # G[4j+b, p] = (codes[p+j] == b); padding rows (>= 4L) stay zero
+        # except the bias row when folded.
         @pl.when(4 * L < K)
         def _zero():
             g_scratch[:] = jnp.zeros_like(g_scratch)
@@ -94,11 +100,15 @@ def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P,
             window = tiles_ref[0, 0:1, pl.ds(j, P)]  # (1, P) int32
             for b in range(4):
                 g_scratch[4 * j + b, :] = (window[0, :] == b).astype(g_scratch.dtype)
+        if fold_bias:
+            # MASK_BIAS = -2^14 and 0.0 are exact in bf16; accumulation is
+            # f32, so folded scores equal the additive-path scores exactly.
+            g_scratch[4 * L, :] = bias_ref[0, 0, :].astype(g_scratch.dtype)
 
     scores = jnp.dot(
         q_ref[:], g_scratch[:], preferred_element_type=jnp.float32
     )  # (BS, P)
-    biased = scores + bias_ref[0, 0:1, :]
+    biased = scores if fold_bias else scores + bias_ref[0, 0:1, :]
     m_sub = jnp.max(biased.reshape(BS, SUB, P // SUB), axis=(0, 2))  # (SUB,)
 
     @pl.when(s == 0)
@@ -109,13 +119,126 @@ def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P,
     out_ref[:] = jnp.where(lane == s, m_sub[None, :, None], out_ref[:])
 
 
-def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=False):
+def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
+                      seg_scratch, *, L, K, P, SUB, BS_M, fold_bias):
+    """Phase-1 body (hit-indicator variant): per (spacer-block, subtile)
+    count of subtile-columns whose best score clears the threshold.
+
+    The epilogue is engineered to cost ONE VPU op per score element — the
+    measured limiter at K=128, where the matmul spends only 128 MACs per
+    element and cross-lane reshapes (relayouts) in the old max-reduce
+    epilogue cost ~3x the matmul itself:
+
+      * the site/PAM bias rides inside the matmul (spare G row 4L, constant
+        1.0 in Q column 4L) when 4L < K;
+      * the spacer axis reduces with a cross-sublane max (no relayout);
+      * the position axis reduces on the MXU via a tiny (1,P)x(P,SUB)
+        segment-indicator matmul — replacing the unsupported/slow lane→
+        sublane reshape.
+
+    Output is numeric (count of hit subtile columns per block row group)
+    but only its >0 predicate is meaningful to callers. On a v5e-class dev
+    chip this runs at ~0.9 padded bf16-matmul utilization vs ~0.3 for the
+    max-reduce epilogue (BS_M=512, P=16384)."""
+    t, s = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((t == 0) & (s == 0))
+    def _seg():
+        row = jax.lax.broadcasted_iota(jnp.int32, (P, SUB), 0) // (P // SUB)
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, SUB), 1)
+        seg_scratch[:] = (row == col).astype(seg_scratch.dtype)
+
+    @pl.when(s == 0)
+    def _build_g():
+        g_scratch[:] = jnp.zeros_like(g_scratch)
+        for j in range(L):
+            window = tiles_ref[0, 0:1, pl.ds(j, P)]  # (1, P) int32
+            for b in range(4):
+                g_scratch[4 * j + b, :] = (window[0, :] == b).astype(g_scratch.dtype)
+        if fold_bias:
+            g_scratch[4 * L, :] = bias_ref[0, 0, :].astype(g_scratch.dtype)
+
+    scores = jnp.dot(
+        q_ref[:], g_scratch[:], preferred_element_type=jnp.float32
+    )  # (BS_M, P)
+    if not fold_bias:
+        scores = scores + bias_ref[0, 0:1, :]
+    colmax = jnp.max(scores, axis=0, keepdims=True)  # (1, P), cross-sublane
+    hit = (colmax >= th_ref[0]).astype(jnp.bfloat16)
+    cnt = jnp.dot(hit, seg_scratch[:], preferred_element_type=jnp.float32)  # (1, SUB)
+
+    # out block (1, 8, SUB) covers 8 consecutive spacer blocks (Mosaic wants
+    # the sublane dim divisible by 8); zero it at group start, then each
+    # step writes its own row — no cross-step read-modify-write.
+    @pl.when(s % 8 == 0)
+    def _init_out():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, pl.ds(s % 8, 1), :] = cnt
+
+
+def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
+                    BS_M=BS, interpret=False, fold_bias=False):
+    """Phase 1 (hit-indicator). thresh f32 (1,) — a score >= thresh is a
+    hit (callers pass L - v); q_onehot (S_pad, K) bf16 with a constant-1
+    column at 4L when fold_bias; tiles/bias_tiles as in scan_block_max.
+    Returns (n_tiles, n_sb_pad8, SUB) f32 where entry > 0 iff the
+    (subtile, spacer-block) pair contains a hit — SUB rides the lane dim
+    (full-width block, no lane padding) and the spacer-block dim is padded
+    to a multiple of 8 sublanes; padding rows are zero."""
+    if fold_bias and 4 * L >= K:
+        raise ValueError(f"fold_bias needs a spare G row: 4L={4*L} >= K={K}")
+    S_pad = q_onehot.shape[0]
+    n_sblocks = S_pad // BS_M
+    n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
+    n_tiles = tiles.shape[0]
+    tile_w = tiles.shape[2]
+
+    grid = (n_tiles, n_sblocks)
+    kernel = functools.partial(
+        _scan_hits_kernel, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M, fold_bias=fold_bias
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BS_M, K), lambda t, s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_w), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, SUB), lambda t, s: (t, s // 8, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, n_sb_pad8, SUB), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, P), jnp.bfloat16),
+            pltpu.VMEM((P, SUB), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * n_sblocks * BS_M * K * P,
+            bytes_accessed=n_tiles * n_sblocks * BS_M * K * 2 + n_tiles * tile_w * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(thresh, q_onehot, tiles, bias_tiles)
+
+
+def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=False,
+                   fold_bias=False):
     """Phase 1. q_onehot (S_pad, K) bf16; tiles (n_tiles, 1, P + K//4) int32
     codes (overlapped); bias_tiles (n_tiles, 1, P) f32 (0 where the site/PAM
     mask allows, MASK_BIAS where not).
+    With ``fold_bias`` (requires 4L < K) every q_onehot row must carry a
+    constant 1.0 in column 4L; the bias then rides in the matmul instead of
+    an additive epilogue (see _scan_max_kernel).
     Returns (n_tiles, SUB, NSB_pad) f32: max masked score per
     (subtile of P/SUB positions, spacer block); a block contains a hit iff
     its max >= L - v."""
+    if fold_bias and 4 * L >= K:
+        raise ValueError(f"fold_bias needs a spare G row: 4L={4*L} >= K={K}")
     S_pad = q_onehot.shape[0]
     n_sblocks = S_pad // BS
     n_tiles = tiles.shape[0]
@@ -123,7 +246,9 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=Fal
     tile_w = tiles.shape[2]
 
     grid = (n_tiles, n_sblocks)
-    kernel = functools.partial(_scan_max_kernel, L=L, K=K, P=P, SUB=SUB)
+    kernel = functools.partial(
+        _scan_max_kernel, L=L, K=K, P=P, SUB=SUB, fold_bias=fold_bias
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -471,22 +596,31 @@ def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_starts", "P", "halo", "L", "K", "SUB", "circular", "interpret"),
+    static_argnames=(
+        "n_starts", "P", "halo", "L", "K", "SUB", "BS_M", "circular", "interpret",
+    ),
 )
-def phase1_full(scan_dev, n_real, q_onehot, shift, pat, *, n_starts, P, halo, L, K, SUB,
-                circular, interpret=False):
+def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, halo,
+                L, K, SUB, BS_M=BS, circular, interpret=False):
     """One-dispatch phase 1: overlapped tiles, the PAM site mask, and the
     bias are all built on device from the 1-D int8 scan array, then the
     Pallas kernel runs — a single host round trip per strand (dispatch
-    latency dominates on tunneled dev links). shift/pat are traced (see
-    _pam_ok_device) so both strands and every PAM share one executable."""
+    latency dominates on tunneled dev links). shift/pat/thresh are traced
+    (see _pam_ok_device) so both strands, every PAM, and every mismatch
+    budget share one executable. Returns the scan_block_hits indicator
+    output: entry > 0 iff the (subtile, spacer-block) pair has a score
+    >= thresh."""
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
         scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
     )
     n_tiles = _cdiv(n_starts, P)
     bias = jnp.where(ok, 0.0, MASK_BIAS).astype(jnp.float32).reshape(n_tiles, 1, P)
-    return scan_block_max(q_onehot, tiles, bias, L=L, K=K, P=P, SUB=SUB, interpret=interpret)
+    fold = 4 * L < K  # caller must have set q_onehot[:, 4L] = 1 when it holds
+    return scan_block_hits(
+        thresh, q_onehot, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
+        interpret=interpret, fold_bias=fold,
+    )
 
 
 def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: int):
@@ -583,13 +717,15 @@ def pallas_scan(
     P: int = DEFAULT_P,
     interpret: bool = False,
     extract_batch: int = 32,
-    sub_width: int = 512,
+    sub_width: int = 128,
 ) -> Hits:
     """Same contract as oracle_scan/jax_scan, on the TPU MXU.
 
     Phase 1 runs at tile width P (MXU-efficient); its output keys on
     subtiles of ``sub_width`` positions so phase-2 re-scoring (memory-bound
-    one-hot builds) only touches narrow windows around actual hits."""
+    one-hot builds) only touches narrow windows around actual hits.
+    sub_width=128 keeps the per-pair phase-2 cost constant as the phase-1
+    spacer-block height grows (bs x sub_width ~ 64k scores per pair)."""
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     K = max(_cdiv(4 * L, 128) * 128, 128)
@@ -611,7 +747,11 @@ def pallas_scan(
     sub_width = min(sub_width, P)
     SUB = max(P // sub_width, 1)
     P2 = P // SUB  # phase-2 tile width (= subtile width)
-    S_pad = _geom_bucket(S, BS)
+    # spacer-block height: large blocks amortize per-step grid overhead and
+    # the q-block DMA (measured ~1.3x at design scale); small libraries keep
+    # small blocks so padding doesn't dominate.
+    bs = 512 if S >= 2048 else (256 if S >= 512 else BS)
+    S_pad = _geom_bucket(S, bs)
     # bucket the genome axis so the fused jits recompile only per size
     # bucket, not per genome
     n_starts_b = _geom_bucket(n_starts, P)
@@ -635,6 +775,11 @@ def pallas_scan(
     q_oh_f[:S] = onehot_rows(q_f, K)
     q_oh_r = np.zeros((S_pad, K), dtype=np.float32)
     q_oh_r[:S] = onehot_rows(q_r, K)
+    if 4 * L < K:
+        # constant-1 column feeding the folded bias row (phase1_full);
+        # harmless in phase 2, whose G keeps rows >= 4L zero.
+        q_oh_f[:, 4 * L] = 1.0
+        q_oh_r[:, 4 * L] = 1.0
     q_dev = {
         STRAND_F: jnp.asarray(q_oh_f, dtype=jnp.bfloat16),
         STRAND_R: jnp.asarray(q_oh_r, dtype=jnp.bfloat16),
@@ -643,33 +788,33 @@ def pallas_scan(
 
     # dispatch phase 1 for both strands before fetching either (overlaps
     # device work with the tunnel round trip)
+    thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
     futures = {}
     for strand in (STRAND_F, STRAND_R):
         shift, pat = specs[strand]
         futures[strand] = phase1_full(
             scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
-            n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-            circular=circular, interpret=interpret,
+            thresh_dev, n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
+            BS_M=bs, circular=circular, interpret=interpret,
         )
 
-    out = []
+    # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
+    # compacted on device (fixed capacity + overflow retry). ALL batches for
+    # both strands are dispatched before any result is fetched — each fetch
+    # is a full round trip on tunneled links, so pipelining the dispatches
+    # overlaps device work with transfer latency. Overflow (rare: cap is
+    # 64k hits per <=1024-pair batch) falls back to a synchronous retry.
+    pending = []  # (strand, tc, sc, nb, cap, (idx, mm, n_hits) futures)
     for strand in (STRAND_F, STRAND_R):
-        shift, pat = specs[strand]
-        block_max = np.asarray(futures[strand])  # (n_tiles, SUB, nsb_pad)
-        n_sblocks = S_pad // BS
-        t_big, sub_idx, s_idx = np.nonzero(
-            block_max[:, :, :n_sblocks] >= L - max_mismatches - 0.5
-        )
+        block_hits = np.asarray(futures[strand])  # (n_tiles, n_sblocks, SUB)
+        t_big, s_idx, sub_idx = np.nonzero(block_hits > 0.5)
         if len(t_big) == 0:
             continue
         t_idx = t_big * SUB + sub_idx  # subtile index on the P2 grid
         in_range = t_idx < n_tiles2
         t_idx, s_idx = t_idx[in_range], s_idx[in_range]
 
-        # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
-        # compacted on device (fixed capacity + overflow retry) — one fused
-        # dispatch per bucketed pair batch.
-        q_blocks_all = q_dev[strand].reshape(-1, BS, K)
+        q_blocks_all = q_dev[strand].reshape(-1, bs, K)
         for c0 in range(0, len(t_idx), 1024):
             tc = t_idx[c0 : c0 + 1024]
             sc = s_idx[c0 : c0 + 1024]
@@ -681,37 +826,43 @@ def pallas_scan(
             valid = np.zeros(bucket, dtype=bool)
             valid[:nb] = True
             cap = 1 << 16
-            while True:
-                idx, mm_vals, n_hits = extract_full(
-                    q_blocks_all, scan_dev, n_real,
-                    shift_dev[strand], pat_dev[strand],
-                    jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
-                    n_starts=n_starts_b, halo=halo, L=L, K=K, P=P2,
-                    thresh=int(max_mismatches), cap=cap, circular=circular,
-                )
-                n_hits = int(n_hits)
-                if n_hits <= cap:
-                    break
-                cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
-            idx = np.asarray(idx)[:n_hits]
-            mm_vals = np.asarray(mm_vals)[:n_hits]
-            if n_hits == 0:
-                continue
-            bi = idx // (BS * P2)
-            rem = idx % (BS * P2)
-            si = rem // P2
-            pi = rem % P2
-            keep = bi < nb
-            bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
-            spacer_idx = sc[bi] * BS + si
-            pos = tc[bi] * P2 + pi
-            keep2 = spacer_idx < S
-            out.append(
-                Hits(
-                    spacer_idx=spacer_idx[keep2].astype(np.int64),
-                    pos=pos[keep2].astype(np.int64),
-                    strand=np.full(int(keep2.sum()), strand, np.int8),
-                    mismatches=mm_vals[keep2].astype(np.int32),
-                )
+            args = (
+                q_blocks_all, scan_dev, n_real,
+                shift_dev[strand], pat_dev[strand],
+                jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
             )
+            kw = dict(n_starts=n_starts_b, halo=halo, L=L, K=K, P=P2,
+                      thresh=int(max_mismatches), circular=circular)
+            fut = extract_full(*args, cap=cap, **kw)
+            pending.append((strand, tc, sc, nb, cap, fut, args, kw))
+
+    out = []
+    for strand, tc, sc, nb, cap, fut, args, kw in pending:
+        idx, mm_vals, n_hits = fut
+        n_hits = int(n_hits)
+        while n_hits > cap:
+            cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+            idx, mm_vals, n_hits = extract_full(*args, cap=cap, **kw)
+            n_hits = int(n_hits)
+        idx = np.asarray(idx)[:n_hits]
+        mm_vals = np.asarray(mm_vals)[:n_hits]
+        if n_hits == 0:
+            continue
+        bi = idx // (bs * P2)
+        rem = idx % (bs * P2)
+        si = rem // P2
+        pi = rem % P2
+        keep = bi < nb
+        bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
+        spacer_idx = sc[bi] * bs + si
+        pos = tc[bi] * P2 + pi
+        keep2 = spacer_idx < S
+        out.append(
+            Hits(
+                spacer_idx=spacer_idx[keep2].astype(np.int64),
+                pos=pos[keep2].astype(np.int64),
+                strand=np.full(int(keep2.sum()), strand, np.int8),
+                mismatches=mm_vals[keep2].astype(np.int32),
+            )
+        )
     return Hits.concat(out).sorted()

@@ -68,26 +68,30 @@ def bench_kernel_phase(contig, spacers) -> dict:
 
     q_f = spacer_matrix(spacers)
     scan = build_scan_array(contig, L)
-    S_pad = ps._geom_bucket(len(spacers), ps.BS)
+    S_pad = ps._geom_bucket(len(spacers), 512)  # matches BS_M below
     n_b = ps._geom_bucket(contig.length, P)
     scan_padded = np.full(n_b + halo, 4, dtype=np.int8)
     scan_padded[: len(scan)] = scan
     scan_dev = jnp.asarray(scan_padded)
     q_oh = np.zeros((S_pad, K), np.float32)
     q_oh[: len(spacers)] = ps.onehot_rows(q_f, K)
+    if 4 * L < K:
+        q_oh[:, 4 * L] = 1.0  # folded-bias column (see pallas_scan)
     q_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
     shift_f, pat_f, _, _ = ps._pam_specs(PAM, "downstream", L)
     pat_arr = np.full(ps.MAX_PAM, 7, dtype=np.int8)
     pat_arr[: len(pat_f)] = pat_f
     SUB = P // 512
-    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB, circular=True)
+    BS_M = 512
+    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB, BS_M=BS_M, circular=True)
     shift_dev = jnp.int32(shift_f)
     pat_dev = jnp.asarray(pat_arr)
+    thresh_dev = jnp.full((1,), L - V, jnp.float32)
     n_real = jnp.int32(contig.length)
-    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, **args))  # warm
+    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, thresh_dev, **args))  # warm
     REP = 8
     t0 = time.time()
-    futs = [ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, **args) for _ in range(REP)]
+    futs = [ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, thresh_dev, **args) for _ in range(REP)]
     for f in futs:
         np.asarray(f)
     dt = (time.time() - t0) / REP
