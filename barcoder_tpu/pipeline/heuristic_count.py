@@ -67,9 +67,65 @@ class SampleResult:
     num_chunks: int
 
 
+_KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _window_keys(reads: list[str], bc_len: int) -> np.ndarray:
+    """(n, W) uint64 2-bit keys of every bc_len-window of every read; the
+    sentinel where the window contains a non-ACGT byte or runs past the
+    read end. W is keyed to the longest read in the batch."""
+    if not reads:
+        return np.zeros((0, 0), np.uint64)
+    mat = _to_matrix(reads)
+    lens = np.array([len(r) for r in reads], np.int64)
+    codes = _CODE_LUT[mat]  # (n, m) uint8; >=4 = non-ACGT
+    n, m = codes.shape
+    W = m - bc_len + 1
+    if W <= 0:
+        return np.zeros((n, 0), np.uint64)
+    vals = (codes & 3).astype(np.uint64)
+    bad = codes >= 4
+    cs = np.zeros((n, m + 1), np.int32)
+    np.cumsum(bad, axis=1, out=cs[:, 1:])
+    badw = (cs[:, bc_len:] - cs[:, :-bc_len]) > 0  # (n, W)
+    keys = np.zeros((n, W), np.uint64)
+    for j in range(bc_len):
+        keys |= vals[:, j : j + W] << np.uint64(2 * j)
+    oob = np.arange(W)[None, :] > (lens - bc_len)[:, None]
+    keys[badw | oob] = _KEY_SENTINEL
+    return keys
+
+
+def _key_candidates(keys: np.ndarray, sorted_keys: np.ndarray) -> np.ndarray:
+    """Bool mask of windows whose packed key appears in sorted_keys."""
+    if keys.size == 0 or len(sorted_keys) == 0:
+        return np.zeros(keys.shape, bool)
+    idx = np.minimum(np.searchsorted(sorted_keys, keys), len(sorted_keys) - 1)
+    return (sorted_keys[idx] == keys) & (keys != _KEY_SENTINEL)
+
+
+def _csr_rows(mask: np.ndarray):
+    """Row-grouped nonzero columns: (cols, indptr) with row i's candidate
+    positions at cols[indptr[i]:indptr[i+1]], ascending."""
+    r, c = np.nonzero(mask)
+    ptr = np.searchsorted(r, np.arange(mask.shape[0] + 1))
+    return c, ptr
+
+
 def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
     """Reference sample_data (heuristicount.py:156-379): vote orientation and
-    offset from k-mer membership, with the diversity stopping rules."""
+    offset from k-mer membership, with the diversity stopping rules.
+
+    The per-read/per-position logic is the reference's, but the k-mer
+    membership loop only visits *candidate* positions precomputed with a
+    vectorized packed-key match per chunk. Candidates are a provable
+    superset of every position where any of the reference's membership
+    tests (barcodes / rev_barcodes / this-chunk novel_barcodes, all of
+    which contain only library-matching strings) can succeed, because
+    case-insensitive 2-bit packing is coarser than string equality — so
+    replaying the original tests at candidate positions is exact. Falls
+    back to the full per-position loop when barcodes don't pack (length
+    > 32 or non-ACGT letters)."""
     info = log.info if log else (lambda *_: None)
     warn = log.warn if log else (lambda *_: None)
     satisfy_diversity = False
@@ -78,6 +134,12 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
     chunk_generator = iter_read_chunks(
         file1, file2 if is_paired else None, chunk_size=len(barcodes)
     )
+
+    # packed-key candidate prefilter (see docstring); sentinel keys mean
+    # some barcode doesn't 2-bit-pack -> use the unfiltered per-position loop
+    all_keys = _pack_strings(sorted(barcodes) + sorted(rev_barcodes))
+    use_prefilter = bc_len <= 32 and not (all_keys == _KEY_SENTINEL).any()
+    cand_keys = np.sort(all_keys) if use_prefilter else None
 
     diversity_count1 = diversity_count2 = 0
     read1_orients: Counter = Counter()
@@ -101,8 +163,17 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
         novel_barcodes: set = set()
         novel_reads: set = set()
 
-        for read1, read2 in zip(
-            read1_chunk, read2_chunk if read2_chunk else [None] * len(read1_chunk)
+        if use_prefilter:
+            c1_cols, c1_ptr = _csr_rows(
+                _key_candidates(_window_keys(read1_chunk, bc_len), cand_keys)
+            )
+            if is_paired:
+                c2_cols, c2_ptr = _csr_rows(
+                    _key_candidates(_window_keys(read2_chunk, bc_len), cand_keys)
+                )
+
+        for ridx, (read1, read2) in enumerate(
+            zip(read1_chunk, read2_chunk if read2_chunk else [None] * len(read1_chunk))
         ):
             if read1 in novel_reads or (read2 and read2 in novel_reads):
                 continue
@@ -110,7 +181,20 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
             if is_paired:
                 global_novel_reads.add(read2)
 
-            for i in range(len(read1) - bc_len + 1):
+            if use_prefilter:
+                p1 = c1_cols[c1_ptr[ridx] : c1_ptr[ridx + 1]]
+                if is_paired:
+                    p2 = c2_cols[c2_ptr[ridx] : c2_ptr[ridx + 1]]
+                    p2 = p2[p2 <= len(read1) - bc_len]  # the reference's
+                    # position loop is bounded by read1's length
+                    positions = np.union1d(p1, p2) if len(p2) else p1
+                else:
+                    positions = p1
+            else:
+                positions = range(len(read1) - bc_len + 1)
+
+            for i in positions:
+                i = int(i)
                 kmer = read1[i : i + bc_len]
                 if kmer in novel_barcodes:
                     continue

@@ -27,18 +27,24 @@ class MatrixStream:
         self.fh = open_seq_file(path, "rb")
         self.buf = b""
         self.eof = False
+        self._nl = 0  # newlines currently in buf (kept incrementally —
+        # recounting the whole buffer per fill was a top-3 cost at 1M reads)
 
     def close(self):
         self.fh.close()
 
     def _fill(self, want_records: int) -> None:
         need_newlines = want_records * self.lines_per_record + 1
-        while not self.eof and self.buf.count(b"\n") < need_newlines:
+        parts = [self.buf]
+        while not self.eof and self._nl < need_newlines:
             blob = self.fh.read(_SLAB)
             if not blob:
                 self.eof = True
                 break
-            self.buf += blob
+            self._nl += blob.count(b"\n")
+            parts.append(blob)
+        if len(parts) > 1:
+            self.buf = b"".join(parts)
 
     def next_records(self, n: int):
         """Up to n records as (matrix, lengths); None at end of stream."""
@@ -64,12 +70,15 @@ class MatrixStream:
         if take == 0:
             if self.eof:
                 self.buf = b""
+                self._nl = 0
                 return None
             return None
         if take == n_records and tail_complete:
             cut = len(self.buf)
+            self._nl = 0
         else:
             cut = int(nl[take * lpr - 1]) + 1
+            self._nl -= take * lpr
         chunk, self.buf = self.buf[:cut], self.buf[cut:]
 
         # row width = longest sequence line in the chunk
