@@ -28,7 +28,7 @@ _tried = False
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         _SRC, "-o", _LIB_PATH,
     ]
     try:
@@ -77,6 +77,8 @@ def get_lib():
             ctypes.c_char_p, ll, ctypes.c_char_p, ll, ll,
             u64p, ll, llp, llp, ll,
         ]
+        lib.sp_count_exact_mt.restype = ll
+        lib.sp_count_exact_mt.argtypes = lib.sp_count_exact.argtypes + [ll]
         _lib = lib
         return _lib
 
@@ -196,20 +198,28 @@ def count_exact(
     bc_len: int,
     bc_keys_sorted: np.ndarray,
     max_undoc: int = 1 << 20,
+    n_threads: int | None = None,
 ):
     """Native single-end exact counting; returns (doc_counts int64 aligned
-    with bc_keys_sorted, undoc_row_indices). None if native unavailable."""
+    with bc_keys_sorted, undoc_row_indices). None if native unavailable.
+
+    n_threads defaults to the reference's worker policy, cpu_count() // 2
+    (heuristicount.py:720-722), capped at 16; results are deterministic
+    and identical to the single-thread loop."""
     lib = get_lib()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = min(max((os.cpu_count() or 2) // 2, 1), 16)
     reads_mat = np.ascontiguousarray(reads_mat, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     bc_keys_sorted = np.ascontiguousarray(bc_keys_sorted, dtype=np.uint64)
     doc = np.zeros(len(bc_keys_sorted), dtype=np.int64)
     undoc = np.zeros(max_undoc, dtype=np.int64)
-    n_undoc = lib.sp_count_exact(
+    n_undoc = lib.sp_count_exact_mt(
         reads_mat, lengths, reads_mat.shape[0], reads_mat.shape[1],
         start, l_flank.encode(), len(l_flank), r_flank.encode(), len(r_flank),
         bc_len, bc_keys_sorted, len(bc_keys_sorted), doc, undoc, max_undoc,
+        n_threads,
     )
     return doc, undoc[:n_undoc]

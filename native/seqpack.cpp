@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -193,6 +195,56 @@ long long sp_count_exact(const unsigned char* reads, const long long* lengths,
         }
         if (n_undoc < max_undoc) undoc_rows[n_undoc++] = r;
     }
+    return n_undoc;
+}
+
+// Multithreaded wrapper over the same per-row logic: rows are split into
+// contiguous ranges, each thread tallies into private doc/undoc buffers,
+// and results merge deterministically (doc by summation; undoc rows
+// concatenated in thread order, so indices stay grouped-ascending). The
+// reference parallelizes this loop with a fork pool of cpu_count()//2
+// Python workers (heuristicount.py:720-722).
+long long sp_count_exact_mt(const unsigned char* reads, const long long* lengths,
+                            long long rows, long long width,
+                            long long start, const char* l_flank, long long l_len,
+                            const char* r_flank, long long r_len, long long bc_len,
+                            const unsigned long long* bc_keys_sorted, long long n_bc,
+                            long long* doc_counts, long long* undoc_rows,
+                            long long max_undoc, long long n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > rows) n_threads = rows > 0 ? rows : 1;
+    if (n_threads == 1)
+        return sp_count_exact(reads, lengths, rows, width, start, l_flank, l_len,
+                              r_flank, r_len, bc_len, bc_keys_sorted, n_bc,
+                              doc_counts, undoc_rows, max_undoc);
+    std::vector<std::vector<long long>> docs((size_t)n_threads,
+                                             std::vector<long long>((size_t)n_bc, 0));
+    std::vector<std::vector<long long>> undocs((size_t)n_threads);
+    std::vector<std::thread> workers;
+    long long per = (rows + n_threads - 1) / n_threads;
+    for (long long t = 0; t < n_threads; t++) {
+        long long r0 = t * per;
+        long long r1 = r0 + per < rows ? r0 + per : rows;
+        if (r0 >= r1) break;
+        workers.emplace_back([=, &docs, &undocs]() {
+            std::vector<long long>& undoc = undocs[(size_t)t];
+            undoc.resize((size_t)max_undoc);
+            long long n = sp_count_exact(reads + r0 * width, lengths + r0,
+                                         r1 - r0, width, start, l_flank, l_len,
+                                         r_flank, r_len, bc_len, bc_keys_sorted,
+                                         n_bc, docs[(size_t)t].data(),
+                                         undoc.data(), max_undoc);
+            undoc.resize((size_t)n);
+            for (long long& v : undoc) v += r0;  // back to global row indices
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (long long t = 0; t < (long long)docs.size(); t++)
+        for (long long b = 0; b < n_bc; b++) doc_counts[b] += docs[(size_t)t][b];
+    long long n_undoc = 0;
+    for (auto& u : undocs)
+        for (long long v : u)
+            if (n_undoc < max_undoc) undoc_rows[n_undoc++] = v;
     return n_undoc;
 }
 
