@@ -301,6 +301,14 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
     gathers fused into this one dispatch (each extra dispatch is a full
     round trip on tunneled links).
 
+    Compaction is HIERARCHICAL: XLA lowers sized nonzero as a sort, and a
+    flat nonzero over the full B*bs*P hit tensor (67M elements at design
+    batch sizes) measured ~0.8 s — so first compact the (B*bs,) rows that
+    contain any hit (a row = one spacer in one subtile, so n_rows <=
+    n_hits), then nonzero only the gathered rows. Row capacity cap//16
+    scales with the caller's retry doubling; overflow of either level is
+    signaled through the returned count.
+
     q_blocks_all (n_sblocks, BS, K) bf16; tiles (n_tiles, 1, P + K//4);
     mask_tiles (n_tiles, 1, P); sc_p/tc_p (B,) pair indices; valid (B,)
     masks padding pairs →
@@ -319,10 +327,25 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
         & (mask_chunk[:, 0, :][:, None, :] > 0)
         & valid[:, None, None]
     )
-    flat = hit.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
-    mm_vals = mm.reshape(-1)[jnp.clip(idx, 0, flat.shape[0] - 1)]
-    return idx.astype(jnp.int32), mm_vals, flat.sum().astype(jnp.int32)
+    B, bs_, P_ = hit.shape
+    rows = hit.reshape(B * bs_, P_)
+    cap_rows = max(cap // 16, 256)
+    anyrow = rows.any(axis=1)
+    n_rows = anyrow.sum().astype(jnp.int32)
+    (ridx,) = jnp.nonzero(anyrow, size=cap_rows, fill_value=-1)
+    safe = jnp.clip(ridx, 0, B * bs_ - 1)
+    sub_hit = rows[safe] & (ridx >= 0)[:, None]  # (cap_rows, P)
+    sub_mm = mm.reshape(B * bs_, P_)[safe]
+    flat2 = sub_hit.reshape(-1)
+    (k,) = jnp.nonzero(flat2, size=cap, fill_value=-1)
+    k_safe = jnp.clip(k, 0, flat2.shape[0] - 1)
+    mm_vals = sub_mm.reshape(-1)[k_safe]
+    row_g = ridx[k_safe // P_]
+    idx = jnp.where(k >= 0, row_g * P_ + k % P_, -1).astype(jnp.int32)
+    n_hits = hit.sum().astype(jnp.int32)
+    # row overflow -> force a caller retry even when n_hits <= cap
+    n_signal = jnp.where(n_rows > cap_rows, jnp.maximum(n_hits, cap + 1), n_hits)
+    return idx, mm_vals, n_signal
 
 
 def _pam_specs(pam: str, direction: str, L: int):
@@ -493,9 +516,11 @@ def extract_hits_for_pairs(
 ) -> list[Hits]:
     """Phase-2 driver shared by the single-chip and sharded paths: score the
     nonzero (tile, spacer-block) pairs in bucketed batches (one fused
-    dispatch each) with on-device hit compaction, returning Hits
-    fragments."""
+    dispatch each) with on-device hit compaction, returning Hits fragments.
+    All batches are dispatched before any result is fetched (each fetch is
+    a full round trip on tunneled links); overflow retries synchronously."""
     out: list[Hits] = []
+    pending = []
     for c0 in range(0, len(t_idx), extract_batch):
         tc = t_idx[c0 : c0 + extract_batch]
         sc = s_idx[c0 : c0 + extract_batch]
@@ -507,16 +532,21 @@ def extract_hits_for_pairs(
         valid = np.zeros(bucket, dtype=bool)
         valid[:nb] = True
         cap = 1 << 16
-        while True:
-            idx, mm_vals, n_hits = _extract_chunk(
-                q_blocks_all, tiles, mask_tiles,
-                jnp.asarray(tc_p * 0 + sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
-                L=L, K=K, P=P, thresh=thresh, cap=cap,
-            )
-            n_hits = int(n_hits)
-            if n_hits <= cap:
-                break
+        args = (
+            q_blocks_all, tiles, mask_tiles,
+            jnp.asarray(tc_p * 0 + sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+        )
+        kw = dict(L=L, K=K, P=P, thresh=thresh)
+        fut = _extract_chunk(*args, cap=cap, **kw)
+        pending.append((tc, sc, nb, cap, fut, args, kw))
+
+    for tc, sc, nb, cap, fut, args, kw in pending:
+        idx, mm_vals, n_hits = fut
+        n_hits = int(n_hits)
+        while n_hits > cap:
             cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+            idx, mm_vals, n_hits = _extract_chunk(*args, cap=cap, **kw)
+            n_hits = int(n_hits)
         idx = np.asarray(idx)[:n_hits]
         mm_vals = np.asarray(mm_vals)[:n_hits]
         if n_hits == 0:
@@ -542,6 +572,47 @@ def extract_hits_for_pairs(
 
 
 MAX_PAM = 12  # pattern slots in the traced PAM spec (reference PAMs are 2-4 nt)
+
+
+def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
+    """int8 codes 0..7 → uint8 nibble pairs (even index = low nibble).
+
+    Host→device transfer is the dominant end-to-end cost on tunneled links
+    (~50 MB/s measured); scan codes need 3 bits (0-5 incl. N and the OOB
+    sentinel), so nibble packing halves the shipped bytes losslessly."""
+    a = arr.astype(np.uint8)
+    if len(a) % 2:
+        a = np.concatenate([a, np.zeros(1, np.uint8)])
+    return (a[0::2] | (a[1::2] << 4)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("total",))
+def _unpack_nibbles(packed, *, total):
+    lo = packed & 0xF
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=1).reshape(-1)[:total].astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "fold"))
+def _q_onehot_device(q_codes, *, K, fold):
+    """(S_pad, L) int8 spacer codes → ((S_pad, K) bf16 fwd, rev) one-hot
+    matrices built on device — only ~L bytes/spacer cross the link instead
+    of 2K. Layout col = 4j + base (N rows zero); constant-1 column at 4L
+    when ``fold`` (folded-bias kernel contract, incl. padding rows)."""
+    S_pad, L = q_codes.shape
+    c = q_codes.astype(jnp.int32)
+    comp = jnp.where(c < 4, 3 - c, c)[:, ::-1]  # revcomp, N stays N
+
+    def onehot(cc):
+        oh = cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+        flat = oh.reshape(S_pad, 4 * L).astype(jnp.bfloat16)
+        if 4 * L < K:
+            flat = jnp.pad(flat, ((0, 0), (0, K - 4 * L)))
+        if fold:
+            flat = flat.at[:, 4 * L].set(1.0)
+        return flat
+
+    return onehot(c), onehot(comp)
 
 
 def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
@@ -597,19 +668,26 @@ def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_starts", "P", "halo", "L", "K", "SUB", "BS_M", "circular", "interpret",
+        "n_starts", "P", "halo", "L", "K", "SUB", "BS_M", "pair_cap", "circular",
+        "interpret",
     ),
 )
 def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, halo,
-                L, K, SUB, BS_M=BS, circular, interpret=False):
+                L, K, SUB, BS_M=BS, pair_cap=0, circular, interpret=False):
     """One-dispatch phase 1: overlapped tiles, the PAM site mask, and the
     bias are all built on device from the 1-D int8 scan array, then the
     Pallas kernel runs — a single host round trip per strand (dispatch
     latency dominates on tunneled dev links). shift/pat/thresh are traced
     (see _pam_ok_device) so both strands, every PAM, and every mismatch
-    budget share one executable. Returns the scan_block_hits indicator
-    output: entry > 0 iff the (subtile, spacer-block) pair has a score
-    >= thresh."""
+    budget share one executable.
+
+    With pair_cap == 0, returns the scan_block_hits indicator tensor
+    (n_tiles, n_sb_pad8, SUB), entry > 0 iff the (subtile, spacer-block)
+    pair has a score >= thresh. With pair_cap > 0, the nonzero entries are
+    compacted ON DEVICE and only (flat_idx int32 (pair_cap,) -1-filled,
+    n_pairs int32) come back — a few-KB d2h instead of the multi-MB tensor
+    (the dominant fetch cost on tunneled links); callers retry with a
+    bigger cap when n_pairs > pair_cap."""
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
         scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
@@ -617,10 +695,15 @@ def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, 
     n_tiles = _cdiv(n_starts, P)
     bias = jnp.where(ok, 0.0, MASK_BIAS).astype(jnp.float32).reshape(n_tiles, 1, P)
     fold = 4 * L < K  # caller must have set q_onehot[:, 4L] = 1 when it holds
-    return scan_block_hits(
+    ind = scan_block_hits(
         thresh, q_onehot, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
         interpret=interpret, fold_bias=fold,
     )
+    if pair_cap == 0:
+        return ind
+    flat = ind.reshape(-1) > 0
+    (pairs,) = jnp.nonzero(flat, size=pair_cap, fill_value=-1)
+    return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
 
 
 def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: int):
@@ -733,7 +816,6 @@ def pallas_scan(
     # total device halo also carries MAX_PAM extra wrap codes so the
     # slice-based PAM mask can read past position n (see _pam_ok_device)
     halo_total = halo + MAX_PAM
-    q_r = revcomp_matrix(q_f)
     scan = build_scan_array(contig, L)
     n = contig.length
     n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
@@ -755,7 +837,10 @@ def pallas_scan(
     # bucket the genome axis so the fused jits recompile only per size
     # bucket, not per genome
     n_starts_b = _geom_bucket(n_starts, P)
-    scan_dev = jnp.asarray(prep_scan_padded(contig, scan, L, n_starts_b, halo_total))
+    scan_padded = prep_scan_padded(contig, scan, L, n_starts_b, halo_total)
+    scan_dev = _unpack_nibbles(
+        jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
+    )
     n_real = jnp.int32(contig.length)
     n_tiles2 = _cdiv(n_starts_b, P2)
 
@@ -771,32 +856,30 @@ def pallas_scan(
     pat_dev = {STRAND_F: _pat_arr(pat_f), STRAND_R: _pat_arr(pat_r)}
     shift_dev = {STRAND_F: jnp.int32(shift_f), STRAND_R: jnp.int32(shift_r)}
 
-    q_oh_f = np.zeros((S_pad, K), dtype=np.float32)
-    q_oh_f[:S] = onehot_rows(q_f, K)
-    q_oh_r = np.zeros((S_pad, K), dtype=np.float32)
-    q_oh_r[:S] = onehot_rows(q_r, K)
-    if 4 * L < K:
-        # constant-1 column feeding the folded bias row (phase1_full);
-        # harmless in phase 2, whose G keeps rows >= 4L zero.
-        q_oh_f[:, 4 * L] = 1.0
-        q_oh_r[:, 4 * L] = 1.0
-    q_dev = {
-        STRAND_F: jnp.asarray(q_oh_f, dtype=jnp.bfloat16),
-        STRAND_R: jnp.asarray(q_oh_r, dtype=jnp.bfloat16),
-    }
+    # ship spacer codes once (S_pad x L int8); both strands' one-hot rows
+    # (incl. the constant-1 folded-bias column, harmless in phase 2 whose G
+    # keeps rows >= 4L zero) are built on device.
+    q_pad = np.full((S_pad, L), 4, dtype=np.int8)
+    q_pad[:S] = q_f
+    q_f_dev, q_r_dev = _q_onehot_device(
+        jnp.asarray(q_pad), K=K, fold=4 * L < K
+    )
+    q_dev = {STRAND_F: q_f_dev, STRAND_R: q_r_dev}
     specs = {STRAND_F: (shift_f, pat_f), STRAND_R: (shift_r, pat_r)}
 
     # dispatch phase 1 for both strands before fetching either (overlaps
     # device work with the tunnel round trip)
     thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
-    futures = {}
-    for strand in (STRAND_F, STRAND_R):
-        shift, pat = specs[strand]
-        futures[strand] = phase1_full(
+    pair_cap = 1 << 14
+
+    def _phase1(strand, cap_p):
+        return phase1_full(
             scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
             thresh_dev, n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-            BS_M=bs, circular=circular, interpret=interpret,
+            BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
         )
+
+    futures = {strand: _phase1(strand, pair_cap) for strand in (STRAND_F, STRAND_R)}
 
     # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
     # compacted on device (fixed capacity + overflow retry). ALL batches for
@@ -805,11 +888,25 @@ def pallas_scan(
     # overlaps device work with transfer latency. Overflow (rare: cap is
     # 64k hits per <=1024-pair batch) falls back to a synchronous retry.
     pending = []  # (strand, tc, sc, nb, cap, (idx, mm, n_hits) futures)
+    n_sblocks = S_pad // bs
+    n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
     for strand in (STRAND_F, STRAND_R):
-        block_hits = np.asarray(futures[strand])  # (n_tiles, n_sblocks, SUB)
-        t_big, s_idx, sub_idx = np.nonzero(block_hits > 0.5)
-        if len(t_big) == 0:
+        pairs, n_pairs = futures[strand]
+        n_pairs = int(n_pairs)
+        cap_p = pair_cap
+        while n_pairs > cap_p:  # rare: designs with very dense hits
+            cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
+            pairs, n_pairs = _phase1(strand, cap_p)
+            n_pairs = int(n_pairs)
+        pairs = np.asarray(pairs)[:n_pairs]
+        if n_pairs == 0:
             continue
+        # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator padding
+        # rows are zero, so s_idx < n_sblocks always
+        t_big = pairs // (n_sb_pad8 * SUB)
+        rem = pairs % (n_sb_pad8 * SUB)
+        s_idx = rem // SUB
+        sub_idx = rem % SUB
         t_idx = t_big * SUB + sub_idx  # subtile index on the P2 grid
         in_range = t_idx < n_tiles2
         t_idx, s_idx = t_idx[in_range], s_idx[in_range]

@@ -83,17 +83,18 @@ def bench_kernel_phase(contig, spacers) -> dict:
     pat_arr[: len(pat_f)] = pat_f
     SUB = P // 512
     BS_M = 512
-    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB, BS_M=BS_M, circular=True)
+    args = dict(n_starts=n_b, P=P, halo=halo, L=L, K=K, SUB=SUB, BS_M=BS_M,
+                pair_cap=1 << 14, circular=True)
     shift_dev = jnp.int32(shift_f)
     pat_dev = jnp.asarray(pat_arr)
     thresh_dev = jnp.full((1,), L - V, jnp.float32)
     n_real = jnp.int32(contig.length)
-    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, thresh_dev, **args))  # warm
+    np.asarray(ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, thresh_dev, **args)[0])  # warm
     REP = 8
     t0 = time.time()
     futs = [ps.phase1_full(scan_dev, n_real, q_dev, shift_dev, pat_dev, thresh_dev, **args) for _ in range(REP)]
     for f in futs:
-        np.asarray(f)
+        np.asarray(f[0])
     dt = (time.time() - t0) / REP
     rate = len(spacers) * contig.length / dt
     return {
