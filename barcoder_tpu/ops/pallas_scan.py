@@ -329,7 +329,9 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
     )
     B, bs_, P_ = hit.shape
     rows = hit.reshape(B * bs_, P_)
-    cap_rows = max(cap // 16, 256)
+    # floor sized for design-scale batches (~1-2 hit rows per pair at
+    # EXTRACT_BATCH pairs); the gather below is (cap_rows, P) int32
+    cap_rows = max(cap // 16, 2 * EXTRACT_BATCH)
     anyrow = rows.any(axis=1)
     n_rows = anyrow.sum().astype(jnp.int32)
     (ridx,) = jnp.nonzero(anyrow, size=cap_rows, fill_value=-1)
@@ -371,12 +373,18 @@ def _pam_specs(pam: str, direction: str, L: int):
     raise ValueError(f"pam direction must be 'downstream' or 'upstream', got {direction!r}")
 
 
+EXTRACT_BATCH = 4096  # pairs per phase-2 dispatch: dispatch latency is the
+# cost on tunneled links, and at bs=512/P2=128 a 4096-pair batch stays
+# ~3 GB of HBM intermediates — design-scale scans (every candidate hits its
+# own site -> pairs ~ S) drop from hundreds of dispatches to a handful
+
+
 def _batch_buckets(n: int) -> int:
     """Pad pair batches to a few fixed sizes so compiles are reused."""
-    for b in (32, 256, 1024):
+    for b in (32, 256, 1024, EXTRACT_BATCH):
         if n <= b:
             return b
-    return 1024
+    return EXTRACT_BATCH
 
 
 def _geom_bucket(n: int, quantum: int) -> int:
@@ -870,7 +878,10 @@ def pallas_scan(
     # dispatch phase 1 for both strands before fetching either (overlaps
     # device work with the tunnel round trip)
     thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
-    pair_cap = 1 << 14
+    # design-style scans produce >= one pair per spacer (every candidate
+    # hits its own site), so size the device-side pair compaction to the
+    # library upfront — a phase-1 overflow retry re-runs the whole kernel
+    pair_cap = 1 << max(14, (S_pad - 1).bit_length())
 
     def _phase1(strand, cap_p):
         return phase1_full(
@@ -912,9 +923,9 @@ def pallas_scan(
         t_idx, s_idx = t_idx[in_range], s_idx[in_range]
 
         q_blocks_all = q_dev[strand].reshape(-1, bs, K)
-        for c0 in range(0, len(t_idx), 1024):
-            tc = t_idx[c0 : c0 + 1024]
-            sc = s_idx[c0 : c0 + 1024]
+        for c0 in range(0, len(t_idx), EXTRACT_BATCH):
+            tc = t_idx[c0 : c0 + EXTRACT_BATCH]
+            sc = s_idx[c0 : c0 + EXTRACT_BATCH]
             nb = len(tc)
             bucket = _batch_buckets(nb)
             pad = bucket - nb
@@ -922,7 +933,9 @@ def pallas_scan(
             sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
             valid = np.zeros(bucket, dtype=bool)
             valid[:nb] = True
-            cap = 1 << 16
+            # hits/pair is ~1 for design-style scans; 4x headroom keeps the
+            # per-batch idx+mm d2h small (overflow retries double it)
+            cap = max(1 << 14, bucket * 4)
             args = (
                 q_blocks_all, scan_dev, n_real,
                 shift_dev[strand], pat_dev[strand],

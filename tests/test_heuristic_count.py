@@ -256,3 +256,63 @@ class TestEndToEnd:
         parsed = dict(l.split("\t") for l in lines)
         for bc, cnt in parsed.items():
             assert truth[bc] == int(cnt)
+
+
+class TestSamplingPrefilter:
+    """The packed-key candidate prefilter in sample_reads must replay the
+    reference's membership tests exactly (candidates are a superset; the
+    original string tests decide) and fall back for unpackable barcodes."""
+
+    def test_lowercase_kmer_does_not_match(self, tmp_path):
+        # packing is case-insensitive (a superset source), but membership is
+        # string equality: a lowercase copy of a barcode must not vote
+        barcodes = make_barcodes()
+        reads1, reads2, _ = make_reads(barcodes, n_reads=1200)
+        lower = (PREFIX + L_FLANK + barcodes[0] + R_FLANK + TAIL).lower()
+        reads1 = [lower] * 50 + reads1
+        reads2 = [revcomp(lower)] * 50 + reads2
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        s = sample_reads(str(f1), str(f2), set(barcodes), True)
+        assert s.bc_start1 == len(PREFIX) + len(L_FLANK)
+        assert not any(r.islower() for r in s.sample1)
+
+    def test_n_barcode_falls_back_and_matches(self, tmp_path):
+        # an N in a barcode defeats 2-bit packing -> unfiltered loop; the
+        # N-containing barcode still matches by string equality
+        barcodes = make_barcodes()
+        bc_n = "N" + barcodes[0][1:]
+        all_bcs = set(barcodes) | {bc_n}
+        pool = []
+        for bc in barcodes:
+            pool.extend([bc, bc_n])  # interleave so sampling sees bc_n early
+        reads = [PREFIX + L_FLANK + bc + R_FLANK + TAIL for bc in pool * 30]
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads)
+        s = sample_reads(str(f1), None, all_bcs, False)
+        assert s.bc_start1 == len(PREFIX) + len(L_FLANK)
+        assert bc_n in s.observed_barcodes
+
+    def test_prefilter_matches_unfiltered_result(self, tmp_path, monkeypatch):
+        # same inputs through both paths -> identical SampleResult fields
+        import barcoder_tpu.pipeline.heuristic_count as hc
+
+        barcodes = make_barcodes(n=15)
+        reads1, reads2, _ = make_reads(barcodes, n_reads=400, seed=7)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        fast = sample_reads(str(f1), str(f2), set(barcodes), True)
+        monkeypatch.setattr(
+            hc, "_pack_strings",
+            lambda seqs: np.full(len(seqs), hc._KEY_SENTINEL, np.uint64),
+        )  # force the fallback path
+        slow = sample_reads(str(f1), str(f2), set(barcodes), True)
+        assert fast.bc_start1 == slow.bc_start1
+        assert fast.bc_start2 == slow.bc_start2
+        assert fast.sample1 == slow.sample1
+        assert fast.sample2 == slow.sample2
+        assert fast.observed_barcodes == slow.observed_barcodes
+        assert fast.new_reads_sampled == slow.new_reads_sampled
+        assert fast.num_chunks == slow.num_chunks
