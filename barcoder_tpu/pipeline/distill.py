@@ -40,48 +40,64 @@ def get_output_filename(filename: str) -> str:
 
 
 def _iter_tuple_chunks(filenames: list[str], chunk_size: int):
-    """Yield lists of per-file sequence lists, co-indexed, chunk_size at a
-    time."""
-    from ..seqio.fasta import iter_fastq, open_seq_file, strip_compression_ext
+    """Yield lists of per-file numpy 'S' sequence arrays, co-indexed,
+    chunk_size at a time.
 
-    handles = []
-    iters = []
-    for fn in filenames:
-        stripped = strip_compression_ext(fn)
-        fh = open_seq_file(fn)
-        handles.append(fh)
-        if stripped.endswith(".fastq") or stripped.endswith(".fq"):
-            iters.append((seq for _, seq, _ in iter_fastq(fh)))
-        else:
-            iters.append((line.rstrip("\n") for line in fh))
+    Reads ride the slab reader (native FASTQ parse) straight into
+    fixed-width byte matrices viewed as null-padded 'S' strings — never
+    materializing per-read Python strings (the reference's per-line reader
+    loop, distillreads.py:47-87, was the measured hot spot here too).
+    Null padding sorts below every base character, so lexicographic order
+    over the padded rows equals Python string order. Like the reference's
+    ``zip(*files)``, iteration stops at the shortest file."""
+    from ..seqio.fast_reader import MatrixStream
+
+    streams = [MatrixStream(fn) for fn in filenames]
     try:
         while True:
-            cols = [[] for _ in filenames]
-            done = False
-            for _ in range(chunk_size):
-                try:
-                    row = [next(it) for it in iters]
-                except StopIteration:
-                    done = True
-                    break
-                for c, v in zip(cols, row):
-                    c.append(v)
-            if cols[0]:
-                yield cols
-            if done:
+            batches = [s.next_records(chunk_size) for s in streams]
+            if any(b is None for b in batches):
                 break
+            n = min(len(b[0]) for b in batches)
+            if n == 0:
+                break
+            cols = []
+            for mat, _lens in batches:
+                mat = np.ascontiguousarray(mat[:n])
+                w = max(mat.shape[1], 1)
+                cols.append(mat.view(f"S{w}").ravel())
+            yield cols
+            if any(len(b[0]) > n for b in batches):
+                break  # a shorter file ended mid-chunk: zip semantics
     finally:
-        for fh in handles:
-            fh.close()
+        for s in streams:
+            s.close()
 
 
-def _sort_chunk(cols: list[list[str]]) -> list[np.ndarray]:
+def _sort_chunk(cols: list[np.ndarray]) -> list[np.ndarray]:
     """Sort co-indexed read tuples lexicographically (file order = key
     priority) via numpy byte-matrix lexsort."""
-    arrays = [np.array(c, dtype="S") for c in cols]
+    arrays = [np.asarray(c, dtype="S") for c in cols]
     # np.lexsort sorts by the LAST key primarily
     order = np.lexsort(arrays[::-1])
     return [a[order] for a in arrays]
+
+
+def _write_seq_array(fh, a: np.ndarray) -> None:
+    """Write one sequence per line from an 'S' array without a per-row
+    Python loop when rows are uniform width (the common case)."""
+    n = len(a)
+    if n == 0:
+        return
+    w = a.dtype.itemsize
+    mat = a.view(np.uint8).reshape(n, w)
+    if mat[:, -1].all():  # no null padding anywhere: uniform full-width rows
+        out = np.empty((n, w + 1), np.uint8)
+        out[:, :w] = mat
+        out[:, w] = 10
+        fh.write(out.tobytes())
+    else:
+        fh.write(b"\n".join(a.tolist()) + b"\n")  # tolist strips null padding
 
 
 def _write_run(arrays: list[np.ndarray], tmpdir: str, run_id: int) -> str:
@@ -131,29 +147,32 @@ def distill_reads(
             else:
                 in_memory.append(arrays)
 
-        writers = [zstd.open(out, "wt") for out in outputs]
-        try:
-            if spilling:  # external k-way merge of sorted zstd runs
+        if spilling:  # external k-way merge of sorted zstd runs
+            writers = [zstd.open(out, "wt") for out in outputs]
+            try:
                 for row in heapq.merge(*(_iter_run(r) for r in runs)):
                     for fh, seq in zip(writers, row):
                         fh.write(seq + "\n")
-            elif len(in_memory) <= 1:
-                arrays = in_memory[0] if in_memory else [np.array([], dtype="S1")] * len(filenames)
+            finally:
+                for fh in writers:
+                    fh.close()
+        else:
+            writers = [zstd.open(out, "wb") for out in outputs]
+            try:
+                if len(in_memory) <= 1:
+                    arrays = in_memory[0] if in_memory else [np.array([], dtype="S1")] * len(filenames)
+                else:
+                    # merge fully in memory: concatenate columns, one global sort
+                    cols = [
+                        np.concatenate([run[i] for run in in_memory])
+                        for i in range(len(filenames))
+                    ]
+                    order = np.lexsort(cols[::-1])
+                    arrays = [a[order] for a in cols]
                 for fh, a in zip(writers, arrays):
-                    for seq in a:
-                        fh.write(seq.decode("ascii") + "\n")
-            else:
-                # merge fully in memory: concatenate columns, one global sort
-                cols = [
-                    np.concatenate([run[i] for run in in_memory])
-                    for i in range(len(filenames))
-                ]
-                order = np.lexsort(cols[::-1])
-                for fh, a in zip(writers, cols):
-                    for seq in a[order]:
-                        fh.write(seq.decode("ascii") + "\n")
-        finally:
-            for fh in writers:
-                fh.close()
+                    _write_seq_array(fh, a)
+            finally:
+                for fh in writers:
+                    fh.close()
     info(f"wrote {', '.join(outputs)}")
     return outputs

@@ -104,6 +104,32 @@ def bench_kernel_phase(contig, spacers) -> dict:
     }
 
 
+def bench_design_scale() -> dict:
+    """Secondary metric: the design workload's all-vs-all off-target scan —
+    every NGG-adjacent 20-mer of a 1 Mb circular genome mapped back against
+    it at v=1 (reference: design_guides.py enumeration + subprocess
+    targets.py). Dense-hit structure (every candidate hits its own site)
+    exercises the pair-compaction + batched-extraction path."""
+    from barcoder_tpu.core.encode import decode, encode
+    from barcoder_tpu.core.genome import Contig, Genome
+    from barcoder_tpu.pipeline.design import find_candidate_guides
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+
+    n = 1_000_000
+    rng = np.random.default_rng(0)
+    seq = decode(rng.integers(0, 4, size=n).astype(np.int8))
+    contig = Contig(id="D.1", length=n, codes=encode(seq), seq=seq, topology="circular")
+    cands = find_candidate_guides(Genome(contigs=[contig]), 20, "NGG")
+    pallas_scan(cands, contig, 1, pam="NGG")  # warm
+    t0 = time.time()
+    hits = pallas_scan(cands, contig, 1, pam="NGG")
+    dt = time.time() - t0
+    return {
+        "candidates": len(cands), "genome_bp": n, "hits": len(hits.pos),
+        "design_scan_s": dt, "pairs_per_s": len(cands) * n * 2 / dt,
+    }
+
+
 def bench_counting() -> dict:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine)."""
@@ -206,6 +232,7 @@ def inner_main() -> int:
 
     kernel = bench_kernel_phase(contig, spacers)
     counting = bench_counting()
+    design = bench_design_scale()
 
     pairs = len(spacers) * contig.length * 2  # both strands
     rate = pairs / total_s
@@ -226,6 +253,7 @@ def inner_main() -> int:
             "first_call_s": warm_s,
             "kernel": kernel,
             "counting": counting,
+            "design": design,
         },
     }
     print(json.dumps(result))
