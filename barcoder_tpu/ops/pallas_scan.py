@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.genome import Contig
 from ..utils.jaxcache import enable_compilation_cache
-from .prep import build_scan_array, revcomp_matrix, spacer_matrix
+from .prep import build_scan_array, spacer_matrix
 from .types import STRAND_F, STRAND_R, Hits
 
 enable_compilation_cache()
