@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
 def run_mismatches(args, params: MismatchParams, out=None) -> None:
     out = out if out is not None else sys.stdout
     data = pd.read_csv(args.spacers_file, sep="\t")
+    if "target" not in data.columns:  # reference assumes it (mismatch.py:133)
+        raise SystemExit(
+            f"mismatches mode needs a 'target' column in {args.spacers_file} "
+            f"(found: {', '.join(map(str, data.columns))})"
+        )
     out.write("\t".join(["original", "variant", "change_description", "y_pred"]) + "\n")
     for _, row in data.iterrows():
         spacer_original = row["target"]
