@@ -98,3 +98,19 @@ def test_grouped_chunking_and_valid_mask():
     all_hits = Hits.concat(parts)
     assert len(all_hits) == 5 * 4
     assert sorted(set(all_hits.pos.tolist())) == [10, 300, 700, 1100]
+
+
+def test_geom_bucket_properties():
+    from barcoder_tpu.ops.pallas_scan import _geom_bucket
+
+    for q in (1, 128, 512, 16384):
+        prev = 0
+        for n in list(range(1, 4 * q + 3, max(q // 3, 1))) + [10**6, 10**7]:
+            b = _geom_bucket(n, q)
+            assert b >= n, (n, q, b)
+            assert b % q == 0, (n, q, b)
+            assert b <= 2 * max(n, q), (n, q, b)  # <= 100% waste floor
+            if n > 4 * q:
+                assert b < 1.26 * n, (n, q, b)  # fine buckets: <= 25% waste
+            assert b >= prev or n < prev, (n, q, b)
+            prev = b
