@@ -120,7 +120,7 @@ def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P,
 
 
 def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
-                      seg_scratch, *, L, K, P, SUB, BS_M, fold_bias):
+                      seg_scratch, *, L, K, P, SUB, BS_M, fold_bias, bias_rows=1):
     """Phase-1 body (hit-indicator variant): per (spacer-block, subtile)
     count of subtile-columns whose best score clears the threshold.
 
@@ -156,7 +156,11 @@ def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
             for b in range(4):
                 g_scratch[4 * j + b, :] = (window[0, :] == b).astype(g_scratch.dtype)
         if fold_bias:
-            g_scratch[4 * L, :] = bias_ref[0, 0, :].astype(g_scratch.dtype)
+            # Multiple bias rows support strand-fused scans: row 4L = fwd
+            # mask, row 4L+1 = rev mask; each Q row carries a constant 1 in
+            # exactly one of the paired columns.
+            for i in range(bias_rows):
+                g_scratch[4 * L + i, :] = bias_ref[0, i, :].astype(g_scratch.dtype)
 
     scores = jnp.dot(
         q_ref[:], g_scratch[:], preferred_element_type=jnp.float32
@@ -186,8 +190,13 @@ def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
     (subtile, spacer-block) pair contains a hit — SUB rides the lane dim
     (full-width block, no lane padding) and the spacer-block dim is padded
     to a multiple of 8 sublanes; padding rows are zero."""
-    if fold_bias and 4 * L >= K:
-        raise ValueError(f"fold_bias needs a spare G row: 4L={4*L} >= K={K}")
+    bias_rows = bias_tiles.shape[1]
+    if fold_bias and 4 * L + bias_rows > K:
+        raise ValueError(
+            f"fold_bias needs spare G rows: 4L+{bias_rows}={4*L+bias_rows} > K={K}"
+        )
+    if not fold_bias and bias_rows != 1:
+        raise ValueError("multiple bias rows require fold_bias")
     S_pad = q_onehot.shape[0]
     n_sblocks = S_pad // BS_M
     n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
@@ -196,7 +205,8 @@ def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
 
     grid = (n_tiles, n_sblocks)
     kernel = functools.partial(
-        _scan_hits_kernel, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M, fold_bias=fold_bias
+        _scan_hits_kernel, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M, fold_bias=fold_bias,
+        bias_rows=bias_rows,
     )
     return pl.pallas_call(
         kernel,
@@ -205,7 +215,7 @@ def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BS_M, K), lambda t, s: (s, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_w), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bias_rows, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, SUB), lambda t, s: (t, s // 8, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, n_sb_pad8, SUB), jnp.float32),
@@ -603,26 +613,29 @@ def _unpack_nibbles(packed, *, total):
     return jnp.stack([lo, hi], axis=1).reshape(-1)[:total].astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "fold"))
-def _q_onehot_device(q_codes, *, K, fold):
+@functools.partial(jax.jit, static_argnames=("K", "fold", "rev_bias_col"))
+def _q_onehot_device(q_codes, *, K, fold, rev_bias_col=0):
     """(S_pad, L) int8 spacer codes → ((S_pad, K) bf16 fwd, rev) one-hot
     matrices built on device — only ~L bytes/spacer cross the link instead
     of 2K. Layout col = 4j + base (N rows zero); constant-1 column at 4L
-    when ``fold`` (folded-bias kernel contract, incl. padding rows)."""
+    when ``fold`` (folded-bias kernel contract, incl. padding rows). With
+    ``rev_bias_col`` the reverse matrix's constant column lands at
+    4L + rev_bias_col instead (strand-fused scans pair it with a second
+    bias row in G)."""
     S_pad, L = q_codes.shape
     c = q_codes.astype(jnp.int32)
     comp = jnp.where(c < 4, 3 - c, c)[:, ::-1]  # revcomp, N stays N
 
-    def onehot(cc):
+    def onehot(cc, bias_col):
         oh = cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
         flat = oh.reshape(S_pad, 4 * L).astype(jnp.bfloat16)
         if 4 * L < K:
             flat = jnp.pad(flat, ((0, 0), (0, K - 4 * L)))
         if fold:
-            flat = flat.at[:, 4 * L].set(1.0)
+            flat = flat.at[:, 4 * L + bias_col].set(1.0)
         return flat
 
-    return onehot(c), onehot(comp)
+    return onehot(c, 0), onehot(comp, rev_bias_col)
 
 
 def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
@@ -711,6 +724,43 @@ def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, 
     )
     if pair_cap == 0:
         return ind
+    flat = ind.reshape(-1) > 0
+    (pairs,) = jnp.nonzero(flat, size=pair_cap, fill_value=-1)
+    return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_starts", "P", "halo", "L", "K", "SUB", "BS_M", "pair_cap", "circular",
+        "interpret",
+    ),
+)
+def phase1_fused(scan_dev, n_real, q_all, shift_f, pat_f, shift_r, pat_r, thresh, *,
+                 n_starts, P, halo, L, K, SUB, BS_M=BS, pair_cap, circular,
+                 interpret=False):
+    """Strand-fused phase 1: ONE kernel dispatch scores both strands.
+
+    q_all stacks the forward one-hot rows (constant-1 column at 4L) over
+    the reverse-complement rows (constant-1 column at 4L+1); G carries two
+    folded bias rows — row 4L masked by the forward-strand PAM sites, row
+    4L+1 by the reverse — so each spacer row picks up its own strand's
+    mask from the same matmul. Halves kernel dispatches, G builds, and
+    pair fetches vs per-strand phase1_full. Requires 4L + 2 <= K (L=32
+    callers use the per-strand additive path)."""
+    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
+    n_tiles = _cdiv(n_starts, P)
+    biases = []
+    for shift, pat in ((shift_f, pat_f), (shift_r, pat_r)):
+        ok = _pam_ok_device(
+            scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
+        )
+        biases.append(jnp.where(ok, 0.0, MASK_BIAS).astype(jnp.float32))
+    bias = jnp.stack(biases, axis=0).reshape(2, n_tiles, P).transpose(1, 0, 2)
+    ind = scan_block_hits(
+        thresh, q_all, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
+        interpret=interpret, fold_bias=True,
+    )
     flat = ind.reshape(-1) > 0
     (pairs,) = jnp.nonzero(flat, size=pair_cap, fill_value=-1)
     return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
@@ -867,32 +917,47 @@ def pallas_scan(
     shift_dev = {STRAND_F: jnp.int32(shift_f), STRAND_R: jnp.int32(shift_r)}
 
     # ship spacer codes once (S_pad x L int8); both strands' one-hot rows
-    # (incl. the constant-1 folded-bias column, harmless in phase 2 whose G
-    # keeps rows >= 4L zero) are built on device.
+    # (incl. the constant-1 folded-bias columns, harmless in phase 2 whose
+    # G keeps rows >= 4L zero) are built on device. When two spare G rows
+    # exist, phase 1 runs strand-FUSED: one kernel dispatch, one pair fetch.
+    fused = 4 * L + 2 <= K
     q_pad = np.full((S_pad, L), 4, dtype=np.int8)
     q_pad[:S] = q_f
     q_f_dev, q_r_dev = _q_onehot_device(
-        jnp.asarray(q_pad), K=K, fold=4 * L < K
+        jnp.asarray(q_pad), K=K, fold=4 * L < K, rev_bias_col=1 if fused else 0
     )
     q_dev = {STRAND_F: q_f_dev, STRAND_R: q_r_dev}
     specs = {STRAND_F: (shift_f, pat_f), STRAND_R: (shift_r, pat_r)}
 
-    # dispatch phase 1 for both strands before fetching either (overlaps
-    # device work with the tunnel round trip)
+    # dispatch phase 1 (one fused call, or both strands back-to-back)
+    # before fetching anything (overlaps device work with the tunnel RTT)
     thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
     # design-style scans produce >= one pair per spacer (every candidate
     # hits its own site), so size the device-side pair compaction to the
     # library upfront — a phase-1 overflow retry re-runs the whole kernel
-    pair_cap = 1 << max(14, (S_pad - 1).bit_length())
+    pair_cap = 1 << max(14, ((2 if fused else 1) * S_pad - 1).bit_length())
 
-    def _phase1(strand, cap_p):
-        return phase1_full(
-            scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
-            thresh_dev, n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-            BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
-        )
+    if fused:
+        q_all = jnp.concatenate([q_f_dev, q_r_dev], axis=0)
 
-    futures = {strand: _phase1(strand, pair_cap) for strand in (STRAND_F, STRAND_R)}
+        def _phase1_fused(cap_p):
+            return phase1_fused(
+                scan_dev, n_real, q_all, shift_dev[STRAND_F], pat_dev[STRAND_F],
+                shift_dev[STRAND_R], pat_dev[STRAND_R], thresh_dev,
+                n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
+                BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
+            )
+
+        futures = {"fused": _phase1_fused(pair_cap)}
+    else:
+        def _phase1(strand, cap_p):
+            return phase1_full(
+                scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
+                thresh_dev, n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
+                BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
+            )
+
+        futures = {strand: _phase1(strand, pair_cap) for strand in (STRAND_F, STRAND_R)}
 
     # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
     # compacted on device (fixed capacity + overflow retry). ALL batches for
@@ -900,30 +965,47 @@ def pallas_scan(
     # is a full round trip on tunneled links, so pipelining the dispatches
     # overlaps device work with transfer latency. Overflow (rare: cap is
     # 64k hits per <=1024-pair batch) falls back to a synchronous retry.
-    pending = []  # (strand, tc, sc, nb, cap, (idx, mm, n_hits) futures)
-    n_sblocks = S_pad // bs
-    n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
-    for strand in (STRAND_F, STRAND_R):
-        pairs, n_pairs = futures[strand]
+    def _decode_pairs(key, fetch_again):
+        """(t_idx subtile indices, s_idx block indices) from a phase-1
+        (pairs, count) future, with overflow retry."""
+        pairs, n_pairs = futures[key]
         n_pairs = int(n_pairs)
         cap_p = pair_cap
         while n_pairs > cap_p:  # rare: designs with very dense hits
             cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
-            pairs, n_pairs = _phase1(strand, cap_p)
+            pairs, n_pairs = fetch_again(cap_p)
             n_pairs = int(n_pairs)
         pairs = np.asarray(pairs)[:n_pairs]
-        if n_pairs == 0:
-            continue
-        # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator padding
-        # rows are zero, so s_idx < n_sblocks always
+        # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator
+        # padding rows are zero, so s_idx < n_sblocks always
+        n_sblocks = ((2 if fused else 1) * S_pad) // bs
+        n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
         t_big = pairs // (n_sb_pad8 * SUB)
         rem = pairs % (n_sb_pad8 * SUB)
         s_idx = rem // SUB
         sub_idx = rem % SUB
         t_idx = t_big * SUB + sub_idx  # subtile index on the P2 grid
         in_range = t_idx < n_tiles2
-        t_idx, s_idx = t_idx[in_range], s_idx[in_range]
+        return t_idx[in_range], s_idx[in_range]
 
+    strand_pairs = {}
+    if fused:
+        t_idx, s_idx = _decode_pairs("fused", _phase1_fused)
+        n_sb_half = S_pad // bs
+        rev = s_idx >= n_sb_half
+        strand_pairs[STRAND_F] = (t_idx[~rev], s_idx[~rev])
+        strand_pairs[STRAND_R] = (t_idx[rev], s_idx[rev] - n_sb_half)
+    else:
+        for strand in (STRAND_F, STRAND_R):
+            strand_pairs[strand] = _decode_pairs(
+                strand, lambda cap_p, s=strand: _phase1(s, cap_p)
+            )
+
+    pending = []  # (strand, tc, sc, nb, cap, (idx, mm, n_hits) futures)
+    for strand in (STRAND_F, STRAND_R):
+        t_idx, s_idx = strand_pairs[strand]
+        if len(t_idx) == 0:
+            continue
         q_blocks_all = q_dev[strand].reshape(-1, bs, K)
         for c0 in range(0, len(t_idx), EXTRACT_BATCH):
             tc = t_idx[c0 : c0 + EXTRACT_BATCH]
