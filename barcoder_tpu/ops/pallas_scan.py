@@ -851,6 +851,267 @@ def _prep_bias(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
     return np.where(_prep_mask(mask, n_starts, P) > 0, 0.0, MASK_BIAS).astype(np.float32)
 
 
+class _QPrep:
+    """Per-(spacers, PAM, v) device state shared across contig scan jobs:
+    spacer one-hot matrices, PAM specs, threshold, and geometry. Building
+    this once and scanning many contigs against it is how multi-replicon
+    genomes avoid re-shipping and re-preparing the library per contig."""
+
+    def __init__(self, q_f, max_mismatches, pam, pam_direction, P, sub_width):
+        self.S, self.L = q_f.shape
+        S, L = self.S, self.L
+        self.P = P
+        self.K = K = max(_cdiv(4 * L, 128) * 128, 128)
+        self.halo = K // 4  # tile overlap; >= L, keeps tile width lane-aligned
+        # total device halo also carries MAX_PAM extra wrap codes so the
+        # slice-based PAM mask can read past position n (see _pam_ok_device)
+        self.halo_total = self.halo + MAX_PAM
+        sub_width = min(sub_width, P)
+        self.SUB = max(P // sub_width, 1)
+        self.P2 = P // self.SUB  # phase-2 tile width (= subtile width)
+        # spacer-block height: large blocks amortize per-step grid overhead
+        # and the q-block DMA; small libraries keep small blocks so padding
+        # doesn't dominate.
+        self.bs = 512 if S >= 2048 else (256 if S >= 512 else BS)
+        self.S_pad = _geom_bucket(S, self.bs)
+        self.max_mismatches = max_mismatches
+
+        # per-strand PAM specs (shift, pattern codes) as traced device values
+        shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, pam_direction, L)
+
+        def _pat_arr(pat):
+            arr = np.full(MAX_PAM, 7, dtype=np.int8)
+            arr[: len(pat)] = pat
+            return jnp.asarray(arr)
+
+        self.pat_dev = {STRAND_F: _pat_arr(pat_f), STRAND_R: _pat_arr(pat_r)}
+        self.shift_dev = {STRAND_F: jnp.int32(shift_f), STRAND_R: jnp.int32(shift_r)}
+
+        # ship spacer codes once (S_pad x L int8); both strands' one-hot
+        # rows (incl. the constant-1 folded-bias columns, harmless in phase
+        # 2 whose G keeps rows >= 4L zero) are built on device. With two
+        # spare G rows, phase 1 runs strand-FUSED: one kernel dispatch.
+        self.fused = 4 * L + 2 <= K
+        q_pad = np.full((self.S_pad, L), 4, dtype=np.int8)
+        q_pad[:S] = q_f
+        q_f_dev, q_r_dev = _q_onehot_device(
+            jnp.asarray(q_pad), K=K, fold=4 * L < K,
+            rev_bias_col=1 if self.fused else 0,
+        )
+        self.q_dev = {STRAND_F: q_f_dev, STRAND_R: q_r_dev}
+        self.q_all = (
+            jnp.concatenate([q_f_dev, q_r_dev], axis=0) if self.fused else None
+        )
+        self.thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
+        # design-style scans produce >= one pair per spacer (every candidate
+        # hits its own site), so size the device-side pair compaction to the
+        # library upfront — a phase-1 overflow retry re-runs the whole kernel
+        self.pair_cap = 1 << max(
+            14, ((2 if self.fused else 1) * self.S_pad - 1).bit_length()
+        )
+
+
+class _ScanJob:
+    """One contig's scan against a _QPrep library: construction ships the
+    (nibble-packed) scan array and DISPATCHES phase 1 without fetching, so
+    many jobs pipeline their device work; collect() fetches pairs, runs the
+    batched phase-2 extraction, and assembles Hits."""
+
+    def __init__(self, prep: _QPrep, contig: Contig, interpret: bool):
+        self.prep = prep
+        self.contig = contig
+        self.interpret = interpret
+        p = prep
+        scan = build_scan_array(contig, p.L)
+        n = contig.length
+        self.n_starts = min(n, len(scan) - p.L + 1) if len(scan) >= p.L else 0
+        if self.n_starts <= 0:
+            return
+        # bucket the genome axis so the fused jits recompile only per size
+        # bucket, not per genome
+        self.n_starts_b = _geom_bucket(self.n_starts, p.P)
+        scan_padded = prep_scan_padded(contig, scan, p.L, self.n_starts_b, p.halo_total)
+        self.scan_dev = _unpack_nibbles(
+            jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
+        )
+        self.n_real = jnp.int32(contig.length)
+        self.n_tiles2 = _cdiv(self.n_starts_b, p.P2)
+        self.circular = bool(contig.circular)
+        if p.fused:
+            self.futures = {"fused": self._phase1_fused(p.pair_cap)}
+        else:
+            self.futures = {
+                strand: self._phase1(strand, p.pair_cap)
+                for strand in (STRAND_F, STRAND_R)
+            }
+
+    def _phase1_fused(self, cap_p):
+        p = self.prep
+        return phase1_fused(
+            self.scan_dev, self.n_real, p.q_all,
+            p.shift_dev[STRAND_F], p.pat_dev[STRAND_F],
+            p.shift_dev[STRAND_R], p.pat_dev[STRAND_R], p.thresh_dev,
+            n_starts=self.n_starts_b, P=p.P, halo=p.halo, L=p.L, K=p.K,
+            SUB=p.SUB, BS_M=p.bs, pair_cap=cap_p, circular=self.circular,
+            interpret=self.interpret,
+        )
+
+    def _phase1(self, strand, cap_p):
+        p = self.prep
+        return phase1_full(
+            self.scan_dev, self.n_real, p.q_dev[strand],
+            p.shift_dev[strand], p.pat_dev[strand], p.thresh_dev,
+            n_starts=self.n_starts_b, P=p.P, halo=p.halo, L=p.L, K=p.K,
+            SUB=p.SUB, BS_M=p.bs, pair_cap=cap_p, circular=self.circular,
+            interpret=self.interpret,
+        )
+
+    def _decode_pairs(self, key, fetch_again):
+        """(t_idx subtile indices, s_idx block indices) from a phase-1
+        (pairs, count) future, with overflow retry."""
+        p = self.prep
+        pairs, n_pairs = self.futures[key]
+        n_pairs = int(n_pairs)
+        cap_p = p.pair_cap
+        while n_pairs > cap_p:  # rare: designs with very dense hits
+            cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
+            pairs, n_pairs = fetch_again(cap_p)
+            n_pairs = int(n_pairs)
+        pairs = np.asarray(pairs)[:n_pairs]
+        # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator
+        # padding rows are zero, so s_idx < n_sblocks always
+        n_sblocks = ((2 if p.fused else 1) * p.S_pad) // p.bs
+        n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
+        t_big = pairs // (n_sb_pad8 * p.SUB)
+        rem = pairs % (n_sb_pad8 * p.SUB)
+        s_idx = rem // p.SUB
+        sub_idx = rem % p.SUB
+        t_idx = t_big * p.SUB + sub_idx  # subtile index on the P2 grid
+        in_range = t_idx < self.n_tiles2
+        return t_idx[in_range], s_idx[in_range]
+
+    def collect(self) -> Hits:
+        if self.n_starts <= 0:
+            return Hits()
+        p = self.prep
+        SUB, P2, bs, K, S = p.SUB, p.P2, p.bs, p.K, p.S
+
+        strand_pairs = {}
+        if p.fused:
+            t_idx, s_idx = self._decode_pairs("fused", self._phase1_fused)
+            n_sb_half = p.S_pad // bs
+            rev = s_idx >= n_sb_half
+            strand_pairs[STRAND_F] = (t_idx[~rev], s_idx[~rev])
+            strand_pairs[STRAND_R] = (t_idx[rev], s_idx[rev] - n_sb_half)
+        else:
+            for strand in (STRAND_F, STRAND_R):
+                strand_pairs[strand] = self._decode_pairs(
+                    strand, lambda cap_p, s=strand: self._phase1(s, cap_p)
+                )
+
+        # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
+        # compacted on device (fixed capacity + overflow retry). ALL batches
+        # for both strands are dispatched before any result is fetched —
+        # each fetch is a full round trip on tunneled links.
+        pending = []
+        for strand in (STRAND_F, STRAND_R):
+            t_idx, s_idx = strand_pairs[strand]
+            if len(t_idx) == 0:
+                continue
+            q_blocks_all = p.q_dev[strand].reshape(-1, bs, K)
+            for c0 in range(0, len(t_idx), EXTRACT_BATCH):
+                tc = t_idx[c0 : c0 + EXTRACT_BATCH]
+                sc = s_idx[c0 : c0 + EXTRACT_BATCH]
+                nb = len(tc)
+                bucket = _batch_buckets(nb)
+                pad = bucket - nb
+                tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
+                sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
+                valid = np.zeros(bucket, dtype=bool)
+                valid[:nb] = True
+                # hits/pair is ~1 for design-style scans; 4x headroom keeps
+                # the per-batch idx+mm d2h small (overflow retries double it)
+                cap = max(1 << 14, bucket * 4)
+                args = (
+                    q_blocks_all, self.scan_dev, self.n_real,
+                    p.shift_dev[strand], p.pat_dev[strand],
+                    jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+                )
+                kw = dict(n_starts=self.n_starts_b, halo=p.halo, L=p.L, K=K,
+                          P=P2, thresh=int(p.max_mismatches),
+                          circular=self.circular)
+                fut = extract_full(*args, cap=cap, **kw)
+                pending.append((strand, tc, sc, nb, cap, fut, args, kw))
+
+        out = []
+        for strand, tc, sc, nb, cap, fut, args, kw in pending:
+            idx, mm_vals, n_hits = fut
+            n_hits = int(n_hits)
+            while n_hits > cap:
+                cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
+                idx, mm_vals, n_hits = extract_full(*args, cap=cap, **kw)
+                n_hits = int(n_hits)
+            idx = np.asarray(idx)[:n_hits]
+            mm_vals = np.asarray(mm_vals)[:n_hits]
+            if n_hits == 0:
+                continue
+            bi = idx // (bs * P2)
+            rem = idx % (bs * P2)
+            si = rem // P2
+            pi = rem % P2
+            keep = bi < nb
+            bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
+            spacer_idx = sc[bi] * bs + si
+            pos = tc[bi] * P2 + pi
+            keep2 = spacer_idx < S
+            out.append(
+                Hits(
+                    spacer_idx=spacer_idx[keep2].astype(np.int64),
+                    pos=pos[keep2].astype(np.int64),
+                    strand=np.full(int(keep2.sum()), strand, np.int8),
+                    mismatches=mm_vals[keep2].astype(np.int32),
+                )
+            )
+        return Hits.concat(out).sorted()
+
+
+def pallas_scan_contigs(
+    spacers,
+    contigs: list[Contig],
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    P: int = DEFAULT_P,
+    interpret: bool = False,
+    sub_width: int = 128,
+) -> dict[str, Hits]:
+    """Scan many contigs against one library with the spacer prep shared
+    and every contig's phase 1 dispatched before any result is fetched —
+    multi-replicon genomes (e.g. the bundled 4-plasmid Zymomonas set) cost
+    one pipeline instead of N sequential scans."""
+    q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
+    S, L = q_f.shape
+    if S == 0:
+        return {c.id: Hits() for c in contigs}
+    if len(pam) > MAX_PAM:
+        from .ref_scan import jax_scan
+
+        return {
+            c.id: jax_scan(spacers, c, max_mismatches, pam, pam_direction)
+            for c in contigs
+        }
+    prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
+    # contigs run sequentially (shared prep amortizes the library shipping
+    # and one-hot builds): overlapping one contig's phase-1 dispatches with
+    # another's collect measured PATHOLOGICAL on tunneled dev links (first
+    # fetch stalled 10-50x; fine on local hardware, where cross-contig
+    # pipelining could be re-enabled).
+    results: dict[str, Hits] = {}
+    for c in contigs:
+        results[c.id] = _ScanJob(prep, c, interpret).collect()
+    return results
+
+
 def pallas_scan(
     spacers,
     contig: Contig,
@@ -869,194 +1130,7 @@ def pallas_scan(
     one-hot builds) only touches narrow windows around actual hits.
     sub_width=128 keeps the per-pair phase-2 cost constant as the phase-1
     spacer-block height grows (bs x sub_width ~ 64k scores per pair)."""
-    q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
-    S, L = q_f.shape
-    K = max(_cdiv(4 * L, 128) * 128, 128)
-    halo = K // 4  # tile overlap; >= L, keeps tile width lane-aligned
-    # total device halo also carries MAX_PAM extra wrap codes so the
-    # slice-based PAM mask can read past position n (see _pam_ok_device)
-    halo_total = halo + MAX_PAM
-    scan = build_scan_array(contig, L)
-    n = contig.length
-    n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
-    if n_starts <= 0 or S == 0:
-        return Hits()
-    if len(pam) > MAX_PAM:
-        from .ref_scan import jax_scan
-
-        return jax_scan(spacers, contig, max_mismatches, pam, pam_direction)
-
-    sub_width = min(sub_width, P)
-    SUB = max(P // sub_width, 1)
-    P2 = P // SUB  # phase-2 tile width (= subtile width)
-    # spacer-block height: large blocks amortize per-step grid overhead and
-    # the q-block DMA (measured ~1.3x at design scale); small libraries keep
-    # small blocks so padding doesn't dominate.
-    bs = 512 if S >= 2048 else (256 if S >= 512 else BS)
-    S_pad = _geom_bucket(S, bs)
-    # bucket the genome axis so the fused jits recompile only per size
-    # bucket, not per genome
-    n_starts_b = _geom_bucket(n_starts, P)
-    scan_padded = prep_scan_padded(contig, scan, L, n_starts_b, halo_total)
-    scan_dev = _unpack_nibbles(
-        jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
-    )
-    n_real = jnp.int32(contig.length)
-    n_tiles2 = _cdiv(n_starts_b, P2)
-
-    # per-strand PAM specs (shift, pattern codes) as traced device values
-    shift_f, pat_f, shift_r, pat_r = _pam_specs(pam, pam_direction, L)
-    circular = bool(contig.circular)
-
-    def _pat_arr(pat):
-        arr = np.full(MAX_PAM, 7, dtype=np.int8)
-        arr[: len(pat)] = pat
-        return jnp.asarray(arr)
-
-    pat_dev = {STRAND_F: _pat_arr(pat_f), STRAND_R: _pat_arr(pat_r)}
-    shift_dev = {STRAND_F: jnp.int32(shift_f), STRAND_R: jnp.int32(shift_r)}
-
-    # ship spacer codes once (S_pad x L int8); both strands' one-hot rows
-    # (incl. the constant-1 folded-bias columns, harmless in phase 2 whose
-    # G keeps rows >= 4L zero) are built on device. When two spare G rows
-    # exist, phase 1 runs strand-FUSED: one kernel dispatch, one pair fetch.
-    fused = 4 * L + 2 <= K
-    q_pad = np.full((S_pad, L), 4, dtype=np.int8)
-    q_pad[:S] = q_f
-    q_f_dev, q_r_dev = _q_onehot_device(
-        jnp.asarray(q_pad), K=K, fold=4 * L < K, rev_bias_col=1 if fused else 0
-    )
-    q_dev = {STRAND_F: q_f_dev, STRAND_R: q_r_dev}
-    specs = {STRAND_F: (shift_f, pat_f), STRAND_R: (shift_r, pat_r)}
-
-    # dispatch phase 1 (one fused call, or both strands back-to-back)
-    # before fetching anything (overlaps device work with the tunnel RTT)
-    thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
-    # design-style scans produce >= one pair per spacer (every candidate
-    # hits its own site), so size the device-side pair compaction to the
-    # library upfront — a phase-1 overflow retry re-runs the whole kernel
-    pair_cap = 1 << max(14, ((2 if fused else 1) * S_pad - 1).bit_length())
-
-    if fused:
-        q_all = jnp.concatenate([q_f_dev, q_r_dev], axis=0)
-
-        def _phase1_fused(cap_p):
-            return phase1_fused(
-                scan_dev, n_real, q_all, shift_dev[STRAND_F], pat_dev[STRAND_F],
-                shift_dev[STRAND_R], pat_dev[STRAND_R], thresh_dev,
-                n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-                BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
-            )
-
-        futures = {"fused": _phase1_fused(pair_cap)}
-    else:
-        def _phase1(strand, cap_p):
-            return phase1_full(
-                scan_dev, n_real, q_dev[strand], shift_dev[strand], pat_dev[strand],
-                thresh_dev, n_starts=n_starts_b, P=P, halo=halo, L=L, K=K, SUB=SUB,
-                BS_M=bs, pair_cap=cap_p, circular=circular, interpret=interpret,
-            )
-
-        futures = {strand: _phase1(strand, pair_cap) for strand in (STRAND_F, STRAND_R)}
-
-    # phase 2: exact positions for the nonzero (subtile, sblock) pairs,
-    # compacted on device (fixed capacity + overflow retry). ALL batches for
-    # both strands are dispatched before any result is fetched — each fetch
-    # is a full round trip on tunneled links, so pipelining the dispatches
-    # overlaps device work with transfer latency. Overflow (rare: cap is
-    # 64k hits per <=1024-pair batch) falls back to a synchronous retry.
-    def _decode_pairs(key, fetch_again):
-        """(t_idx subtile indices, s_idx block indices) from a phase-1
-        (pairs, count) future, with overflow retry."""
-        pairs, n_pairs = futures[key]
-        n_pairs = int(n_pairs)
-        cap_p = pair_cap
-        while n_pairs > cap_p:  # rare: designs with very dense hits
-            cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
-            pairs, n_pairs = fetch_again(cap_p)
-            n_pairs = int(n_pairs)
-        pairs = np.asarray(pairs)[:n_pairs]
-        # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator
-        # padding rows are zero, so s_idx < n_sblocks always
-        n_sblocks = ((2 if fused else 1) * S_pad) // bs
-        n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
-        t_big = pairs // (n_sb_pad8 * SUB)
-        rem = pairs % (n_sb_pad8 * SUB)
-        s_idx = rem // SUB
-        sub_idx = rem % SUB
-        t_idx = t_big * SUB + sub_idx  # subtile index on the P2 grid
-        in_range = t_idx < n_tiles2
-        return t_idx[in_range], s_idx[in_range]
-
-    strand_pairs = {}
-    if fused:
-        t_idx, s_idx = _decode_pairs("fused", _phase1_fused)
-        n_sb_half = S_pad // bs
-        rev = s_idx >= n_sb_half
-        strand_pairs[STRAND_F] = (t_idx[~rev], s_idx[~rev])
-        strand_pairs[STRAND_R] = (t_idx[rev], s_idx[rev] - n_sb_half)
-    else:
-        for strand in (STRAND_F, STRAND_R):
-            strand_pairs[strand] = _decode_pairs(
-                strand, lambda cap_p, s=strand: _phase1(s, cap_p)
-            )
-
-    pending = []  # (strand, tc, sc, nb, cap, (idx, mm, n_hits) futures)
-    for strand in (STRAND_F, STRAND_R):
-        t_idx, s_idx = strand_pairs[strand]
-        if len(t_idx) == 0:
-            continue
-        q_blocks_all = q_dev[strand].reshape(-1, bs, K)
-        for c0 in range(0, len(t_idx), EXTRACT_BATCH):
-            tc = t_idx[c0 : c0 + EXTRACT_BATCH]
-            sc = s_idx[c0 : c0 + EXTRACT_BATCH]
-            nb = len(tc)
-            bucket = _batch_buckets(nb)
-            pad = bucket - nb
-            tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
-            sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
-            valid = np.zeros(bucket, dtype=bool)
-            valid[:nb] = True
-            # hits/pair is ~1 for design-style scans; 4x headroom keeps the
-            # per-batch idx+mm d2h small (overflow retries double it)
-            cap = max(1 << 14, bucket * 4)
-            args = (
-                q_blocks_all, scan_dev, n_real,
-                shift_dev[strand], pat_dev[strand],
-                jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
-            )
-            kw = dict(n_starts=n_starts_b, halo=halo, L=L, K=K, P=P2,
-                      thresh=int(max_mismatches), circular=circular)
-            fut = extract_full(*args, cap=cap, **kw)
-            pending.append((strand, tc, sc, nb, cap, fut, args, kw))
-
-    out = []
-    for strand, tc, sc, nb, cap, fut, args, kw in pending:
-        idx, mm_vals, n_hits = fut
-        n_hits = int(n_hits)
-        while n_hits > cap:
-            cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
-            idx, mm_vals, n_hits = extract_full(*args, cap=cap, **kw)
-            n_hits = int(n_hits)
-        idx = np.asarray(idx)[:n_hits]
-        mm_vals = np.asarray(mm_vals)[:n_hits]
-        if n_hits == 0:
-            continue
-        bi = idx // (bs * P2)
-        rem = idx % (bs * P2)
-        si = rem // P2
-        pi = rem % P2
-        keep = bi < nb
-        bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
-        spacer_idx = sc[bi] * bs + si
-        pos = tc[bi] * P2 + pi
-        keep2 = spacer_idx < S
-        out.append(
-            Hits(
-                spacer_idx=spacer_idx[keep2].astype(np.int64),
-                pos=pos[keep2].astype(np.int64),
-                strand=np.full(int(keep2.sum()), strand, np.int8),
-                mismatches=mm_vals[keep2].astype(np.int32),
-            )
-        )
-    return Hits.concat(out).sorted()
+    return pallas_scan_contigs(
+        spacers, [contig], max_mismatches, pam, pam_direction,
+        P=P, interpret=interpret, sub_width=sub_width,
+    )[contig.id]

@@ -73,7 +73,16 @@ def scan_genome(
     pam_direction: str = "downstream",
     backend: Backend = "auto",
 ) -> dict[str, Hits]:
-    """Scan every contig; returns {contig_id: Hits}."""
+    """Scan every contig; returns {contig_id: Hits}.
+
+    On the pallas backend all contigs share one spacer prep and their
+    phase-1 dispatches pipeline (multi-replicon genomes cost one pass)."""
+    if resolve_backend(backend) == "pallas":
+        from .pallas_scan import pallas_scan_contigs
+
+        return pallas_scan_contigs(
+            spacers, genome.contigs, max_mismatches, pam, pam_direction
+        )
     return {
         c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
         for c in genome.contigs
