@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="Second reads file: FASTQ or raw reads (optional).",
     )
     p.add_argument(
-        "--engine", choices=["auto", "vector", "reference"], default="auto",
-        help="Counting engine (vectorized array path or per-read port).",
+        "--engine", choices=["auto", "vector", "device", "reference"], default="auto",
+        help="Counting engine: vectorized host path, TPU-resident matcher, "
+        "or per-read port.",
     )
     p.add_argument(
         "--checkpoint", default=None, metavar="PATH",

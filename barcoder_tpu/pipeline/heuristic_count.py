@@ -709,6 +709,104 @@ def _codes_to_strings(codes: np.ndarray):
         yield row.tobytes().decode("ascii")
 
 
+class DeviceCounter(VectorCounter):
+    """TPU-resident counting engine (SURVEY.md §7 step 8): the whole
+    per-chunk hot loop — N filter, flank equality at the fixed offset,
+    paired revcomp-consistency, and exact barcode matching — runs in ONE
+    jitted program per chunk shape. Matching is a one-hot matmul on the MXU
+    (core rows x barcode columns; a score of bc_len means exact equality,
+    and N anywhere keeps the score below that), reduced with argmax; only
+    (match_idx, matched, undoc_mask) per read cross the device boundary.
+
+    Semantics are identical to VectorCounter / count_chunk_reference
+    (cross-checked in tests). Worth it when reads already stream to the
+    accelerator faster than host cores can slice them — on PCIe-attached
+    production chips, not on a ~50 MB/s tunneled dev link."""
+
+    _READ_SLICE = 8192  # rows per matmul slice (keeps the (rows, B) score
+    # matrix ~300 MB at 10k barcodes)
+
+    def __init__(self, cfg: CountConfig):
+        super().__init__(cfg)
+        import jax.numpy as jnp
+
+        bcs = self.bc_list
+        self.B = len(bcs)
+        self.bc_len = cfg.bc_len
+        if self.bc_len > 32:
+            raise ValueError("device engine requires bc_len <= 32")
+        codes = _CODE_LUT[_to_matrix(bcs)]
+        if (codes >= 4).any():
+            raise ValueError("device engine requires pure-ACGT barcodes")
+        K4 = 4 * self.bc_len
+        B_pad = -(-self.B // 128) * 128
+        oh = np.zeros((K4, B_pad), np.float32)
+        cols = np.arange(self.B)
+        for j in range(self.bc_len):
+            oh[4 * j + codes[:, j], cols] = 1.0
+        self._bc_oh = jnp.asarray(oh, dtype=jnp.bfloat16)
+        self._jnp = jnp
+
+    def _device_match(self, core_codes: np.ndarray, eligible: np.ndarray):
+        """codes (n, bc_len) int8 + eligible (n,) → (match_idx int (n,),
+        matched bool (n,)) with matching on the MXU."""
+        import functools
+
+        import jax
+
+        jnp = self._jnp
+        n = core_codes.shape[0]
+        S = self._READ_SLICE
+        n_pad = -(-max(n, 1) // S) * S
+        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)
+        codes_p[:n] = core_codes
+        elig_p = np.zeros(n_pad, bool)
+        elig_p[:n] = eligible
+
+        @functools.partial(jax.jit, static_argnames=("bc_len", "B"))
+        def match(codes_d, elig_d, bc_oh, *, bc_len, B):
+            def one_slice(args):
+                cc, el = args
+                oh = (
+                    cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+                ).reshape(S, 4 * bc_len).astype(jnp.bfloat16)
+                scores = jnp.dot(oh, bc_oh, preferred_element_type=jnp.float32)
+                best = jnp.argmax(scores, axis=1)
+                exact = jnp.max(scores, axis=1) >= bc_len - 0.5
+                matched = exact & el & (best < B)
+                return best.astype(jnp.int32), matched
+
+            cs = codes_d.astype(jnp.int32).reshape(-1, S, bc_len)
+            es = elig_d.reshape(-1, S)
+            idx, m = jax.lax.map(one_slice, (cs, es))
+            return idx.reshape(-1), m.reshape(-1)
+
+        idx, m = match(
+            jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh,
+            bc_len=self.bc_len, B=self.B,
+        )
+        return np.asarray(idx)[:n], np.asarray(m)[:n]
+
+    def _tally(self, keys, cores, eligible) -> None:
+        """Same contract as VectorCounter._tally, but the key matching runs
+        on the accelerator (keys are ignored; cores re-match exactly)."""
+        if len(self.bc_list) == 0:
+            return
+        codes = _CODE_LUT[cores]
+        idx, matched = self._device_match(codes, np.asarray(eligible, bool))
+        if matched.any():
+            np.add.at(self.doc_counts, idx[matched], 1)
+        un = np.asarray(eligible, bool) & ~matched
+        if un.any():
+            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)
+
+    def _try_native_single_end(self, mat, start, Lf, Rf) -> bool:
+        return False  # keep the whole hot loop on the device path
+
+
 def run_count(
     barcode_file_or_set,
     file1: str,
@@ -771,14 +869,14 @@ def run_count(
         need_swap=sample.need_swap,
     )
 
-    use_vector = engine == "vector" or (engine == "auto" and bc_len <= 32)
+    use_vector = engine in ("vector", "device") or (engine == "auto" and bc_len <= 32)
     doc: Counter = Counter()
     undoc: Counter = Counter()
     total_reads = 0
     if use_vector:
         from ..seqio.fast_reader import iter_matrix_chunks
 
-        vc = VectorCounter(cfg)
+        vc = DeviceCounter(cfg) if engine == "device" else VectorCounter(cfg)
         ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
         skip_chunks = ckpt.restore(vc) if ckpt else 0
         f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
@@ -815,6 +913,6 @@ def run_count(
         "sample": sample,
         "config": cfg,
         "bc_len": bc_len,
-        "engine": "vector" if use_vector else "reference",
+        "engine": (engine if engine == "device" else "vector") if use_vector else "reference",
     }
     return doc, undoc, total_reads, info

@@ -316,3 +316,42 @@ class TestSamplingPrefilter:
         assert fast.observed_barcodes == slow.observed_barcodes
         assert fast.new_reads_sampled == slow.new_reads_sampled
         assert fast.num_chunks == slow.num_chunks
+
+
+class TestDeviceEngine:
+    """DeviceCounter (TPU-resident matching; MXU one-hot matmul) must agree
+    exactly with VectorCounter on every data shape. Runs on the CPU jax
+    backend in tests."""
+
+    def _run_both(self, tmp_path, paired, seed=3, undocumented=None):
+        from barcoder_tpu.pipeline.heuristic_count import run_count
+
+        barcodes = make_barcodes(n=25, seed=seed)
+        reads1, reads2, truth = make_reads(
+            barcodes, n_reads=3000, seed=seed, undocumented=undocumented or [],
+        )
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        args = (set(barcodes), str(f1), str(f2) if paired else None)
+        doc_v, undoc_v, n_v, _ = run_count(*args, engine="vector")
+        doc_d, undoc_d, n_d, info = run_count(*args, engine="device")
+        assert info["engine"] == "device"
+        assert n_v == n_d
+        assert doc_v == doc_d
+        assert undoc_v == undoc_d
+        return doc_d, undoc_d, truth
+
+    def test_single_end_agrees(self, tmp_path):
+        doc, _, truth = self._run_both(tmp_path, paired=False)
+        assert doc == truth
+
+    def test_paired_agrees(self, tmp_path):
+        doc, _, truth = self._run_both(tmp_path, paired=True)
+        assert doc == truth
+
+    def test_undocumented_agrees(self, tmp_path):
+        undoc_bc = [random_seq(20, np.random.default_rng(99)) for _ in range(2)]
+        doc, undoc, _ = self._run_both(tmp_path, paired=False, undocumented=undoc_bc)
+        assert sum(undoc.values()) > 0
+        assert all(k.endswith("*") for k in undoc)
