@@ -337,11 +337,20 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
         & (mask_chunk[:, 0, :][:, None, :] > 0)
         & valid[:, None, None]
     )
+    # floor sized for design-scale batches (~1-2 hit rows per pair at
+    # EXTRACT_BATCH pairs); the row gather is (cap_rows, P) int32
+    return _compact_hits(hit, mm, cap=cap, cap_rows=max(cap // 16, 2 * EXTRACT_BATCH))
+
+
+def _compact_hits(hit, mm, *, cap, cap_rows):
+    """Hierarchical on-device hit compaction shared by every phase-2 body:
+    first compact the (B*bs,) rows containing any hit (XLA lowers sized
+    nonzero as a sort, so never sort the dense B*bs*P tensor), then nonzero
+    only the gathered rows. Returns (flat row-space indices int32 (cap,)
+    -1-filled, mm int32 (cap,), n_signal) where n_signal > cap forces a
+    caller retry (covers both hit-count and row-capacity overflow)."""
     B, bs_, P_ = hit.shape
     rows = hit.reshape(B * bs_, P_)
-    # floor sized for design-scale batches (~1-2 hit rows per pair at
-    # EXTRACT_BATCH pairs); the gather below is (cap_rows, P) int32
-    cap_rows = max(cap // 16, 2 * EXTRACT_BATCH)
     anyrow = rows.any(axis=1)
     n_rows = anyrow.sum().astype(jnp.int32)
     (ridx,) = jnp.nonzero(anyrow, size=cap_rows, fill_value=-1)
@@ -357,7 +366,7 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
     n_hits = hit.sum().astype(jnp.int32)
     # row overflow -> force a caller retry even when n_hits <= cap
     n_signal = jnp.where(n_rows > cap_rows, jnp.maximum(n_hits, cap + 1), n_hits)
-    return idx, mm_vals, n_signal
+    return idx, mm_vals.astype(jnp.int32), n_signal
 
 
 def _pam_specs(pam: str, direction: str, L: int):
@@ -766,6 +775,64 @@ def phase1_fused(scan_dev, n_real, q_all, shift_f, pat_f, shift_r, pat_r, thresh
     return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_starts", "halo", "L", "K", "P2", "thresh", "cap", "B", "circular",
+        "n_sb_pad8", "SUB", "half_blocks",
+    ),
+)
+def extract_spec(q_blocks_all, scan_dev, n_real, shift_f, pat_f, shift_r, pat_r,
+                 pairs, n_pairs, *, n_starts, halo, L, K, P2, thresh, cap, B,
+                 circular, n_sb_pad8, SUB, half_blocks):
+    """Speculative phase 2, chained on the DEVICE-RESIDENT phase-1 pair list
+    with no host round trip: dispatched immediately after phase1_fused, it
+    scores the first ``B`` compacted pair slots (both strands — forward
+    spacer blocks are s_idx < half_blocks, reverse above) and returns ONE
+    packed int32 array
+
+        [n_pairs, n_hits_signal, slots (B,), idx (cap,), mm (cap,)]
+
+    so the entire common-case scan (phase 1 + phase 2) costs a single d2h
+    fetch. On a tunneled dev link each fetch/sync is a ~26 ms round trip
+    and the old flow needed four of them (pairs, n_pairs, idx/mm, n_hits) —
+    this collapses the post-kernel critical path to one transfer. The host
+    discards the result and falls back to the batched extract_full path
+    when n_pairs > B or n_hits_signal > cap (dense-hit scans, e.g. design).
+
+    idx entries are flat over (B*bs, P2) row space exactly as
+    _compact_hits emits them: row = slot*bs + si, column = position within
+    the slot's subtile."""
+    slots = pairs[:B]
+    slot_ok = (jnp.arange(B, dtype=jnp.int32) < jnp.minimum(n_pairs, B)) & (slots >= 0)
+    safe_slots = jnp.where(slot_ok, slots, 0)
+    t_big = safe_slots // (n_sb_pad8 * SUB)
+    rem = safe_slots % (n_sb_pad8 * SUB)
+    s_idx = rem // SUB
+    t_idx = t_big * SUB + rem % SUB  # subtile index on the P2 grid
+    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P2, halo=halo)
+    ok_f = _pam_ok_device(
+        scan_dev, n_real, shift_f, pat_f, n_starts_b=n_starts, L=L, circular=circular
+    )
+    ok_r = _pam_ok_device(
+        scan_dev, n_real, shift_r, pat_r, n_starts_b=n_starts, L=L, circular=circular
+    )
+    is_rev = s_idx >= half_blocks
+    mask_sel = jnp.where(
+        is_rev[:, None], ok_r.reshape(-1, P2)[t_idx], ok_f.reshape(-1, P2)[t_idx]
+    )  # (B, P2)
+    g_oh = _build_g_onehot(tiles[t_idx][:, 0, :], L=L, K=K, P=P2)
+    q = q_blocks_all[jnp.clip(s_idx, 0, q_blocks_all.shape[0] - 1)]  # (B, bs, K)
+    scores = jnp.einsum("nsk,nkp->nsp", q, g_oh, preferred_element_type=jnp.float32)
+    mm = (L - scores).astype(jnp.int32)
+    hit = (mm <= thresh) & mask_sel[:, None, :] & slot_ok[:, None, None]
+    idx, mm_vals, n_signal = _compact_hits(
+        hit, mm, cap=cap, cap_rows=max(cap // 16, 2 * B)
+    )
+    header = jnp.stack([n_pairs.astype(jnp.int32), n_signal])
+    return jnp.concatenate([header, slots.astype(jnp.int32), idx, mm_vals])
+
+
 def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: int):
     """Device-side overlapped tile construction from the 1-D int8 scan
     array — only ~1 byte/base crosses the host↔device link instead of the
@@ -869,6 +936,10 @@ class _QPrep:
         sub_width = min(sub_width, P)
         self.SUB = max(P // sub_width, 1)
         self.P2 = P // self.SUB  # phase-2 tile width (= subtile width)
+        # phase-2 pair batches: 4096-pair batches measured fastest (fewer
+        # dispatches + compaction sorts) and fit HBM up to P2=512 (~4.3 GB
+        # score tensor); shrink proportionally past that
+        self.extract_batch = max(256, (EXTRACT_BATCH * 512) // max(self.P2, 512))
         # spacer-block height: large blocks amortize per-step grid overhead
         # and the q-block DMA; small libraries keep small blocks so padding
         # doesn't dominate.
@@ -902,7 +973,16 @@ class _QPrep:
         self.q_all = (
             jnp.concatenate([q_f_dev, q_r_dev], axis=0) if self.fused else None
         )
+        self.q_blocks_fused = (
+            self.q_all.reshape(-1, self.bs, K) if self.fused else None
+        )
         self.thresh_dev = jnp.full((1,), L - max_mismatches, jnp.float32)
+        # speculative phase-2 sizing: covers scans with <= spec_B nonzero
+        # (subtile, block) pairs and <= spec_cap hits in ONE device-chained
+        # dispatch + ONE fetch (typical targets runs; design-scale scans
+        # overflow and fall back to the batched path)
+        self.spec_B = 1024
+        self.spec_cap = 1 << 14
         # design-style scans produce >= one pair per spacer (every candidate
         # hits its own site), so size the device-side pair compaction to the
         # library upfront — a phase-1 overflow retry re-runs the whole kernel
@@ -937,13 +1017,33 @@ class _ScanJob:
         self.n_real = jnp.int32(contig.length)
         self.n_tiles2 = _cdiv(self.n_starts_b, p.P2)
         self.circular = bool(contig.circular)
+        self.spec_fut = None
         if p.fused:
             self.futures = {"fused": self._phase1_fused(p.pair_cap)}
+            # chain the speculative phase 2 on the device-resident pair
+            # list — no host sync; the whole common-case scan becomes one
+            # packed fetch in collect()
+            pairs_dev, n_pairs_dev = self.futures["fused"]
+            self.spec_fut = extract_spec(
+                p.q_blocks_fused, self.scan_dev, self.n_real,
+                p.shift_dev[STRAND_F], p.pat_dev[STRAND_F],
+                p.shift_dev[STRAND_R], p.pat_dev[STRAND_R],
+                pairs_dev, n_pairs_dev,
+                n_starts=self.n_starts_b, halo=p.halo, L=p.L, K=p.K, P2=p.P2,
+                thresh=int(p.max_mismatches), cap=p.spec_cap, B=p.spec_B,
+                circular=self.circular, n_sb_pad8=self._n_sb_pad8(),
+                SUB=p.SUB, half_blocks=p.S_pad // p.bs,
+            )
         else:
             self.futures = {
                 strand: self._phase1(strand, p.pair_cap)
                 for strand in (STRAND_F, STRAND_R)
             }
+
+    def _n_sb_pad8(self) -> int:
+        p = self.prep
+        n_sblocks = ((2 if p.fused else 1) * p.S_pad) // p.bs
+        return _cdiv(n_sblocks, 8) * 8
 
     def _phase1_fused(self, cap_p):
         p = self.prep
@@ -966,6 +1066,38 @@ class _ScanJob:
             interpret=self.interpret,
         )
 
+    def _decode_spec(self, packed: np.ndarray, n_hits: int) -> Hits:
+        """Hits from extract_spec's packed array (see its docstring for the
+        layout); inverse of the slot/row-space encoding."""
+        p = self.prep
+        B, cap, bs, P2 = p.spec_B, p.spec_cap, p.bs, p.P2
+        if n_hits == 0:
+            return Hits()
+        slots = packed[2 : 2 + B]
+        idx = packed[2 + B : 2 + B + n_hits]
+        mm_vals = packed[2 + B + cap : 2 + B + cap + n_hits]
+        slot_i = idx // (bs * P2)
+        rem = idx % (bs * P2)
+        si = rem // P2
+        pi = rem % P2
+        pair = slots[slot_i]
+        n_sb_pad8 = self._n_sb_pad8()
+        t_big = pair // (n_sb_pad8 * p.SUB)
+        rem2 = pair % (n_sb_pad8 * p.SUB)
+        s_blk = rem2 // p.SUB
+        t_idx = t_big * p.SUB + rem2 % p.SUB
+        half = p.S_pad // bs
+        rev = s_blk >= half
+        spacer_idx = (s_blk - rev * half) * bs + si
+        pos = t_idx * P2 + pi
+        keep = spacer_idx < p.S
+        return Hits(
+            spacer_idx=spacer_idx[keep].astype(np.int64),
+            pos=pos[keep].astype(np.int64),
+            strand=np.where(rev[keep], STRAND_R, STRAND_F).astype(np.int8),
+            mismatches=mm_vals[keep].astype(np.int32),
+        )
+
     def _decode_pairs(self, key, fetch_again):
         """(t_idx subtile indices, s_idx block indices) from a phase-1
         (pairs, count) future, with overflow retry."""
@@ -980,8 +1112,7 @@ class _ScanJob:
         pairs = np.asarray(pairs)[:n_pairs]
         # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator
         # padding rows are zero, so s_idx < n_sblocks always
-        n_sblocks = ((2 if p.fused else 1) * p.S_pad) // p.bs
-        n_sb_pad8 = _cdiv(n_sblocks, 8) * 8
+        n_sb_pad8 = self._n_sb_pad8()
         t_big = pairs // (n_sb_pad8 * p.SUB)
         rem = pairs % (n_sb_pad8 * p.SUB)
         s_idx = rem // p.SUB
@@ -995,6 +1126,14 @@ class _ScanJob:
             return Hits()
         p = self.prep
         SUB, P2, bs, K, S = p.SUB, p.P2, p.bs, p.K, p.S
+
+        if self.spec_fut is not None:
+            packed = np.asarray(self.spec_fut)  # the ONE fetch, common case
+            n_pairs, n_sig = int(packed[0]), int(packed[1])
+            if n_pairs <= p.spec_B and n_sig <= p.spec_cap:
+                return self._decode_spec(packed, n_sig).sorted()
+            # overflow: fall through to the batched path (phase-1 futures
+            # are still live)
 
         strand_pairs = {}
         if p.fused:
@@ -1019,9 +1158,9 @@ class _ScanJob:
             if len(t_idx) == 0:
                 continue
             q_blocks_all = p.q_dev[strand].reshape(-1, bs, K)
-            for c0 in range(0, len(t_idx), EXTRACT_BATCH):
-                tc = t_idx[c0 : c0 + EXTRACT_BATCH]
-                sc = s_idx[c0 : c0 + EXTRACT_BATCH]
+            for c0 in range(0, len(t_idx), p.extract_batch):
+                tc = t_idx[c0 : c0 + p.extract_batch]
+                sc = s_idx[c0 : c0 + p.extract_batch]
                 nb = len(tc)
                 bucket = _batch_buckets(nb)
                 pad = bucket - nb
@@ -1083,7 +1222,7 @@ def pallas_scan_contigs(
     pam_direction: str = "downstream",
     P: int = DEFAULT_P,
     interpret: bool = False,
-    sub_width: int = 128,
+    sub_width: int = 512,
 ) -> dict[str, Hits]:
     """Scan many contigs against one library with the spacer prep shared
     and every contig's phase 1 dispatched before any result is fetched —
@@ -1121,15 +1260,18 @@ def pallas_scan(
     P: int = DEFAULT_P,
     interpret: bool = False,
     extract_batch: int = 32,
-    sub_width: int = 128,
+    sub_width: int = 512,
 ) -> Hits:
     """Same contract as oracle_scan/jax_scan, on the TPU MXU.
 
     Phase 1 runs at tile width P (MXU-efficient); its output keys on
     subtiles of ``sub_width`` positions so phase-2 re-scoring (memory-bound
     one-hot builds) only touches narrow windows around actual hits.
-    sub_width=128 keeps the per-pair phase-2 cost constant as the phase-1
-    spacer-block height grows (bs x sub_width ~ 64k scores per pair)."""
+    sub_width=512 (SUB=32 at the default P) because the phase-1 epilogue's
+    M=1 segment-reduce matmul cost grows with SUB — SUB<=32 measured ~6.5e11
+    padded pairs/s vs 3.9e11 at SUB=128 on a v5e — and wider subtiles also
+    merge adjacent dense hits into fewer phase-2 pairs; per-pair phase-2
+    cost is held by scaling the batch size with 1/P2 (_QPrep.extract_batch)."""
     return pallas_scan_contigs(
         spacers, [contig], max_mismatches, pam, pam_direction,
         P=P, interpret=interpret, sub_width=sub_width,

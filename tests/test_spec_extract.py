@@ -1,0 +1,77 @@
+"""Speculative device-chained phase 2 (extract_spec): the single-fetch
+fast path must agree with the oracle, and overflow must fall back to the
+batched extract_full path with identical results.
+
+Runs the FULL pallas_scan flow (phase-1 Pallas kernel in interpret mode +
+pure-XLA speculative extraction) on CPU."""
+
+import numpy as np
+import pytest
+
+from barcoder_tpu.core.genome import contig_from_record
+from barcoder_tpu.ops.oracle import oracle_scan
+from barcoder_tpu.ops.pallas_scan import _QPrep, _ScanJob, pallas_scan
+from barcoder_tpu.ops.prep import spacer_matrix
+
+from .genomes import make_record, plant_guide, random_seq
+
+
+def tuples(h):
+    return set(
+        zip(h.spacer_idx.tolist(), h.pos.tolist(), h.strand.tolist(), h.mismatches.tolist())
+    )
+
+
+@pytest.mark.parametrize("topology", ["circular", "linear"])
+def test_spec_path_matches_oracle(topology):
+    rng = np.random.default_rng(7)
+    rec = make_record(n=4000, topology=topology, seed=7)
+    guides = [random_seq(20, rng) for _ in range(8)]
+    for i, g in enumerate(guides):
+        plant_guide(
+            rec, g, 137 + i * 413,
+            pam="TGG" if i % 3 else "AGG",
+            strand="F" if i % 2 else "R",
+        )
+    contig = contig_from_record(rec)
+    got = pallas_scan(guides, contig, 2, pam="NGG", P=512, interpret=True)
+    want = oracle_scan(guides, contig, 2, pam="NGG")
+    assert tuples(got) == tuples(want)
+    assert len(got) >= 8  # every planted guide found (PAM planted)
+
+
+def test_spec_overflow_falls_back():
+    rng = np.random.default_rng(9)
+    rec = make_record(n=4000, topology="circular", seed=9)
+    guides = [random_seq(20, rng) for _ in range(8)]
+    for i, g in enumerate(guides):
+        plant_guide(rec, g, 120 + i * 410, pam="TGG", strand="R" if i % 2 else "F")
+    contig = contig_from_record(rec)
+    q_f = spacer_matrix(guides)
+    prep = _QPrep(q_f, 2, "NGG", "downstream", 512, 128)
+    prep.spec_B = 1  # force n_pairs > spec_B on every scan with >1 pair
+    job = _ScanJob(prep, contig, True)
+    got = job.collect()
+    want = oracle_scan(guides, contig, 2, pam="NGG")
+    assert tuples(got) == tuples(want)
+    assert len(got) >= 8
+
+
+def test_spec_hit_cap_overflow_falls_back():
+    # many hits of one spacer: n_hits > spec_cap must discard the
+    # speculative result and produce the same table via the batched path
+    rng = np.random.default_rng(11)
+    rec = make_record(n=3000, topology="circular", seed=11)
+    g = random_seq(20, rng)
+    positions = list(range(0, 2900, 29))
+    for p in positions:
+        plant_guide(rec, g, p, pam="TGG")
+    contig = contig_from_record(rec)
+    q_f = spacer_matrix([g])
+    prep = _QPrep(q_f, 0, "NGG", "downstream", 512, 128)
+    prep.spec_cap = 16  # far below the ~100 planted hits
+    job = _ScanJob(prep, contig, True)
+    got = job.collect()
+    want = oracle_scan([g], contig, 0, pam="NGG")
+    assert tuples(got) == tuples(want)
+    assert len(got) > 16
