@@ -284,9 +284,12 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=Fal
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_starts", "halo", "L", "K", "P", "thresh", "cap", "circular"),
+    static_argnames=(
+        "n_starts", "halo", "L", "K", "P", "thresh", "cap", "cap_rows", "k",
+        "circular",
+    ),
 )
-def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, circular):
+def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, circular, cap_rows=0, k=4):
     """One-dispatch phase 2: subtile arrays + PAM mask built on device,
     scoring + compaction fused; shift/pat traced (shared executable across
     strands and PAMs)."""
@@ -296,15 +299,15 @@ def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, 
     )
     n_tiles = _cdiv(n_starts, P)
     mask_tiles = ok.astype(jnp.int32).reshape(n_tiles, 1, P)
-    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap)
+    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap"))
-def _extract_chunk(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap):
-    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap)
+@functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap", "cap_rows", "k"))
+def _extract_chunk(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap, cap_rows=0, k=4):
+    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
 
 
-def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap):
+def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap, cap_rows=0, k=4):
     """Phase 2 scoring for a batch of (spacer-block, tile) pairs, with
     on-device hit compaction — only ``cap`` flat indices + mismatch counts
     cross the device boundary, never the dense n×BS×P hit matrix — and all
@@ -323,7 +326,9 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
     mask_tiles (n_tiles, 1, P); sc_p/tc_p (B,) pair indices; valid (B,)
     masks padding pairs →
     (flat_idx int32 (cap,) with -1 fill, mm_vals int32 (cap,),
-     n_hits int32 scalar — if n_hits > cap the caller must retry bigger)."""
+     n_hits, n_rows, max_row_hits int32 — if n_hits > cap, n_rows > the
+     row capacity, or max_row_hits > k, the caller must retry with
+     capacities >= those counts)."""
     q_oh_blocks = q_blocks_all[sc_p]
     g_tiles = tiles[tc_p]
     mask_chunk = mask_tiles[tc_p]
@@ -337,18 +342,34 @@ def _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P
         & (mask_chunk[:, 0, :][:, None, :] > 0)
         & valid[:, None, None]
     )
-    # floor sized for design-scale batches (~1-2 hit rows per pair at
-    # EXTRACT_BATCH pairs); the row gather is (cap_rows, P) int32
-    return _compact_hits(hit, mm, cap=cap, cap_rows=max(cap // 16, 2 * EXTRACT_BATCH))
+    # default floor sized for design-scale batches (~1-2 hit rows per pair
+    # at EXTRACT_BATCH pairs); the row gather is (cap_rows, P) int32
+    cap_rows = cap_rows or max(cap // 16, 2 * EXTRACT_BATCH)
+    return _compact_hits(hit, mm, cap=cap, cap_rows=cap_rows, k=k)
 
 
-def _compact_hits(hit, mm, *, cap, cap_rows):
-    """Hierarchical on-device hit compaction shared by every phase-2 body:
-    first compact the (B*bs,) rows containing any hit (XLA lowers sized
-    nonzero as a sort, so never sort the dense B*bs*P tensor), then nonzero
-    only the gathered rows. Returns (flat row-space indices int32 (cap,)
-    -1-filled, mm int32 (cap,), n_signal) where n_signal > cap forces a
-    caller retry (covers both hit-count and row-capacity overflow)."""
+def _compact_hits(hit, mm, *, cap, cap_rows, k=4):
+    """Hierarchical on-device hit compaction shared by every phase-2 body.
+
+    XLA lowers a sized ``jnp.nonzero`` as a full sort, so neither the dense
+    B*bs*P tensor nor the row-gathered (cap_rows, P) matrix may be nonzero'd
+    directly (the latter measured 614 ms at design-batch sizes). Three
+    levels instead:
+
+      1. compact the (B*bs,) rows containing any hit (nonzero over B*bs);
+      2. per gathered row, take the top-``k`` hit POSITIONS with
+         ``lax.top_k`` (hits/row is ~1; k=4 default) — 31x faster than the
+         flat sort at (131072, 512);
+      3. nonzero only the (cap_rows*k,) slot-validity vector.
+
+    mm values are gathered per final index from the original tensor (a
+    (cap,) gather) rather than materializing a row-gathered mm matrix.
+
+    Returns (flat row-space indices int32 (cap,) -1-filled, mm int32
+    (cap,), n_hits, n_rows, max_row_hits); results are complete iff
+    n_hits <= cap AND n_rows <= cap_rows AND max_row_hits <= k — otherwise
+    the caller retries with capacities sized from the returned counts (one
+    retry, not a doubling walk)."""
     B, bs_, P_ = hit.shape
     rows = hit.reshape(B * bs_, P_)
     anyrow = rows.any(axis=1)
@@ -356,17 +377,19 @@ def _compact_hits(hit, mm, *, cap, cap_rows):
     (ridx,) = jnp.nonzero(anyrow, size=cap_rows, fill_value=-1)
     safe = jnp.clip(ridx, 0, B * bs_ - 1)
     sub_hit = rows[safe] & (ridx >= 0)[:, None]  # (cap_rows, P)
-    sub_mm = mm.reshape(B * bs_, P_)[safe]
-    flat2 = sub_hit.reshape(-1)
-    (k,) = jnp.nonzero(flat2, size=cap, fill_value=-1)
-    k_safe = jnp.clip(k, 0, flat2.shape[0] - 1)
-    mm_vals = sub_mm.reshape(-1)[k_safe]
-    row_g = ridx[k_safe // P_]
-    idx = jnp.where(k >= 0, row_g * P_ + k % P_, -1).astype(jnp.int32)
+    max_row_hits = rows.sum(axis=1).max().astype(jnp.int32)
+    keyed = jnp.where(sub_hit, jax.lax.iota(jnp.int32, P_)[None, :] + 1, 0)
+    topv = jax.lax.top_k(keyed, k)[0]  # (cap_rows, k) position+1; 0 = none
+    flat2 = (topv > 0).reshape(-1)
+    (s,) = jnp.nonzero(flat2, size=cap, fill_value=-1)
+    s_safe = jnp.clip(s, 0, flat2.shape[0] - 1)
+    row_g = ridx[s_safe // k]
+    col = topv.reshape(-1)[s_safe] - 1
+    flat_src = jnp.clip(row_g, 0, B * bs_ - 1) * P_ + jnp.clip(col, 0, P_ - 1)
+    mm_vals = mm.reshape(-1)[flat_src]
+    idx = jnp.where(s >= 0, row_g * P_ + col, -1).astype(jnp.int32)
     n_hits = hit.sum().astype(jnp.int32)
-    # row overflow -> force a caller retry even when n_hits <= cap
-    n_signal = jnp.where(n_rows > cap_rows, jnp.maximum(n_hits, cap + 1), n_hits)
-    return idx, mm_vals.astype(jnp.int32), n_signal
+    return idx, mm_vals.astype(jnp.int32), n_hits, n_rows, max_row_hits
 
 
 def _pam_specs(pam: str, direction: str, L: int):
@@ -570,12 +593,19 @@ def extract_hits_for_pairs(
         pending.append((tc, sc, nb, cap, fut, args, kw))
 
     for tc, sc, nb, cap, fut, args, kw in pending:
-        idx, mm_vals, n_hits = fut
-        n_hits = int(n_hits)
-        while n_hits > cap:
-            cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
-            idx, mm_vals, n_hits = _extract_chunk(*args, cap=cap, **kw)
-            n_hits = int(n_hits)
+        idx, mm_vals, n_hits, n_rows, max_rh = (
+            fut[0], fut[1], int(fut[2]), int(fut[3]), int(fut[4])
+        )
+        cap_rows, k = max(cap // 16, 2 * EXTRACT_BATCH), 4
+        while n_hits > cap or n_rows > cap_rows or max_rh > k:
+            # counts are exact, so one retry at the next power of two suffices
+            cap = max(cap, 1 << (max(n_hits, 1) - 1).bit_length())
+            cap_rows = max(cap_rows, 1 << (max(n_rows, 1) - 1).bit_length())
+            k = max(k, 1 << (max(max_rh, 1) - 1).bit_length())
+            idx, mm_vals, n_hits, n_rows, max_rh = _extract_chunk(
+                *args, cap=cap, cap_rows=cap_rows, k=k, **kw
+            )
+            n_hits, n_rows, max_rh = int(n_hits), int(n_rows), int(max_rh)
         idx = np.asarray(idx)[:n_hits]
         mm_vals = np.asarray(mm_vals)[:n_hits]
         if n_hits == 0:
@@ -717,9 +747,11 @@ def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, 
     (n_tiles, n_sb_pad8, SUB), entry > 0 iff the (subtile, spacer-block)
     pair has a score >= thresh. With pair_cap > 0, the nonzero entries are
     compacted ON DEVICE and only (flat_idx int32 (pair_cap,) -1-filled,
-    n_pairs int32) come back — a few-KB d2h instead of the multi-MB tensor
-    (the dominant fetch cost on tunneled links); callers retry with a
-    bigger cap when n_pairs > pair_cap."""
+    vals int32 (pair_cap,) hit-column counts per pair, n_pairs int32) come
+    back — a few-KB d2h instead of the multi-MB tensor (the dominant fetch
+    cost on tunneled links); callers retry with a bigger cap when
+    n_pairs > pair_cap. The per-pair counts size the phase-2 hit/row
+    capacities upfront (count <= hits in the pair)."""
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
         scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
@@ -733,9 +765,7 @@ def phase1_full(scan_dev, n_real, q_onehot, shift, pat, thresh, *, n_starts, P, 
     )
     if pair_cap == 0:
         return ind
-    flat = ind.reshape(-1) > 0
-    (pairs,) = jnp.nonzero(flat, size=pair_cap, fill_value=-1)
-    return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
+    return _compact_pairs(ind, pair_cap)
 
 
 @functools.partial(
@@ -770,9 +800,19 @@ def phase1_fused(scan_dev, n_real, q_all, shift_f, pat_f, shift_r, pat_r, thresh
         thresh, q_all, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
         interpret=interpret, fold_bias=True,
     )
-    flat = ind.reshape(-1) > 0
+    return _compact_pairs(ind, pair_cap)
+
+
+def _compact_pairs(ind, pair_cap: int):
+    """(pairs int32 (pair_cap,) -1-filled, vals int32 (pair_cap,) hit-column
+    counts, n_pairs int32) from the phase-1 indicator tensor."""
+    flat_vals = ind.reshape(-1)
+    flat = flat_vals > 0
     (pairs,) = jnp.nonzero(flat, size=pair_cap, fill_value=-1)
-    return pairs.astype(jnp.int32), flat.sum().astype(jnp.int32)
+    vals = jnp.where(
+        pairs >= 0, flat_vals[jnp.clip(pairs, 0, flat_vals.shape[0] - 1)], 0.0
+    ).astype(jnp.int32)
+    return pairs.astype(jnp.int32), vals, flat.sum().astype(jnp.int32)
 
 
 @functools.partial(
@@ -826,8 +866,16 @@ def extract_spec(q_blocks_all, scan_dev, n_real, shift_f, pat_f, shift_r, pat_r,
     scores = jnp.einsum("nsk,nkp->nsp", q, g_oh, preferred_element_type=jnp.float32)
     mm = (L - scores).astype(jnp.int32)
     hit = (mm <= thresh) & mask_sel[:, None, :] & slot_ok[:, None, None]
-    idx, mm_vals, n_signal = _compact_hits(
-        hit, mm, cap=cap, cap_rows=max(cap // 16, 2 * B)
+    cap_rows = max(cap // 16, 2 * B)
+    idx, mm_vals, n_hits, n_rows, max_row_hits = _compact_hits(
+        hit, mm, cap=cap, cap_rows=cap_rows
+    )
+    # single overflow signal: > cap forces the host to fall back to the
+    # batched path (which sizes its capacities from phase-1 counts)
+    n_signal = jnp.where(
+        (n_rows > cap_rows) | (max_row_hits > 4),
+        jnp.maximum(n_hits, cap + 1),
+        n_hits,
     )
     header = jnp.stack([n_pairs.astype(jnp.int32), n_signal])
     return jnp.concatenate([header, slots.astype(jnp.int32), idx, mm_vals])
@@ -1023,7 +1071,7 @@ class _ScanJob:
             # chain the speculative phase 2 on the device-resident pair
             # list — no host sync; the whole common-case scan becomes one
             # packed fetch in collect()
-            pairs_dev, n_pairs_dev = self.futures["fused"]
+            pairs_dev, _vals_dev, n_pairs_dev = self.futures["fused"]
             self.spec_fut = extract_spec(
                 p.q_blocks_fused, self.scan_dev, self.n_real,
                 p.shift_dev[STRAND_F], p.pat_dev[STRAND_F],
@@ -1099,17 +1147,19 @@ class _ScanJob:
         )
 
     def _decode_pairs(self, key, fetch_again):
-        """(t_idx subtile indices, s_idx block indices) from a phase-1
-        (pairs, count) future, with overflow retry."""
+        """(t_idx subtile indices, s_idx block indices, counts hit-column
+        counts per pair) from a phase-1 (pairs, vals, count) future, with
+        overflow retry."""
         p = self.prep
-        pairs, n_pairs = self.futures[key]
+        pairs, vals, n_pairs = self.futures[key]
         n_pairs = int(n_pairs)
         cap_p = p.pair_cap
         while n_pairs > cap_p:  # rare: designs with very dense hits
             cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
-            pairs, n_pairs = fetch_again(cap_p)
+            pairs, vals, n_pairs = fetch_again(cap_p)
             n_pairs = int(n_pairs)
         pairs = np.asarray(pairs)[:n_pairs]
+        vals = np.asarray(vals)[:n_pairs]
         # decode flat index over (n_tiles, n_sb_pad8, SUB); indicator
         # padding rows are zero, so s_idx < n_sblocks always
         n_sb_pad8 = self._n_sb_pad8()
@@ -1119,7 +1169,7 @@ class _ScanJob:
         sub_idx = rem % p.SUB
         t_idx = t_big * p.SUB + sub_idx  # subtile index on the P2 grid
         in_range = t_idx < self.n_tiles2
-        return t_idx[in_range], s_idx[in_range]
+        return t_idx[in_range], s_idx[in_range], vals[in_range]
 
     def collect(self) -> Hits:
         if self.n_starts <= 0:
@@ -1137,11 +1187,11 @@ class _ScanJob:
 
         strand_pairs = {}
         if p.fused:
-            t_idx, s_idx = self._decode_pairs("fused", self._phase1_fused)
+            t_idx, s_idx, counts = self._decode_pairs("fused", self._phase1_fused)
             n_sb_half = p.S_pad // bs
             rev = s_idx >= n_sb_half
-            strand_pairs[STRAND_F] = (t_idx[~rev], s_idx[~rev])
-            strand_pairs[STRAND_R] = (t_idx[rev], s_idx[rev] - n_sb_half)
+            strand_pairs[STRAND_F] = (t_idx[~rev], s_idx[~rev], counts[~rev])
+            strand_pairs[STRAND_R] = (t_idx[rev], s_idx[rev] - n_sb_half, counts[rev])
         else:
             for strand in (STRAND_F, STRAND_R):
                 strand_pairs[strand] = self._decode_pairs(
@@ -1154,7 +1204,7 @@ class _ScanJob:
         # each fetch is a full round trip on tunneled links.
         pending = []
         for strand in (STRAND_F, STRAND_R):
-            t_idx, s_idx = strand_pairs[strand]
+            t_idx, s_idx, counts = strand_pairs[strand]
             if len(t_idx) == 0:
                 continue
             q_blocks_all = p.q_dev[strand].reshape(-1, bs, K)
@@ -1168,9 +1218,18 @@ class _ScanJob:
                 sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
                 valid = np.zeros(bucket, dtype=bool)
                 valid[:nb] = True
-                # hits/pair is ~1 for design-style scans; 4x headroom keeps
-                # the per-batch idx+mm d2h small (overflow retries double it)
-                cap = max(1 << 14, bucket * 4)
+                # size hit/row capacities from the phase-1 per-pair hit-
+                # column counts (a lower bound on hits: a column can hold
+                # several hitting spacers) — 2x headroom makes first-try
+                # success the norm; the exact counts returned by a miss
+                # make any retry converge in one step
+                colsum = int(counts[c0 : c0 + p.extract_batch].sum())
+                cap = max(1 << 14, 1 << (2 * max(colsum, 1) - 1).bit_length())
+                cap_rows = min(
+                    max(2 * EXTRACT_BATCH,
+                        1 << (2 * max(colsum, 1) - 1).bit_length()),
+                    bucket * bs,  # can never exceed the batch's total rows
+                )
                 args = (
                     q_blocks_all, self.scan_dev, self.n_real,
                     p.shift_dev[strand], p.pat_dev[strand],
@@ -1179,17 +1238,23 @@ class _ScanJob:
                 kw = dict(n_starts=self.n_starts_b, halo=p.halo, L=p.L, K=K,
                           P=P2, thresh=int(p.max_mismatches),
                           circular=self.circular)
-                fut = extract_full(*args, cap=cap, **kw)
-                pending.append((strand, tc, sc, nb, cap, fut, args, kw))
+                fut = extract_full(*args, cap=cap, cap_rows=cap_rows, **kw)
+                pending.append((strand, tc, sc, nb, cap, cap_rows, fut, args, kw))
 
         out = []
-        for strand, tc, sc, nb, cap, fut, args, kw in pending:
-            idx, mm_vals, n_hits = fut
-            n_hits = int(n_hits)
-            while n_hits > cap:
-                cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
-                idx, mm_vals, n_hits = extract_full(*args, cap=cap, **kw)
-                n_hits = int(n_hits)
+        for strand, tc, sc, nb, cap, cap_rows, fut, args, kw in pending:
+            idx, mm_vals, n_hits, n_rows, max_rh = (
+                fut[0], fut[1], int(fut[2]), int(fut[3]), int(fut[4])
+            )
+            k = 4
+            while n_hits > cap or n_rows > cap_rows or max_rh > k:
+                cap = max(cap, 1 << (max(n_hits, 1) - 1).bit_length())
+                cap_rows = max(cap_rows, 1 << (max(n_rows, 1) - 1).bit_length())
+                k = max(k, 1 << (max(max_rh, 1) - 1).bit_length())
+                idx, mm_vals, n_hits, n_rows, max_rh = extract_full(
+                    *args, cap=cap, cap_rows=cap_rows, k=k, **kw
+                )
+                n_hits, n_rows, max_rh = int(n_hits), int(n_rows), int(max_rh)
             idx = np.asarray(idx)[:n_hits]
             mm_vals = np.asarray(mm_vals)[:n_hits]
             if n_hits == 0:

@@ -55,10 +55,20 @@ def find_candidate_guides(
 ) -> list[str]:
     """All distinct PAM-adjacent spacers of the given length on either
     strand (reference: find_sequences_with_barcode_and_pam,
-    design_guides.py:22-49)."""
+    design_guides.py:22-49; the reference dedups into a ``set`` so its order
+    is arbitrary).
+
+    Candidates come back in GENOME-FIRST-OCCURRENCE order (per contig:
+    forward-strand sites by position, then reverse). This matters for
+    performance, not just fidelity: the scan kernel's phase-1 indicator is
+    keyed on (spacer-block, genome-subtile) cells, and position-ordered
+    candidates put ~subtile-width runs of self-hits into the SAME cell —
+    measured ~30x fewer phase-2 pairs on the 1 Mb design benchmark than the
+    packed-key order np.unique returns."""
     L = barcode_length
-    keys_all = []
-    key_to_codes: dict = {}
+    keys_list: list[np.ndarray] = []
+    ord_list: list[np.ndarray] = []
+    base = 0
     for contig in genome.contigs:
         if contig.length < L:
             continue
@@ -68,24 +78,32 @@ def find_candidate_guides(
         mask_f = mask_f[: len(windows)]
         mask_r = mask_r[: len(windows)]
         for mask, rc in ((mask_f, False), (mask_r, True)):
-            sel = windows[mask]
-            if not len(sel):
+            pos = np.nonzero(mask)[0]
+            if not len(pos):
+                base += contig.length
                 continue
+            sel = windows[pos]
             if rc:
                 sel = sel[:, ::-1]
                 sel = np.where(sel < 4, 3 - sel, sel)
             keys, valid = _pack_windows(sel)
-            keys = keys[valid]
-            sel = sel[valid]
-            uniq, first = np.unique(keys, return_index=True)
-            keys_all.append(uniq)
-            for k, i in zip(uniq, first):
-                if k not in key_to_codes:
-                    key_to_codes[int(k)] = sel[i]
-    if not keys_all:
+            keys_list.append(keys[valid])
+            ord_list.append(base + pos[valid])
+            base += contig.length
+    if not keys_list:
         return []
-    all_keys = np.unique(np.concatenate(keys_all))
-    codes_mat = np.stack([key_to_codes[int(k)] for k in all_keys])
+    keys = np.concatenate(keys_list)
+    ords = np.concatenate(ord_list)
+    order = np.lexsort((ords, keys))
+    ks, os_ = keys[order], ords[order]
+    first = np.ones(len(ks), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    uk, uo = ks[first], os_[first]
+    uk = uk[np.argsort(uo, kind="stable")]
+    # decode codes straight from the 2-bit packed keys (valid windows are
+    # N-free by construction)
+    shifts = (2 * np.arange(L, dtype=np.uint64))[None, :]
+    codes_mat = ((uk[:, None] >> shifts) & np.uint64(3)).astype(np.int8)
     from ..core.encode import DECODE_ASCII
 
     ascii_mat = DECODE_ASCII[np.clip(codes_mat, 0, 4)]
