@@ -33,6 +33,8 @@ CPU core.
 from __future__ import annotations
 
 import functools
+import zlib
+from collections import OrderedDict
 
 import numpy as np
 
@@ -430,15 +432,19 @@ def _batch_buckets(n: int) -> int:
 
 
 def _geom_bucket(n: int, quantum: int) -> int:
-    """Round n up to quantum * {1, 1.25, 1.5, 1.75} * 2^k — geometric size
-    buckets so jit compiles (keyed on static shapes) are reused across
-    genomes and libraries at <= 25% padding waste (padding is real matmul
-    work: the E.coli config wasted 37% of phase-1 under coarser buckets)."""
+    """Round n up to quantum * {8..16}/8 * 2^k — geometric size buckets so
+    jit compiles (keyed on static shapes) are reused across genomes and
+    libraries at <= 12.5% padding waste. Padding is real matmul work and
+    the kernel is at the chip's matmul ceiling, so bucket waste converts
+    1:1 into wall-clock (the E.coli config wasted 14% at 1/4 steps, 2.5%
+    at these 1/8 steps); each distinct bucket costs one persistent-cached
+    Mosaic compile."""
     n = max(n, 1)
     units = _cdiv(n, quantum)
     k = max(units.bit_length() - 1, 0)
     base = 1 << k
-    for cand in (base, (base * 5) // 4, (base * 3) // 2, (base * 7) // 4, base * 2):
+    for m in range(8, 17):
+        cand = (base * m) // 8
         if units <= cand:
             return cand * quantum
     return 2 * base * quantum
@@ -633,6 +639,31 @@ def extract_hits_for_pairs(
 MAX_PAM = 12  # pattern slots in the traced PAM spec (reference PAMs are 2-4 nt)
 
 
+class _DeviceScanCache(OrderedDict):
+    """Tiny LRU of device-resident scan arrays keyed by contig identity +
+    content checksum. Re-scanning the same genome (the design pipeline
+    scans it for enumeration AND for the off-target map-back; repeated CLI
+    benches) skips the h2d ship + reconstruction entirely. Entries are a
+    few MB of HBM each."""
+
+    MAX = 8
+
+    def get(self, key):
+        v = super().get(key)
+        if v is not None:
+            self.move_to_end(key)
+        return v
+
+    def put(self, key, value):
+        self[key] = value
+        self.move_to_end(key)
+        while len(self) > self.MAX:
+            self.popitem(last=False)
+
+
+_SCAN_DEV_CACHE = _DeviceScanCache()
+
+
 def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
     """int8 codes 0..7 → uint8 nibble pairs (even index = low nibble).
 
@@ -650,6 +681,55 @@ def _unpack_nibbles(packed, *, total):
     lo = packed & 0xF
     hi = packed >> 4
     return jnp.stack([lo, hi], axis=1).reshape(-1)[:total].astype(jnp.int8)
+
+
+def _pack_2bit(arr: np.ndarray) -> np.ndarray:
+    """int8 codes → uint8 with 4 codes/byte (low crumb first), keeping only
+    the 2 low bits of each code. Callers ship the lost information (N
+    positions, padding, wrap halo) separately / reconstruct it on device —
+    see _build_scan_device. Steady-state h2d on the tunneled link measured
+    ~32 MB/s, so halving the nibble-packed bytes saves ~35 ms on an E.coli
+    scan."""
+    a = arr.astype(np.uint8) & 3
+    pad = (-len(a)) % 4
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, np.uint8)])
+    return (a[0::4] | (a[1::4] << 2) | (a[2::4] << 4) | (a[3::4] << 6)).astype(
+        np.uint8
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("total", "pad_code", "halo_len", "circular")
+)
+def _build_scan_device(packed, exc_idx, n_real, *, total, pad_code, halo_len,
+                       circular):
+    """Reconstruct the padded scan array (prep_scan_padded semantics) from
+    2-bit genome codes + a sparse N-exception index list:
+
+      * positions < n_real: genome codes (0-3), with exc_idx positions
+        (genomic Ns) restored to 4;
+      * circular wrap halo [n_real, n_real + halo_len): copy of the genome
+        start (halo_len = L - 1 + MAX_PAM, static) — including restored Ns,
+        since the scatter runs before the halo copy;
+      * everything else: pad_code (4 = N for circular, 5 = OOB sentinel
+        for linear).
+
+    n_real is traced (one executable per size bucket); exc_idx is -1-padded
+    to a power-of-two bucket. Callers must guarantee n_real >= halo_len
+    (tiny contigs fall back to the nibble path)."""
+    b = packed
+    c = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1)
+    codes4 = c.reshape(-1)[:total].astype(jnp.int8)
+    pos = jnp.arange(total, dtype=jnp.int32)
+    out = jnp.where(pos < n_real, codes4, jnp.int8(pad_code))
+    safe = jnp.clip(exc_idx, 0, total - 1)
+    cur = out[safe]
+    out = out.at[safe].set(jnp.where(exc_idx >= 0, jnp.int8(4), cur))
+    if circular:
+        head = jax.lax.dynamic_slice(out, (0,), (halo_len,))
+        out = jax.lax.dynamic_update_slice(out, head, (n_real,))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("K", "fold", "rev_bias_col"))
@@ -1059,9 +1139,38 @@ class _ScanJob:
         # bucket, not per genome
         self.n_starts_b = _geom_bucket(self.n_starts, p.P)
         scan_padded = prep_scan_padded(contig, scan, p.L, self.n_starts_b, p.halo_total)
-        self.scan_dev = _unpack_nibbles(
-            jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
+        halo_len = p.L - 1 + MAX_PAM
+        cache_key = (
+            contig.id, contig.length, bool(contig.circular),
+            len(scan_padded), halo_len,
+            zlib.adler32(scan_padded.tobytes()),
         )
+        cached = _SCAN_DEV_CACHE.get(cache_key)
+        if cached is not None:
+            self.scan_dev = cached
+        elif contig.length >= halo_len:
+            # 2-bit ship: genome crumbs + sparse N exceptions; wrap halo and
+            # padding reconstructed on device (half the nibble-path bytes)
+            n = contig.length
+            exc = np.nonzero(scan_padded[:n] >= 4)[0].astype(np.int32)
+            exc_cap = max(16, 1 << (len(exc) - 1).bit_length()) if len(exc) else 16
+            exc_p = np.full(exc_cap, -1, dtype=np.int32)
+            exc_p[: len(exc)] = exc
+            self.scan_dev = _build_scan_device(
+                jnp.asarray(_pack_2bit(scan_padded)),
+                jnp.asarray(exc_p),
+                jnp.int32(n),
+                total=len(scan_padded),
+                pad_code=4 if contig.circular else 5,
+                halo_len=halo_len,
+                circular=bool(contig.circular),
+            )
+        else:  # tiny contig: the halo copy would read padding
+            self.scan_dev = _unpack_nibbles(
+                jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
+            )
+        if cached is None:
+            _SCAN_DEV_CACHE.put(cache_key, self.scan_dev)
         self.n_real = jnp.int32(contig.length)
         self.n_tiles2 = _cdiv(self.n_starts_b, p.P2)
         self.circular = bool(contig.circular)

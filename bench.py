@@ -121,9 +121,11 @@ def bench_design_scale() -> dict:
     contig = Contig(id="D.1", length=n, codes=encode(seq), seq=seq, topology="circular")
     cands = find_candidate_guides(Genome(contigs=[contig]), 20, "NGG")
     pallas_scan(cands, contig, 1, pam="NGG")  # warm
-    t0 = time.time()
-    hits = pallas_scan(cands, contig, 1, pam="NGG")
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        hits = pallas_scan(cands, contig, 1, pam="NGG")
+        dt = min(dt, time.time() - t0)
     return {
         "candidates": len(cands), "genome_bp": n, "hits": len(hits.pos),
         "design_scan_s": dt, "pairs_per_s": len(cands) * n * 2 / dt,
@@ -149,9 +151,11 @@ def bench_counting() -> dict:
             r = pre + l_fl + barcodes[i] + r_fl + tail
             fh.write(f"@r\n{r}\n+\n{'I' * len(r)}\n")
         path = fh.name
-    t0 = time.time()
-    doc, undoc, total, _ = run_count(set(barcodes), path, engine="vector")
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        doc, undoc, total, _ = run_count(set(barcodes), path, engine="vector")
+        dt = min(dt, time.time() - t0)
     exact = sum(doc.values()) == len(idx)
     return {"reads": total, "count_s": dt, "reads_per_s": total / dt, "counts_exact": exact}
 
@@ -226,9 +230,12 @@ def inner_main() -> int:
     hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
     warm_s = time.time() - t0
 
-    t0 = time.time()
-    hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
-    total_s = time.time() - t0
+    # best of 3: single samples on the tunneled dev chip vary +-30%
+    total_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
+        total_s = min(total_s, time.time() - t0)
 
     kernel = bench_kernel_phase(contig, spacers)
     counting = bench_counting()
