@@ -75,3 +75,54 @@ def test_spec_hit_cap_overflow_falls_back():
     want = oracle_scan([g], contig, 0, pam="NGG")
     assert tuples(got) == tuples(want)
     assert len(got) > 16
+
+
+def test_n_bases_through_2bit_ship():
+    # genomic Ns ride the sparse exception list of the 2-bit device ship
+    # (_build_scan_device); windows covering an N must never match, and
+    # the PAM N-wildcard must still match a genomic N
+    rng = np.random.default_rng(13)
+    rec = make_record(n=2000, topology="circular", seed=13)
+    g = random_seq(20, rng)
+    plant_guide(rec, g, 300, pam="TGG")
+    plant_guide(rec, g, 900, pam="TGG")
+    s = list(rec.seq)
+    s[905] = "N"  # poisons the 900 plant
+    for i in range(1500, 1540):
+        s[i] = "N"  # a run of Ns elsewhere
+    s[3] = "N"  # near the origin: wrap halo must carry it
+    rec.seq = "".join(s)
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan([g], contig, 0, pam="NGG", P=512, interpret=True))
+    want = tuples(oracle_scan([g], contig, 0, pam="NGG"))
+    assert got == want
+    assert any(p == 300 for _, p, _, _ in got)
+    assert not any(p == 900 for _, p, _, _ in got)
+
+
+def test_tiny_contig_nibble_fallback():
+    # contigs shorter than the wrap-halo length use the nibble ship path
+    rng = np.random.default_rng(17)
+    rec = make_record(n=30, topology="circular", seed=17)
+    g = rec.seq[5:25]
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan([g], contig, 0, P=512, interpret=True))
+    want = tuples(oracle_scan([g], contig, 0))
+    assert got == want and any(p == 5 for _, p, _, _ in got)
+
+
+def test_dense_repeat_topk_retry():
+    # >4 hits of one spacer inside a single phase-2 subtile forces the
+    # max_row_hits > k retry in _compact_hits; results must stay exact
+    rng = np.random.default_rng(19)
+    rec = make_record(n=4000, topology="circular", seed=19)
+    g = random_seq(20, rng)
+    positions = list(range(1000, 1000 + 17 * 24, 24))  # 17 plants in 408 bp
+    for p in positions:
+        plant_guide(rec, g, p, pam="TGG")
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan([g], contig, 0, pam="NGG", P=512, interpret=True))
+    want = tuples(oracle_scan([g], contig, 0, pam="NGG"))
+    assert got == want
+    found = {p for _, p, _, _ in got}
+    assert sum(p in found for p in positions) >= 12  # later plants can clobber earlier ones
