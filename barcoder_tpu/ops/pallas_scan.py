@@ -122,7 +122,8 @@ def _scan_max_kernel(q_ref, tiles_ref, bias_ref, out_ref, g_scratch, *, L, K, P,
 
 
 def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
-                      seg_scratch, *, L, K, P, SUB, BS_M, fold_bias, bias_rows=1):
+                      seg_scratch, *, L, K, P, SUB, BS_M, fold_bias, bias_rows=1,
+                      matrix_rows=False):
     """Phase-1 body (hit-indicator variant): per (spacer-block, subtile)
     count of subtile-columns whose best score clears the threshold.
 
@@ -154,7 +155,13 @@ def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
     def _build_g():
         g_scratch[:] = jnp.zeros_like(g_scratch)
         for j in range(L):
-            window = tiles_ref[0, 0:1, pl.ds(j, P)]  # (1, P) int32
+            if matrix_rows:
+                # site-compacted mode: tile block is (1, L, P) independent
+                # window codes (column p = site p's base j), not a sliding
+                # genome window
+                window = tiles_ref[0, pl.ds(j, 1), :]  # (1, P) int
+            else:
+                window = tiles_ref[0, 0:1, pl.ds(j, P)]  # (1, P) int32
             for b in range(4):
                 g_scratch[4 * j + b, :] = (window[0, :] == b).astype(g_scratch.dtype)
         if fold_bias:
@@ -184,10 +191,12 @@ def _scan_hits_kernel(th_ref, q_ref, tiles_ref, bias_ref, out_ref, g_scratch,
 
 
 def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
-                    BS_M=BS, interpret=False, fold_bias=False):
+                    BS_M=BS, interpret=False, fold_bias=False, matrix_rows=False):
     """Phase 1 (hit-indicator). thresh f32 (1,) — a score >= thresh is a
     hit (callers pass L - v); q_onehot (S_pad, K) bf16 with a constant-1
     column at 4L when fold_bias; tiles/bias_tiles as in scan_block_max.
+    With ``matrix_rows`` tiles is (n_tiles, L, P) independent site-window
+    codes (site-compacted mode) instead of sliding genome windows.
     Returns (n_tiles, n_sb_pad8, SUB) f32 where entry > 0 iff the
     (subtile, spacer-block) pair contains a hit — SUB rides the lane dim
     (full-width block, no lane padding) and the spacer-block dim is padded
@@ -208,7 +217,14 @@ def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
     grid = (n_tiles, n_sblocks)
     kernel = functools.partial(
         _scan_hits_kernel, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M, fold_bias=fold_bias,
-        bias_rows=bias_rows,
+        bias_rows=bias_rows, matrix_rows=matrix_rows,
+    )
+    tiles_spec = (
+        pl.BlockSpec(
+            (1, tiles.shape[1], P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+        if matrix_rows
+        else pl.BlockSpec((1, 1, tile_w), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         kernel,
@@ -216,7 +232,7 @@ def scan_block_hits(thresh, q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BS_M, K), lambda t, s: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_w), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+            tiles_spec,
             pl.BlockSpec((1, bias_rows, P), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, SUB), lambda t, s: (t, s // 8, 0), memory_space=pltpu.VMEM),
@@ -1388,6 +1404,232 @@ class _ScanJob:
         return Hits.concat(out).sorted()
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sites_b", "P", "L", "K", "SUB", "BS_M", "pair_cap",
+                     "interpret"),
+)
+def phase1_matrix(codes_lp, q_onehot, thresh, *, n_sites_b, P, L, K, SUB, BS_M,
+                  pair_cap, interpret=False):
+    """Site-compacted phase 1: the 'genome' axis is an explicit site-code
+    matrix (L, n_sites_b) int8 (column = one PAM-valid window, R-strand
+    windows pre-revcomped), so only forward spacer rows are needed and no
+    PAM bias exists (every column is PAM-valid by construction; padding
+    columns are all-N and can never reach thresh >= 1)."""
+    n_tiles = n_sites_b // P
+    L_pad = codes_lp.shape[0]  # row axis padded to 8 (Mosaic sublane tiling)
+    tiles = (
+        codes_lp.astype(jnp.int32).reshape(L_pad, n_tiles, P).transpose(1, 0, 2)
+    )
+    bias = jnp.zeros((n_tiles, 1, P), jnp.float32)
+    ind = scan_block_hits(
+        thresh, q_onehot, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
+        fold_bias=False, matrix_rows=True, interpret=interpret,
+    )
+    return _compact_pairs(ind, pair_cap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "P2", "thresh", "cap", "cap_rows", "k"),
+)
+def extract_matrix(q_blocks_all, codes_lp, n_sites, sc_p, tc_p, valid, *, L, K,
+                   P2, thresh, cap, cap_rows, k=4):
+    """Site-compacted phase 2: score the nonzero (spacer-block, site-
+    subtile) pairs against gathered site-code subtiles, compact on device
+    (same contract as _extract_body)."""
+    n_t2 = codes_lp.shape[1] // P2
+    L_pad = codes_lp.shape[0]
+    tiles2 = codes_lp.reshape(L_pad, n_t2, P2).transpose(1, 0, 2)[:, :L, :]
+    g = tiles2[tc_p]  # (B, L, P2) int8
+    oh = (
+        g[:, :, None, :] == jnp.arange(4, dtype=g.dtype)[None, None, :, None]
+    ).reshape(g.shape[0], 4 * L, P2)
+    g_oh = oh.astype(jnp.bfloat16)
+    if 4 * L < K:
+        g_oh = jnp.pad(g_oh, ((0, 0), (0, K - 4 * L), (0, 0)))
+    q = q_blocks_all[sc_p]  # (B, bs, K)
+    scores = jnp.einsum("nsk,nkp->nsp", q, g_oh, preferred_element_type=jnp.float32)
+    mm = (L - scores).astype(jnp.int32)
+    col_ok = tc_p[:, None] * P2 + jnp.arange(P2, dtype=jnp.int32)[None, :] < n_sites
+    hit = (mm <= thresh) & col_ok[:, None, :] & valid[:, None, None]
+    return _compact_hits(hit, mm, cap=cap, cap_rows=cap_rows, k=k)
+
+
+class _SiteScanJob:
+    """Site-compacted scan of one contig (PAM scans whose dense genome-axis
+    kernel cost dwarfs host site enumeration — the design workload's
+    all-vs-all map-back being the canonical case).
+
+    For a |PAM|-constrained scan every hit lies at a PAM-valid site, so the
+    genome axis contracts from contig.length to n_sites (~N/8 for NGG):
+    columns are the site windows themselves (R-strand windows revcomped at
+    enumeration, prep.enumerate_sites), which also halves the spacer rows —
+    no reverse one-hot matrix, no PAM bias, no wrap halo. Exact for every
+    mismatch budget (it is the same brute-force scoring over a provably
+    sufficient subset of positions)."""
+
+    def __init__(self, prep: _QPrep, contig: Contig, positions, strands, codes,
+                 interpret: bool = False):
+        self.prep = prep
+        self.interpret = interpret
+        self.contig = contig
+        p = prep
+        self.positions = positions
+        self.strands = strands
+        n_sites = len(positions)
+        self.n_sites = n_sites
+        self.n_sites_b = _geom_bucket(max(n_sites, 1), p.P)
+        L_pad = _cdiv(p.L, 8) * 8  # Mosaic wants 8-aligned sublane rows
+        codes_pad = np.full((self.n_sites_b, L_pad), 4, dtype=np.int8)
+        codes_pad[:n_sites, : p.L] = codes
+        flat = codes_pad.T.reshape(-1)  # (L_pad * n_sites_b), row j = base j
+        # exceptions = genomic Ns only; the all-N padding columns are
+        # reconstructed on device from (n_sites, n_sites_b)
+        col_n, j_n = np.nonzero(codes >= 4) if n_sites else (np.array([]),) * 2
+        exc = (np.asarray(j_n) * self.n_sites_b + np.asarray(col_n)).astype(np.int32)
+        if len(exc) * 4 < len(flat) // 8:
+            exc_cap = max(16, 1 << (len(exc) - 1).bit_length()) if len(exc) else 16
+            exc_p = np.full(exc_cap, -1, dtype=np.int32)
+            exc_p[: len(exc)] = exc
+            flat_dev = _build_codes_device(
+                jnp.asarray(_pack_2bit(flat)), jnp.asarray(exc_p),
+                jnp.int32(n_sites), total=len(flat), cols=self.n_sites_b,
+            )
+        else:
+            flat_dev = _unpack_nibbles(
+                jnp.asarray(_pack_nibbles(flat)), total=len(flat)
+            )
+        self.codes_lp = flat_dev.reshape(L_pad, self.n_sites_b)
+        self.n_tiles2 = _cdiv(self.n_sites_b, p.P2)
+        # dispatch phase 1 (no speculative path: site mode only triggers on
+        # design-scale scans, which overflow the spec budget anyway)
+        self.fut = phase1_matrix(
+            self.codes_lp, p.q_dev[STRAND_F], p.thresh_dev,
+            n_sites_b=self.n_sites_b, P=p.P, L=p.L, K=p.K, SUB=p.SUB,
+            BS_M=p.bs, pair_cap=p.pair_cap, interpret=interpret,
+        )
+
+    def _n_sb_pad8(self) -> int:
+        p = self.prep
+        return _cdiv(p.S_pad // p.bs, 8) * 8
+
+    def collect(self) -> Hits:
+        p = self.prep
+        bs, K, P2, S = p.bs, p.K, p.P2, p.S
+        pairs, vals, n_pairs = self.fut
+        n_pairs = int(n_pairs)
+        cap_p = p.pair_cap
+        while n_pairs > cap_p:
+            cap_p = max(cap_p * 2, 1 << (n_pairs - 1).bit_length())
+            pairs, vals, n_pairs = phase1_matrix(
+                self.codes_lp, p.q_dev[STRAND_F], p.thresh_dev,
+                n_sites_b=self.n_sites_b, P=p.P, L=p.L, K=p.K, SUB=p.SUB,
+                BS_M=p.bs, pair_cap=cap_p, interpret=self.interpret,
+            )
+            n_pairs = int(n_pairs)
+        pairs = np.asarray(pairs)[:n_pairs]
+        counts = np.asarray(vals)[:n_pairs]
+        n_sb_pad8 = self._n_sb_pad8()
+        t_big = pairs // (n_sb_pad8 * p.SUB)
+        rem = pairs % (n_sb_pad8 * p.SUB)
+        s_idx = rem // p.SUB
+        t_idx = t_big * p.SUB + rem % p.SUB
+        in_range = t_idx < self.n_tiles2
+        t_idx, s_idx, counts = t_idx[in_range], s_idx[in_range], counts[in_range]
+
+        q_blocks_all = p.q_dev[STRAND_F].reshape(-1, bs, K)
+        n_sites_dev = jnp.int32(self.n_sites)
+        pending = []
+        for c0 in range(0, len(t_idx), p.extract_batch):
+            tc = t_idx[c0 : c0 + p.extract_batch]
+            sc = s_idx[c0 : c0 + p.extract_batch]
+            nb = len(tc)
+            bucket = _batch_buckets(nb)
+            pad = bucket - nb
+            tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
+            sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
+            valid = np.zeros(bucket, dtype=bool)
+            valid[:nb] = True
+            colsum = int(counts[c0 : c0 + p.extract_batch].sum())
+            cap = max(1 << 14, 1 << (2 * max(colsum, 1) - 1).bit_length())
+            cap_rows = min(
+                max(2 * EXTRACT_BATCH, 1 << (2 * max(colsum, 1) - 1).bit_length()),
+                bucket * bs,
+            )
+            args = (
+                q_blocks_all, self.codes_lp, n_sites_dev,
+                jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+            )
+            kw = dict(L=p.L, K=K, P2=P2, thresh=int(p.max_mismatches))
+            fut = extract_matrix(*args, cap=cap, cap_rows=cap_rows, **kw)
+            pending.append((tc, sc, nb, cap, cap_rows, fut, args, kw))
+
+        out = []
+        for tc, sc, nb, cap, cap_rows, fut, args, kw in pending:
+            idx, mm_vals, n_hits, n_rows, max_rh = (
+                fut[0], fut[1], int(fut[2]), int(fut[3]), int(fut[4])
+            )
+            k = 4
+            while n_hits > cap or n_rows > cap_rows or max_rh > k:
+                cap = max(cap, 1 << (max(n_hits, 1) - 1).bit_length())
+                cap_rows = max(cap_rows, 1 << (max(n_rows, 1) - 1).bit_length())
+                k = max(k, 1 << (max(max_rh, 1) - 1).bit_length())
+                idx, mm_vals, n_hits, n_rows, max_rh = extract_matrix(
+                    *args, cap=cap, cap_rows=cap_rows, k=k, **kw
+                )
+                n_hits, n_rows, max_rh = int(n_hits), int(n_rows), int(max_rh)
+            idx = np.asarray(idx)[:n_hits]
+            mm_vals = np.asarray(mm_vals)[:n_hits]
+            if n_hits == 0:
+                continue
+            bi = idx // (bs * P2)
+            rem = idx % (bs * P2)
+            si = rem // P2
+            pi = rem % P2
+            keep = bi < nb
+            bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
+            spacer_idx = sc[bi] * bs + si
+            col = tc[bi] * P2 + pi
+            keep2 = (spacer_idx < S) & (col < self.n_sites)
+            spacer_idx, col, mm_vals = spacer_idx[keep2], col[keep2], mm_vals[keep2]
+            out.append(
+                Hits(
+                    spacer_idx=spacer_idx.astype(np.int64),
+                    pos=self.positions[col].astype(np.int64),
+                    strand=self.strands[col].astype(np.int8),
+                    mismatches=mm_vals.astype(np.int32),
+                )
+            )
+        return Hits.concat(out).sorted()
+
+
+@functools.partial(jax.jit, static_argnames=("total", "cols"))
+def _build_codes_device(packed, exc_idx, n_sites, *, total, cols):
+    """2-bit crumbs + sparse exception list → flat int8 codes (the
+    row-major (L, cols) site matrix) with genomic-N exceptions restored to
+    4 and the padding columns (col >= n_sites, every row) forced to 4. The
+    site-code twin of _build_scan_device."""
+    b = packed
+    c = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1)
+    out = c.reshape(-1)[:total].astype(jnp.int8)
+    col = jnp.arange(total, dtype=jnp.int32) % cols
+    out = jnp.where(col < n_sites, out, jnp.int8(4))
+    safe = jnp.clip(exc_idx, 0, total - 1)
+    cur = out[safe]
+    return out.at[safe].set(jnp.where(exc_idx >= 0, jnp.int8(4), cur))
+
+
+# library size above which the site-compacted matrix scan wins for PAM
+# scans. Crossover math: site mode pays host enumeration ~2e-7 s/bp
+# (masks + window gather) regardless of S, while the dense kernel pays
+# ~3e-12 s per (spacer, bp) — so sites win once S exceeds their ratio
+# (~65k), nearly independent of genome size. Measured: 125k-spacer 1 Mb
+# design 1.04 s dense vs 0.48 s sites; 10k-spacer E.coli targets 0.20 s
+# dense vs ~1 s sites.
+_SITE_MODE_MIN_SPACERS = 1 << 16
+
+
 def pallas_scan_contigs(
     spacers,
     contigs: list[Contig],
@@ -1397,11 +1639,16 @@ def pallas_scan_contigs(
     P: int = DEFAULT_P,
     interpret: bool = False,
     sub_width: int = 512,
+    site_mode: str = "auto",
 ) -> dict[str, Hits]:
     """Scan many contigs against one library with the spacer prep shared
     and every contig's phase 1 dispatched before any result is fetched —
     multi-replicon genomes (e.g. the bundled 4-plasmid Zymomonas set) cost
-    one pipeline instead of N sequential scans."""
+    one pipeline instead of N sequential scans.
+
+    site_mode: "auto" switches a PAM scan to the site-compacted matrix
+    engine (_SiteScanJob) for design-scale libraries
+    (S_pad >= _SITE_MODE_MIN_SPACERS); "always"/"never" override (tests)."""
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     if S == 0:
@@ -1419,9 +1666,23 @@ def pallas_scan_contigs(
     # another's collect measured PATHOLOGICAL on tunneled dev links (first
     # fetch stalled 10-50x; fine on local hardware, where cross-contig
     # pipelining could be re-enabled).
+    from .prep import enumerate_sites
+
     results: dict[str, Hits] = {}
     for c in contigs:
-        results[c.id] = _ScanJob(prep, c, interpret).collect()
+        use_sites = bool(pam) and site_mode != "never" and (
+            site_mode == "always" or prep.S_pad >= _SITE_MODE_MIN_SPACERS
+        )
+        if use_sites:
+            positions, strands, codes = enumerate_sites(c, L, pam, pam_direction)
+            if len(positions) == 0:
+                results[c.id] = Hits()
+                continue
+            results[c.id] = _SiteScanJob(
+                prep, c, positions, strands, codes, interpret
+            ).collect()
+        else:
+            results[c.id] = _ScanJob(prep, c, interpret).collect()
     return results
 
 
@@ -1435,6 +1696,7 @@ def pallas_scan(
     interpret: bool = False,
     extract_batch: int = 32,
     sub_width: int = 512,
+    site_mode: str = "auto",
 ) -> Hits:
     """Same contract as oracle_scan/jax_scan, on the TPU MXU.
 
@@ -1448,5 +1710,5 @@ def pallas_scan(
     cost is held by scaling the batch size with 1/P2 (_QPrep.extract_batch)."""
     return pallas_scan_contigs(
         spacers, [contig], max_mismatches, pam, pam_direction,
-        P=P, interpret=interpret, sub_width=sub_width,
+        P=P, interpret=interpret, sub_width=sub_width, site_mode=site_mode,
     )[contig.id]

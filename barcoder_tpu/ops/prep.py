@@ -50,3 +50,44 @@ def site_masks(contig: Contig, L: int, pam: str, pam_direction: str) -> tuple[np
     """(mask_f, mask_r) over canonical starts [0, len): PAM-compatible and
     window-valid positions per strand."""
     return pam_site_masks(contig, L, pam, pam_direction)
+
+
+def enumerate_sites(
+    contig: Contig, L: int, pam: str, pam_direction: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All PAM-valid windows of a contig as an explicit site table:
+    (positions int32 (n,), strands int8 (n,), codes (n, L) int8).
+
+    R-strand rows carry the REVERSE-COMPLEMENTED window codes, so a forward
+    spacer matrix scores both strands directly (Hamming distance is
+    preserved under revcomp of both operands). Windows containing N are
+    KEPT — they are still PAM-valid genomic sites reachable at v >= #N
+    (the one-hot matmul gives an N position zero score, exactly the dense
+    kernel's semantics).
+
+    This is the site-compacted scan's genome side (see
+    pallas_scan._SiteScanJob): for an |PAM|-constrained scan every hit lies
+    at one of these sites, so the scan contracts the genome axis from
+    contig.length to n_sites (~N/8 for NGG) with no gather on device."""
+    from ..core.encode import _COMP
+    from .types import STRAND_F, STRAND_R
+
+    scan = build_scan_array(contig, L)
+    windows = np.lib.stride_tricks.sliding_window_view(scan, L)[: contig.length]
+    mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
+    mask_f = mask_f[: len(windows)]
+    mask_r = mask_r[: len(windows)]
+    pos_f = np.nonzero(mask_f)[0].astype(np.int32)
+    pos_r = np.nonzero(mask_r)[0].astype(np.int32)
+    codes_f = np.ascontiguousarray(windows[pos_f])
+    codes_r = np.ascontiguousarray(_COMP[windows[pos_r]][:, ::-1])
+    positions = np.concatenate([pos_f, pos_r])
+    strands = np.concatenate(
+        [np.full(len(pos_f), STRAND_F, np.int8), np.full(len(pos_r), STRAND_R, np.int8)]
+    )
+    codes = (
+        np.concatenate([codes_f, codes_r])
+        if len(positions)
+        else np.zeros((0, L), np.int8)
+    )
+    return positions, strands, codes

@@ -1,0 +1,87 @@
+"""Site-compacted scan mode (_SiteScanJob): PAM scans contract the genome
+axis to the explicit PAM-valid site table; results must equal the oracle
+(and hence the dense kernel) for every mismatch budget, topology, and
+N placement. Runs the Pallas matrix kernel in interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from barcoder_tpu.core.genome import contig_from_record
+from barcoder_tpu.ops.oracle import oracle_scan
+from barcoder_tpu.ops.pallas_scan import pallas_scan
+from barcoder_tpu.ops.prep import enumerate_sites
+
+from .genomes import make_record, plant_guide, random_seq
+
+
+def tuples(h):
+    return set(
+        zip(h.spacer_idx.tolist(), h.pos.tolist(), h.strand.tolist(), h.mismatches.tolist())
+    )
+
+
+@pytest.mark.parametrize("topology", ["circular", "linear"])
+@pytest.mark.parametrize("v", [0, 1, 3])
+def test_site_mode_matches_oracle(topology, v):
+    rng = np.random.default_rng(23 + v)
+    rec = make_record(n=3000, topology=topology, seed=23 + v)
+    guides = [random_seq(20, rng) for _ in range(6)]
+    for i, g in enumerate(guides):
+        plant_guide(
+            rec, g, 101 + i * 450,
+            pam="TGG" if i % 3 else "AGG",
+            strand="F" if i % 2 else "R",
+        )
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan(
+        guides, contig, v, pam="NGG", P=512, interpret=True, site_mode="always"
+    ))
+    want = tuples(oracle_scan(guides, contig, v, pam="NGG"))
+    assert got == want
+    assert len(got) >= 6
+
+
+def test_site_mode_upstream_pam_and_n_bases():
+    rng = np.random.default_rng(31)
+    rec = make_record(n=2500, topology="circular", seed=31)
+    g = random_seq(20, rng)
+    plant_guide(rec, g, 400, pam="TTN", pam_direction="upstream")
+    plant_guide(rec, g, 1200, pam="TTA", pam_direction="upstream")
+    s = list(rec.seq)
+    s[1207] = "N"  # one N inside the 1200 site: reachable only at v >= 1
+    s[7] = "N"  # near origin
+    rec.seq = "".join(s)
+    contig = contig_from_record(rec)
+    for v in (0, 1):
+        got = tuples(pallas_scan(
+            [g], contig, v, pam="TTN", pam_direction="upstream",
+            P=512, interpret=True, site_mode="always",
+        ))
+        want = tuples(oracle_scan([g], contig, v, pam="TTN", pam_direction="upstream"))
+        assert got == want, f"v={v}"
+    assert any(p == 1200 for _, p, _, _ in got)
+
+
+def test_site_mode_agrees_with_dense_mode():
+    rng = np.random.default_rng(37)
+    rec = make_record(n=4000, topology="circular", seed=37)
+    guides = [random_seq(20, rng) for _ in range(12)]
+    for i, g in enumerate(guides):
+        plant_guide(rec, g, 90 + i * 310, pam="CGG", strand="R" if i % 2 else "F")
+    contig = contig_from_record(rec)
+    dense = tuples(pallas_scan(guides, contig, 2, pam="NGG", P=512,
+                               interpret=True, site_mode="never"))
+    sites = tuples(pallas_scan(guides, contig, 2, pam="NGG", P=512,
+                               interpret=True, site_mode="always"))
+    assert dense == sites
+
+
+def test_enumerate_sites_covers_all_pam_windows():
+    rec = make_record(n=1500, topology="circular", seed=41)
+    contig = contig_from_record(rec)
+    pos, strand, codes = enumerate_sites(contig, 20, "NGG", "downstream")
+    from barcoder_tpu.ops.prep import site_masks
+
+    mf, mr = site_masks(contig, 20, "NGG", "downstream")
+    assert len(pos) == int(mf[:1500].sum()) + int(mr[:1500].sum())
+    assert codes.shape == (len(pos), 20)
