@@ -205,20 +205,25 @@ def apply_design_filters(
     if opts.tile_size and opts.tile_size > 0:
         targets = targets.sort_values(["locus_tag", "offset"])
         selected_spacers = set()
+        # greedy per-gene tiling (design_guides.py:231-280); the scan runs
+        # on plain numpy arrays — groupby+iterrows measured ~4.5 s at 125k
+        # rows (design scale)
         for _, group in targets.groupby("locus_tag"):
+            offsets = group["offset"].to_numpy()
+            spacers_arr = group["spacer"].to_numpy()
+            overlaps = group["overlap"].to_numpy()
             if opts.full_overlap:
-                filtered = group["offset"].loc[group["overlap"] == barcode_length]
-                last_offset = filtered.iloc[0] if not filtered.empty else None
+                full = np.nonzero(overlaps == barcode_length)[0]
+                last_offset = offsets[full[0]] if len(full) else None
             else:
-                last_offset = group["offset"].iloc[0]
+                last_offset = offsets[0]
             if last_offset is not None:
-                selected_spacers.add(
-                    group["spacer"].loc[group["offset"] == last_offset].iloc[0]
-                )
-            for _, row in group.iterrows():
-                if last_offset is not None and row["offset"] >= last_offset + opts.tile_size:
-                    selected_spacers.add(row["spacer"])
-                    last_offset = row["offset"]
+                selected_spacers.add(spacers_arr[offsets == last_offset][0])
+            if last_offset is not None:
+                for off, sp in zip(offsets, spacers_arr):
+                    if off >= last_offset + opts.tile_size:
+                        selected_spacers.add(sp)
+                        last_offset = off
         targets = targets[targets["spacer"].isin(selected_spacers)]
 
     if opts.keep_top and opts.keep_top > 0:
@@ -226,13 +231,11 @@ def apply_design_filters(
         if opts.full_overlap:
             targets = targets[targets["overlap"] >= barcode_length]
         targets = targets.sort_values(["locus_tag", "offset"])
-        top_targets = (
-            targets.groupby("locus_tag")
-            .apply(lambda x: x.nsmallest(opts.keep_top, "offset"), include_groups=False)
-            if len(targets)
-            else targets
-        )
         if len(targets):
+            # ≡ groupby.apply(nsmallest(keep_top, "offset")): already sorted
+            # by (locus_tag, offset), so head(N) per group IS the N smallest
+            # offsets with the same positional tie-breaking
+            top_targets = targets.groupby("locus_tag").head(opts.keep_top)
             top_spacers = top_targets["spacer"].unique()
             targets = targets[targets["spacer"].isin(top_spacers)]
         info(f"Removed {len_before - len(targets):,} beyond-top-{opts.keep_top} guides")

@@ -262,6 +262,30 @@ def create_note(row) -> str:
     return ", ".join(parts)
 
 
+def build_notes(note: pd.DataFrame) -> np.ndarray:
+    """Vectorized create_note over the whole (sites, genes, intergenic)
+    frame — the row apply measured ~5.6 s at 125k spacers (design scale)."""
+    sites = note["sites"].to_numpy()
+    genes = note["genes"].to_numpy()
+    inter = note["intergenic"].to_numpy()
+    s_part = np.char.add(
+        sites.astype(str), np.where(sites == 1, " site", " sites")
+    )
+    g_part = np.where(
+        genes > 0,
+        np.char.add(
+            np.char.add(", ", genes.astype(str)),
+            np.where(genes == 1, " gene", " genes"),
+        ),
+        "",
+    )
+    i_part = np.where(
+        inter > 0, np.char.add(np.char.add(", ", inter.astype(str)), " intergenic"), ""
+    )
+    full = np.char.add(np.char.add(s_part, g_part), i_part)
+    return np.where(sites > 0, full, "non-targeting")
+
+
 ROW_COLUMNS = [
     "name",
     "spacer",
@@ -374,14 +398,14 @@ def postprocess(
     results = results.drop_duplicates()
     results = filter_offtargets_by_pam(results)
 
-    def adjust_min_tar(row):
-        if row["tar_start"] > row["tar_end"]:
-            return row["tar_start"] - seq_lens[row["chr"]]
-        return row["tar_start"]
-
     if len(results):
         results = results.copy()
-        results["min_tar"] = results.apply(adjust_min_tar, axis=1)
+        # vectorized targets.py:624-630 (row-apply cost ~2.6 s at 125k rows)
+        wrap = results["tar_start"] > results["tar_end"]
+        chrlen = results["chr"].map(seq_lens).astype("float64")
+        results["min_tar"] = np.where(
+            wrap.fillna(False), results["tar_start"] - chrlen, results["tar_start"]
+        )
         results = results.sort_values(by=["chr", "min_tar", "spacer"])
 
     spacers_seen = results[["name", "spacer"]].drop_duplicates().groupby("spacer").size()
@@ -412,7 +436,7 @@ def postprocess(
         }
     )
     note = note.fillna(0).astype(int)
-    note["note"] = note.apply(create_note, axis=1)
+    note["note"] = build_notes(note)
     results = results.merge(note, left_on="spacer", right_index=True, how="left")
 
     column_order = ["spacer", "locus_tag", "gene", "chr"]
@@ -480,8 +504,7 @@ def _summary_stats(
         "off_target_barcodes": int(
             results[results["target"].notnull()]
             .groupby("spacer")["coords"]
-            .apply(set)
-            .apply(len)
+            .nunique()  # ≡ apply(set).apply(len), without per-group Python
             .gt(1)
             .sum()
         ),
