@@ -243,9 +243,14 @@ def build_rows(
 
 def filter_offtargets_by_pam(df: pd.DataFrame) -> pd.DataFrame:
     """Drop non-targeting rows of spacers that have targets
-    (reference: targets.py:542-544)."""
-    targeting_spacers = df[df["target"].notna()]["spacer"].unique()
-    return df[~((df["target"].isna()) & (df["spacer"].isin(targeting_spacers)))]
+    (reference: targets.py:542-544). Runs on factorized codes — the
+    string-column unique+isin pair measured ~10 s at design scale."""
+    codes, _ = pd.factorize(df["spacer"], use_na_sentinel=True)
+    has_target = np.zeros(codes.max() + 2, dtype=bool)
+    t_codes = codes[df["target"].notna().to_numpy()]
+    has_target[t_codes[t_codes >= 0]] = True
+    drop = df["target"].isna().to_numpy() & (codes >= 0) & has_target[np.clip(codes, 0, None)]
+    return df[~drop]
 
 
 def create_note(row) -> str:
@@ -264,26 +269,20 @@ def create_note(row) -> str:
 
 def build_notes(note: pd.DataFrame) -> np.ndarray:
     """Vectorized create_note over the whole (sites, genes, intergenic)
-    frame — the row apply measured ~5.6 s at 125k spacers (design scale)."""
-    sites = note["sites"].to_numpy()
-    genes = note["genes"].to_numpy()
-    inter = note["intergenic"].to_numpy()
-    s_part = np.char.add(
-        sites.astype(str), np.where(sites == 1, " site", " sites")
+    frame. The count triples have tiny cardinality (~hundreds of combos at
+    design scale), so dedupe the combos, format each once, and map back —
+    both the row apply (~5.6 s/125k) and per-element np.char (~9 s/573k)
+    measured far slower."""
+    mat = note[["sites", "genes", "intergenic"]].to_numpy()
+    combos, inv = np.unique(mat, axis=0, return_inverse=True)
+    texts = np.array(
+        [
+            create_note({"sites": s, "genes": g, "intergenic": i})
+            for s, g, i in combos
+        ],
+        dtype=object,
     )
-    g_part = np.where(
-        genes > 0,
-        np.char.add(
-            np.char.add(", ", genes.astype(str)),
-            np.where(genes == 1, " gene", " genes"),
-        ),
-        "",
-    )
-    i_part = np.where(
-        inter > 0, np.char.add(np.char.add(", ", inter.astype(str)), " intergenic"), ""
-    )
-    full = np.char.add(np.char.add(s_part, g_part), i_part)
-    return np.where(sites > 0, full, "non-targeting")
+    return texts[inv]
 
 
 ROW_COLUMNS = [
@@ -370,11 +369,17 @@ def run_targets(
     body = (
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     )
-    names_df = pd.DataFrame(
-        [(name, seq) for seq, names in names_per_seq.items() for name in names],
-        columns=["name", "spacer"],
-    )
-    results = body.merge(names_df, on="spacer", how="left")
+    if all(len(v) == 1 and v[0] == k for k, v in names_per_seq.items()):
+        # identity naming (the design workload names candidates by their
+        # sequence): skip the string-keyed merge (~3 s at 600k rows)
+        results = body.copy()
+        results["name"] = results["spacer"]
+    else:
+        names_df = pd.DataFrame(
+            [(name, seq) for seq, names in names_per_seq.items() for name in names],
+            columns=["name", "spacer"],
+        )
+        results = body.merge(names_df, on="spacer", how="left")
     results = results.reindex(columns=columns)
     with phases.phase("postprocess"):
         result = postprocess(
@@ -408,17 +413,31 @@ def postprocess(
         )
         results = results.sort_values(by=["chr", "min_tar", "spacer"])
 
-    spacers_seen = results[["name", "spacer"]].drop_duplicates().groupby("spacer").size()
-    results = results.drop("name", axis=1).drop_duplicates()
-    results.loc[results["target"].notnull(), "site"] = (
-        results["chr"].astype(str) + "_" + results["coords"].astype(str)
+    # every per-spacer aggregate below runs on ONE factorization of the
+    # spacer column: each string-keyed groupby/value_counts re-factorizes
+    # ~600k arrow strings (~0.4 s each, 27 calls measured at design scale)
+    sp_codes, sp_uniques = pd.factorize(results["spacer"])
+    results["_sp"] = sp_codes
+    n_sp = len(sp_uniques)
+    spacers_seen_arr = (
+        results[["name", "_sp"]].drop_duplicates().groupby("_sp").size()
     )
-
-    site_counts = results.groupby("spacer")["site"].nunique()
-    gene_counts = results.loc[results["locus_tag"].notnull(), "spacer"].value_counts()
-    intergenic_counts = results.loc[
-        results["locus_tag"].isnull() & results["target"].notnull(), "spacer"
-    ].value_counts()
+    results = results.drop("name", axis=1).drop_duplicates()
+    sp = results["_sp"].to_numpy()
+    # site identity = (chr, coords) pair as one int; NaN target rows get no
+    # site (matches the string "chr_coords" site of targets.py:640-667)
+    chr_c, _ = pd.factorize(results["chr"])
+    coo_c, coo_u = pd.factorize(results["coords"])
+    has_t = results["target"].notna().to_numpy()
+    site_id = np.where(has_t, chr_c * (len(coo_u) + 1) + coo_c, -1)
+    tgt = pd.DataFrame({"_sp": sp[has_t], "_site": site_id[has_t]})
+    site_counts_arr = tgt.drop_duplicates().groupby("_sp").size()
+    gene_counts_arr = (
+        pd.Series(sp[results["locus_tag"].notna().to_numpy()]).value_counts()
+    )
+    intergenic_counts_arr = pd.Series(
+        sp[(results["locus_tag"].isna() & results["target"].notna()).to_numpy()]
+    ).value_counts()
 
     spacer_lengths = set(results["len"].dropna().astype(int))
     spacer_len_range = (
@@ -429,15 +448,15 @@ def postprocess(
 
     note = pd.DataFrame(
         {
-            "count": spacers_seen,
-            "sites": site_counts,
-            "genes": gene_counts,
-            "intergenic": intergenic_counts,
+            "count": spacers_seen_arr,
+            "sites": site_counts_arr,
+            "genes": gene_counts_arr,
+            "intergenic": intergenic_counts_arr,
         }
-    )
+    )  # index = spacer codes (spacers_seen covers every spacer in results)
     note = note.fillna(0).astype(int)
     note["note"] = build_notes(note)
-    results = results.merge(note, left_on="spacer", right_index=True, how="left")
+    results = results.merge(note, left_on="_sp", right_index=True, how="left")
 
     column_order = ["spacer", "locus_tag", "gene", "chr"]
     if not (results["count"] == 1).all():
@@ -497,18 +516,24 @@ def _summary_stats(
         "overlapping_genes_targeted": int(
             results.loc[results["genes"] > 1, "locus_tag"].nunique()
         ),
-        "unique_barcodes": int(results["spacer"].nunique()),
+        # spacer-keyed aggregates run on the postprocess-time "_sp" codes
+        # (string nunique/groupby re-factorizes ~600k arrow strings each)
+        "unique_barcodes": int(results["_sp"].nunique()),
         "intergenic_barcodes": int(
-            results[(results["locus_tag"].isnull()) & (results["chr"].notnull())]["spacer"].nunique()
+            results.loc[
+                results["locus_tag"].isnull() & results["chr"].notnull(), "_sp"
+            ].nunique()
         ),
         "off_target_barcodes": int(
             results[results["target"].notnull()]
-            .groupby("spacer")["coords"]
+            .groupby("_sp")["coords"]
             .nunique()  # ≡ apply(set).apply(len), without per-group Python
             .gt(1)
             .sum()
         ),
-        "non_targeting_barcodes": int(results[results["target"].isnull()]["spacer"].nunique()),
+        "non_targeting_barcodes": int(
+            results.loc[results["target"].isnull(), "_sp"].nunique()
+        ),
     }
     if "mismatches" in final_results.columns:
         per_mm = final_results.groupby(["mismatches"])["spacer"].nunique()
