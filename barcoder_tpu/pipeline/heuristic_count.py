@@ -746,25 +746,25 @@ class DeviceCounter(VectorCounter):
             oh[4 * j + codes[:, j], cols] = 1.0
         self._bc_oh = jnp.asarray(oh, dtype=jnp.bfloat16)
         self._jnp = jnp
+        self._match_jit = None
+        self._pending = []
 
-    def _device_match(self, core_codes: np.ndarray, eligible: np.ndarray):
-        """codes (n, bc_len) int8 + eligible (n,) → (match_idx int (n,),
-        matched bool (n,)) with matching on the MXU."""
+    def _match_fn(self):
+        """The jitted matcher, built ONCE — defining it per chunk retraced
+        the whole program every call (measured the dominant cost: 18 s/1M
+        reads vs ~2 s with a shared executable + pipelined fetches)."""
+        if getattr(self, "_match_jit", None) is not None:
+            return self._match_jit
         import functools
 
         import jax
 
         jnp = self._jnp
-        n = core_codes.shape[0]
         S = self._READ_SLICE
-        n_pad = -(-max(n, 1) // S) * S
-        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)
-        codes_p[:n] = core_codes
-        elig_p = np.zeros(n_pad, bool)
-        elig_p[:n] = eligible
+        bc_len, B = self.bc_len, self.B
 
-        @functools.partial(jax.jit, static_argnames=("bc_len", "B"))
-        def match(codes_d, elig_d, bc_oh, *, bc_len, B):
+        @functools.partial(jax.jit, static_argnames=())
+        def match(codes_d, elig_d, bc_oh):
             def one_slice(args):
                 cc, el = args
                 oh = (
@@ -781,27 +781,51 @@ class DeviceCounter(VectorCounter):
             idx, m = jax.lax.map(one_slice, (cs, es))
             return idx.reshape(-1), m.reshape(-1)
 
-        idx, m = match(
-            jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh,
-            bc_len=self.bc_len, B=self.B,
-        )
-        return np.asarray(idx)[:n], np.asarray(m)[:n]
+        self._match_jit = match
+        return match
+
+    def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
+        """Dispatch one chunk's matching; returns (n, idx_fut, m_fut)
+        device futures so chunks pipeline (fetch happens in results())."""
+        jnp = self._jnp
+        n = core_codes.shape[0]
+        S = self._READ_SLICE
+        n_pad = -(-max(n, 1) // S) * S
+        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)
+        codes_p[:n] = core_codes
+        elig_p = np.zeros(n_pad, bool)
+        elig_p[:n] = eligible
+        idx, m = self._match_fn()(jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh)
+        return n, idx, m
 
     def _tally(self, keys, cores, eligible) -> None:
         """Same contract as VectorCounter._tally, but the key matching runs
-        on the accelerator (keys are ignored; cores re-match exactly)."""
+        on the accelerator (keys are ignored; cores re-match exactly).
+        Dispatches are queued; fetch + count happen at results() time so
+        upload/compute/host-IO of successive chunks overlap."""
         if len(self.bc_list) == 0:
             return
         codes = _CODE_LUT[cores]
-        idx, matched = self._device_match(codes, np.asarray(eligible, bool))
-        if matched.any():
-            np.add.at(self.doc_counts, idx[matched], 1)
-        un = np.asarray(eligible, bool) & ~matched
-        if un.any():
-            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
-            for row, cnt in zip(uniq, counts):
-                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
-                self.undoc[seq + "*"] += int(cnt)
+        fut = self._device_match_async(codes, np.asarray(eligible, bool))
+        self._pending.append((fut, cores, np.asarray(eligible, bool)))
+
+    def _drain(self) -> None:
+        for (n, idx_f, m_f), cores, eligible in self._pending:
+            idx = np.asarray(idx_f)[:n]
+            matched = np.asarray(m_f)[:n]
+            if matched.any():
+                np.add.at(self.doc_counts, idx[matched], 1)
+            un = eligible & ~matched
+            if un.any():
+                uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+                for row, cnt in zip(uniq, counts):
+                    seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                    self.undoc[seq + "*"] += int(cnt)
+        self._pending = []
+
+    def results(self):
+        self._drain()
+        return super().results()
 
     def _try_native_single_end(self, mat, start, Lf, Rf) -> bool:
         return False  # keep the whole hot loop on the device path
