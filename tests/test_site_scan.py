@@ -85,3 +85,36 @@ def test_enumerate_sites_covers_all_pam_windows():
     mf, mr = site_masks(contig, 20, "NGG", "downstream")
     assert len(pos) == int(mf[:1500].sum()) + int(mr[:1500].sum())
     assert codes.shape == (len(pos), 20)
+
+
+def test_site_mode_L32_no_spare_row():
+    # 4L == K leaves no spare G row; matrix mode never folds bias so L=32
+    # must work (dense mode falls back to per-strand additive there)
+    rng = np.random.default_rng(43)
+    rec = make_record(n=2500, topology="circular", seed=43)
+    g = random_seq(32, rng)
+    plant_guide(rec, g, 700, pam="TGG")
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan(
+        [g], contig, 1, pam="NGG", P=512, interpret=True, site_mode="always"
+    ))
+    want = tuples(oracle_scan([g], contig, 1, pam="NGG"))
+    assert got == want
+    assert any(p == 700 for _, p, _, _ in got)
+
+
+def test_site_mode_multi_contig():
+    from barcoder_tpu.ops.pallas_scan import pallas_scan_contigs
+
+    rng = np.random.default_rng(47)
+    recs = [make_record(n=1500 + 400 * i, topology=t, seed=47 + i,
+                        rec_id=f"MC{i}.1")
+            for i, t in enumerate(["circular", "linear", "circular"])]
+    g = random_seq(20, rng)
+    for i, rec in enumerate(recs):
+        plant_guide(rec, g, 300 + 100 * i, pam="AGG", strand="R" if i == 1 else "F")
+    contigs = [contig_from_record(r) for r in recs]
+    got = pallas_scan_contigs([g], contigs, 1, pam="NGG", interpret=True,
+                              P=512, site_mode="always")
+    for c in contigs:
+        assert tuples(got[c.id]) == tuples(oracle_scan([g], c, 1, pam="NGG")), c.id
