@@ -18,6 +18,7 @@ from jax.sharding import Mesh
 
 
 GENOME_AXIS = "genome"
+LIBRARY_AXIS = "library"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -27,3 +28,22 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (GENOME_AXIS,))
+
+
+def make_mesh_2d(
+    n_library: int, n_genome: int | None = None, devices=None
+) -> Mesh:
+    """2-D ``(library, genome)`` mesh: the TP analog noted in SURVEY.md §2 —
+    shard the spacer-library axis when the library outgrows per-device
+    memory, with the genome axis sharded within each library row."""
+    if devices is None:
+        devices = jax.devices()
+    if n_genome is None:
+        n_genome = len(devices) // n_library
+    if n_library * n_genome > len(devices):
+        raise ValueError(
+            f"mesh {n_library}x{n_genome} needs {n_library * n_genome} devices,"
+            f" have {len(devices)}"
+        )
+    grid = np.array(devices[: n_library * n_genome]).reshape(n_library, n_genome)
+    return Mesh(grid, (LIBRARY_AXIS, GENOME_AXIS))

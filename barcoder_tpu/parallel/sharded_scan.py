@@ -33,7 +33,26 @@ from ..core.genome import Contig
 from ..ops.pallas_scan import BS, MASK_BIAS, _cdiv, onehot_rows, scan_block_max
 from ..ops.prep import build_scan_array, revcomp_matrix, site_masks, spacer_matrix
 from ..ops.types import STRAND_F, STRAND_R, Hits
-from .mesh import GENOME_AXIS, make_mesh
+from .mesh import GENOME_AXIS, LIBRARY_AXIS, make_mesh
+
+
+def _mesh_dims(mesh) -> tuple[int, int]:
+    """(n_library, n_genome) shard counts of ``mesh`` (1-D meshes have no
+    library axis → n_library=1)."""
+    shape = dict(mesh.shape)
+    return shape.get(LIBRARY_AXIS, 1), shape[GENOME_AXIS]
+
+
+def _lib_layout(n_lib: int, S_pad: int) -> tuple[int, int, int, int]:
+    """Per-library-shard spacer layout: (S_loc, S_tot, nsb_local,
+    nsb_pad_local). Every shard holds S_loc one-hot rows (nsb_local blocks
+    of BS); the phase-1 kernel pads its block axis to nsb_pad_local
+    lanes, so the gathered global block-max carries nsb_pad_local columns
+    per shard of which only the first nsb_local are real."""
+    S_loc = _cdiv(S_pad, n_lib * BS) * BS
+    nsb_local = S_loc // BS
+    nsb_pad_local = max(_cdiv(nsb_local, 128) * 128, 128)
+    return S_loc, S_loc * n_lib, nsb_local, nsb_pad_local
 
 
 def _fallback_block_max(q_oh, tiles, bias_tiles, *, L, K, P):
@@ -70,33 +89,43 @@ def sharded_scan_block_max(
     use_pallas: bool | None = None,
 ):
     """Run phase-1 block-max scoring with the genome axis sharded over
-    ``mesh``.
+    ``mesh`` — and, on a 2-D ``(library, genome)`` mesh (make_mesh_2d), the
+    spacer-block axis sharded too (the TP analog: each device holds only
+    S_pad/n_library one-hot rows, so libraries larger than one device's
+    memory scan without replication).
 
     scan_codes: 1-D int32 scan array (genome + circular wrap halo);
     mask: 1-D bool/int over canonical starts.
-    Returns (block_max (n_tiles_total, 1, nsb_pad) np.ndarray,
-             global_best (nsb_pad,) np.ndarray — psum-merged per-block hit
-             tallies demonstrating the count-merge collective).
+    Returns (block_max (n_tiles_total, 1, n_lib * nsb_pad_local) np.ndarray
+             — per-library-shard column groups, see _lib_layout;
+             global_best (n_lib * nsb_pad_local,) np.ndarray — psum-merged
+             per-block hit tallies demonstrating the count-merge collective).
     """
-    n_dev = mesh.devices.size
+    n_lib, n_gen = _mesh_dims(mesh)
     halo = K // 4
     n_starts = len(mask)
-    B = _cdiv(n_starts, n_dev * P) * P  # per-device starts, tile-aligned
-    total = n_dev * B
+    B = _cdiv(n_starts, n_gen * P) * P  # per-device starts, tile-aligned
+    total = n_gen * B
 
     codes_padded = np.full(total, 4, dtype=np.int32)
     codes_padded[: min(len(scan_codes), total)] = scan_codes[: min(len(scan_codes), total)]
     mask_padded = np.zeros(total, dtype=np.int32)
     mask_padded[:n_starts] = mask[:n_starts]
 
-    codes_blocks = codes_padded.reshape(n_dev, B)
-    bias_blocks = np.where(mask_padded > 0, 0.0, MASK_BIAS).astype(np.float32).reshape(n_dev, B)
+    codes_blocks = codes_padded.reshape(n_gen, B)
+    bias_blocks = np.where(mask_padded > 0, 0.0, MASK_BIAS).astype(np.float32).reshape(n_gen, B)
+
+    _, S_tot, _, _ = _lib_layout(n_lib, q_oh.shape[0])
+    if S_tot != q_oh.shape[0]:  # zero rows never beat MASK_BIAS-free scores
+        q_oh = jnp.concatenate(
+            [q_oh, jnp.zeros((S_tot - q_oh.shape[0], q_oh.shape[1]), q_oh.dtype)]
+        )
 
     platform = mesh.devices.ravel()[0].platform
     if use_pallas is None:
         use_pallas = platform in ("tpu", "axon")
     phase1_fn = scan_block_max if use_pallas else _fallback_block_max
-    perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+    perm = [(d, (d - 1) % n_gen) for d in range(n_gen)]
     n_tiles_local = B // P
     tile_idx = (np.arange(n_tiles_local)[:, None] * P + np.arange(P + halo)[None, :])
 
@@ -114,18 +143,23 @@ def sharded_scan_block_max(
         )
         return block_max[None], totals
 
+    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P_(GENOME_AXIS), P_(GENOME_AXIS), P_()),
-        out_specs=(P_(GENOME_AXIS), P_()),
+        in_specs=(P_(GENOME_AXIS), P_(GENOME_AXIS), lib_spec),
+        out_specs=(
+            P_(GENOME_AXIS, None, None, LIBRARY_AXIS) if n_lib > 1 else P_(GENOME_AXIS),
+            lib_spec,
+        ),
         check_vma=False,
     )
     codes_sharded = jax.device_put(
         codes_blocks, NamedSharding(mesh, P_(GENOME_AXIS))
     )
     bias_sharded = jax.device_put(bias_blocks, NamedSharding(mesh, P_(GENOME_AXIS)))
-    block_max, totals = jax.jit(fn)(codes_sharded, bias_sharded, q_oh)
+    q_sharded = jax.device_put(q_oh, NamedSharding(mesh, lib_spec))
+    block_max, totals = jax.jit(fn)(codes_sharded, bias_sharded, q_sharded)
     block_max = np.asarray(block_max).reshape(-1, 1, block_max.shape[-1])
     return block_max, np.asarray(totals)
 
@@ -156,19 +190,28 @@ def sharded_scan(
         return Hits()
     mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
     S_pad = max(_cdiv(S, BS) * BS, BS)
+    n_lib, _ = _mesh_dims(mesh)
+    _, S_tot, nsb_local, nsb_pad_local = _lib_layout(n_lib, S_pad)
+    # map a gathered block-max column (shard-major, nsb_pad_local per shard)
+    # back to its global spacer block; padding lanes → -1
+    col_to_sblock = np.full(n_lib * nsb_pad_local, -1, dtype=np.int64)
+    for shard in range(n_lib):
+        col_to_sblock[
+            shard * nsb_pad_local : shard * nsb_pad_local + nsb_local
+        ] = shard * nsb_local + np.arange(nsb_local)
 
     out = []
     for strand, q_codes, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
-        q_oh = np.zeros((S_pad, K), dtype=np.float32)
+        q_oh = np.zeros((S_tot, K), dtype=np.float32)
         q_oh[:S] = onehot_rows(q_codes, K)
         q_oh_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
         block_max, _ = sharded_scan_block_max(
             q_oh_dev, scan, mask.astype(np.int32), mesh, L=L, K=K, P=P,
         )
-        n_sblocks = S_pad // BS
-        t_idx, s_idx = np.nonzero(
-            block_max[:, 0, :n_sblocks] >= L - max_mismatches - 0.5
-        )
+        t_idx, col_idx = np.nonzero(block_max[:, 0, :] >= L - max_mismatches - 0.5)
+        s_idx = col_to_sblock[col_idx]
+        real = s_idx >= 0  # padding lanes of each shard
+        t_idx, s_idx = t_idx[real], s_idx[real]
         if len(t_idx) == 0:
             continue
         # host-side phase 2 over nonzero pairs (hit-proportional)

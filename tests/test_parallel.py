@@ -8,7 +8,7 @@ import jax
 
 from barcoder_tpu.core.genome import contig_from_record
 from barcoder_tpu.ops.oracle import oracle_scan
-from barcoder_tpu.parallel.mesh import make_mesh
+from barcoder_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from barcoder_tpu.parallel.sharded_scan import sharded_scan
 
 from .genomes import make_record, plant_guide, random_seq
@@ -52,6 +52,36 @@ class TestShardedScan:
         assert a == b
         positions = {t[1] for t in b}
         assert {1014, 2047, 4077, 8187} <= positions
+
+    @pytest.mark.parametrize("n_lib,n_gen", [(2, 4), (4, 2), (8, 1)])
+    def test_library_axis_sharding(self, n_lib, n_gen):
+        # TP analog: spacer-library axis sharded over the mesh. 300 spacers
+        # span 3 BS=128 blocks, so shards hold unequal real block counts and
+        # the shard-local -> global block mapping is exercised.
+        rng = np.random.default_rng(3)
+        rec = make_record(n=6000, topology="circular", seed=3)
+        spacers = [random_seq(20, rng) for _ in range(300)]
+        for i in (0, 129, 257, 299):  # spacers on several library shards
+            plant_guide(rec, spacers[i], 500 + 37 * i, pam="AGG",
+                        strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        mesh = make_mesh_2d(n_lib, n_gen)
+        a = tuples(oracle_scan(spacers, contig, 1, pam="NGG"))
+        b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh, P=256))
+        assert a == b
+        planted = {s for s, *_ in b}
+        assert {0, 129, 257, 299} <= planted
+
+    def test_library_sharding_matches_genome_only_mesh(self, mesh8):
+        rng = np.random.default_rng(4)
+        rec = make_record(n=4096, topology="linear", seed=4)
+        spacers = [random_seq(20, rng) for _ in range(10)]
+        plant_guide(rec, spacers[7], 2048 - 10, pam="CGG")
+        contig = contig_from_record(rec)
+        a = tuples(sharded_scan(spacers, contig, 2, pam="NGG", mesh=mesh8, P=256))
+        mesh2d = make_mesh_2d(2, 4)
+        b = tuples(sharded_scan(spacers, contig, 2, pam="NGG", mesh=mesh2d, P=256))
+        assert a == b and len(b) >= 1
 
     def test_origin_wrap_on_last_device(self, mesh8):
         rng = np.random.default_rng(2)
