@@ -31,9 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Second reads file: FASTQ or raw reads (optional).",
     )
     p.add_argument(
-        "--engine", choices=["auto", "vector", "device", "reference"], default="auto",
+        "--engine", choices=["auto", "vector", "device", "sharded", "reference"],
+        default="auto",
         help="Counting engine: vectorized host path, TPU-resident matcher, "
-        "or per-read port.",
+        "mesh-sharded data-parallel matcher, or per-read port.",
     )
     p.add_argument(
         "--checkpoint", default=None, metavar="PATH",

@@ -1,0 +1,112 @@
+"""Data-parallel barcode counting over a device mesh (shard_map + psum).
+
+The reference's counting phase merges per-process ``Counter``s from a fork
+pool (heuristicount.py:720-737). The TPU-native equivalent here shards the
+read-batch axis over a 1-D mesh: each device exact-matches its rows against
+the replicated barcode one-hot table on the MXU (the same formulation as
+``pipeline.heuristic_count.DeviceCounter``), builds a per-barcode local
+count vector, and the vectors merge on-device with ``lax.psum`` — the
+collective Counter merge. The matched mask comes back sharded because
+undocumented-barcode handling (heuristicount.py:517-518) needs the raw
+sequences and stays on the host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
+
+from ..pipeline.heuristic_count import CountConfig, DeviceCounter
+
+READS_AXIS = "reads"
+
+
+def make_read_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D mesh over the read-batch (data-parallel) axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (READS_AXIS,))
+
+
+class ShardedCounter(DeviceCounter):
+    """DeviceCounter with the match matmul sharded over a read-batch mesh
+    axis and documented counts merged on-device with ``psum``.
+
+    Chunk semantics (flank windows, paired revcomp consistency, N filter,
+    undocumented ``seq*`` counting) are inherited unchanged — only the
+    exact-match + tally stage is distributed."""
+
+    def __init__(self, cfg: CountConfig, mesh: Mesh | None = None):
+        super().__init__(cfg)
+        self._mesh = mesh if mesh is not None else make_read_mesh()
+        self._n_dev = int(self._mesh.devices.size)
+
+    def _match_fn(self):
+        if getattr(self, "_match_jit", None) is not None:
+            return self._match_jit
+        S = self._READ_SLICE
+        bc_len, B = self.bc_len, self.B
+        B_pad = int(self._bc_oh.shape[1])
+
+        def shard_fn(codes_b, elig_b, bc_oh):
+            cs = codes_b.astype(jnp.int32).reshape(-1, S, bc_len)
+            es = elig_b.reshape(-1, S)
+
+            def one_slice(args):
+                cc, el = args
+                oh = (
+                    cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
+                ).reshape(S, 4 * bc_len).astype(jnp.bfloat16)
+                scores = jnp.dot(oh, bc_oh, preferred_element_type=jnp.float32)
+                best = jnp.argmax(scores, axis=1)
+                exact = jnp.max(scores, axis=1) >= bc_len - 0.5
+                matched = exact & el & (best < B)
+                return best.astype(jnp.int32), matched
+
+            idx, m = jax.lax.map(one_slice, (cs, es))
+            idx, m = idx.reshape(-1), m.reshape(-1)
+            local = jnp.zeros((B_pad,), jnp.int32).at[idx].add(m.astype(jnp.int32))
+            counts = jax.lax.psum(local, READS_AXIS)
+            return idx, m, counts
+
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=self._mesh,
+            in_specs=(P_(READS_AXIS), P_(READS_AXIS), P_()),
+            out_specs=(P_(READS_AXIS), P_(READS_AXIS), P_()),
+            check_vma=False,
+        )
+        self._match_jit = jax.jit(fn)
+        return self._match_jit
+
+    def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
+        n = core_codes.shape[0]
+        quantum = self._n_dev * self._READ_SLICE
+        n_pad = -(-max(n, 1) // quantum) * quantum
+        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)  # 4 never matches
+        codes_p[:n] = core_codes
+        elig_p = np.zeros(n_pad, bool)
+        elig_p[:n] = eligible
+        sharding = NamedSharding(self._mesh, P_(READS_AXIS))
+        codes_d = jax.device_put(codes_p, sharding)
+        elig_d = jax.device_put(elig_p, sharding)
+        idx, m, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
+        return n, idx, m, counts
+
+    def _drain(self) -> None:
+        for (n, _idx_f, m_f, counts_f), cores, eligible in self._pending:
+            # documented counts arrive psum-merged across the mesh
+            self.doc_counts += np.asarray(counts_f)[: self.B].astype(np.int64)
+            matched = np.asarray(m_f)[:n]
+            un = eligible & ~matched
+            if un.any():
+                uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+                for row, cnt in zip(uniq, counts):
+                    seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                    self.undoc[seq + "*"] += int(cnt)
+        self._pending = []

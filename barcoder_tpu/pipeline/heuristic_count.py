@@ -893,14 +893,21 @@ def run_count(
         need_swap=sample.need_swap,
     )
 
-    use_vector = engine in ("vector", "device") or (engine == "auto" and bc_len <= 32)
+    use_vector = engine in ("vector", "device", "sharded") or (
+        engine == "auto" and bc_len <= 32
+    )
     doc: Counter = Counter()
     undoc: Counter = Counter()
     total_reads = 0
     if use_vector:
         from ..seqio.fast_reader import iter_matrix_chunks
 
-        vc = DeviceCounter(cfg) if engine == "device" else VectorCounter(cfg)
+        if engine == "sharded":
+            from ..parallel.sharded_count import ShardedCounter
+
+            vc = ShardedCounter(cfg)
+        else:
+            vc = DeviceCounter(cfg) if engine == "device" else VectorCounter(cfg)
         ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
         skip_chunks = ckpt.restore(vc) if ckpt else 0
         f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
@@ -937,6 +944,8 @@ def run_count(
         "sample": sample,
         "config": cfg,
         "bc_len": bc_len,
-        "engine": (engine if engine == "device" else "vector") if use_vector else "reference",
+        "engine": (engine if engine in ("device", "sharded") else "vector")
+        if use_vector
+        else "reference",
     }
     return doc, undoc, total_reads, info

@@ -355,3 +355,59 @@ class TestDeviceEngine:
         doc, undoc, _ = self._run_both(tmp_path, paired=False, undocumented=undoc_bc)
         assert sum(undoc.values()) > 0
         assert all(k.endswith("*") for k in undoc)
+
+
+class TestShardedEngine:
+    """ShardedCounter (read-batch axis sharded over the mesh, doc counts
+    psum-merged on device) must agree exactly with VectorCounter. Runs on
+    the 8-fake-device CPU mesh from conftest."""
+
+    @pytest.mark.parametrize("paired", [False, True])
+    def test_run_count_sharded_agrees(self, tmp_path, paired):
+        from barcoder_tpu.pipeline.heuristic_count import run_count
+
+        barcodes = make_barcodes(n=25, seed=11)
+        undoc_bc = [random_seq(20, np.random.default_rng(5))]
+        reads1, reads2, truth = make_reads(
+            barcodes, n_reads=3000, seed=11, undocumented=undoc_bc
+        )
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        args = (set(barcodes), str(f1), str(f2) if paired else None)
+        doc_v, undoc_v, n_v, _ = run_count(*args, engine="vector")
+        doc_s, undoc_s, n_s, info = run_count(*args, engine="sharded")
+        assert info["engine"] == "sharded"
+        assert (n_v, doc_v, undoc_v) == (n_s, doc_s, undoc_s)
+        assert doc_s == Counter(
+            {bc: truth[bc] for bc in barcodes if truth[bc] > 0}
+        )
+        assert sum(undoc_s.values()) == truth[undoc_bc[0]] > 0
+
+    def test_explicit_small_mesh(self, tmp_path):
+        # a 4-device sub-mesh (not all devices) with an uneven tail chunk
+        import jax
+
+        from barcoder_tpu.pipeline.heuristic_count import (
+            CountConfig, VectorCounter,
+        )
+        from barcoder_tpu.parallel.sharded_count import (
+            ShardedCounter, make_read_mesh,
+        )
+
+        assert len(jax.devices()) >= 8
+        barcodes = make_barcodes(n=10, seed=2)
+        reads1, _, truth = make_reads(barcodes, n_reads=777, seed=2)
+        cfg = CountConfig(
+            barcodes=set(barcodes), bc_len=20,
+            L_fwd=L_FLANK, R_fwd=R_FLANK, L_rev=None, R_rev=None,
+            L_fwd_start=len(PREFIX), L_rev_start=None, need_swap=False,
+        )
+        sc = ShardedCounter(cfg, mesh=make_read_mesh(4))
+        sc.process_chunk((reads1, None))
+        doc_s, undoc_s = sc.results()
+        vc = VectorCounter(cfg)
+        vc.process_chunk((reads1, None))
+        doc_v, undoc_v = vc.results()
+        assert doc_s == doc_v == truth
+        assert undoc_s == undoc_v
