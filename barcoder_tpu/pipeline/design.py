@@ -141,11 +141,19 @@ def apply_design_filters(
     """The selection cascade (design_guides.py:111-326)."""
     info = log.info if log else (lambda *_: None)
     targets = targets.copy()
-    targets["target"] = targets["target"].str.upper()
     if "mismatches" not in targets.columns:
         targets["mismatches"] = 0
+    # only mismatched rows carry lowercase bases in `target` — uppercasing
+    # the whole 600k-row arrow column measured ~1 s at design scale
+    mm_rows = (targets["mismatches"].fillna(0) > 0).to_numpy(bool)
+    if mm_rows.any():
+        targets.loc[mm_rows, "target"] = targets.loc[mm_rows, "target"].str.upper()
     if "count" in targets.columns:
         targets = targets.drop(columns=["count"])
+    # spacer selections below (full-overlap / tiling / keep-top) run on one
+    # factorization instead of string-set isin per filter
+    sp_codes_all, _ = pd.factorize(targets["spacer"])
+    targets["_spc"] = sp_codes_all
 
     # note strings have tiny cardinality (combinations of small counts), so
     # regex work runs once per UNIQUE note and maps back through codes —
@@ -214,21 +222,22 @@ def apply_design_filters(
 
     if opts.full_overlap:
         len_before = len(targets)
-        overlap_spacers = set(
-            targets.loc[targets["overlap"] == barcode_length, "spacer"]
+        codes = targets["_spc"].to_numpy()
+        keep_codes = np.unique(
+            codes[(targets["overlap"] == barcode_length).to_numpy(bool)]
         )
-        targets = targets[targets["spacer"].isin(overlap_spacers)]
+        targets = targets[np.isin(codes, keep_codes)]
         info(f"Removed {len_before - len(targets):,} partial-overlap guides")
 
     if opts.tile_size and opts.tile_size > 0:
         targets = targets.sort_values(["locus_tag", "offset"])
-        selected_spacers = set()
+        selected_codes = set()
         # greedy per-gene tiling (design_guides.py:231-280); the scan runs
         # on plain numpy arrays — groupby+iterrows measured ~4.5 s at 125k
         # rows (design scale)
         for _, group in targets.groupby("locus_tag"):
             offsets = group["offset"].to_numpy()
-            spacers_arr = group["spacer"].to_numpy()
+            sp_arr = group["_spc"].to_numpy()
             overlaps = group["overlap"].to_numpy()
             if opts.full_overlap:
                 full = np.nonzero(overlaps == barcode_length)[0]
@@ -236,13 +245,15 @@ def apply_design_filters(
             else:
                 last_offset = offsets[0]
             if last_offset is not None:
-                selected_spacers.add(spacers_arr[offsets == last_offset][0])
+                selected_codes.add(sp_arr[offsets == last_offset][0])
             if last_offset is not None:
-                for off, sp in zip(offsets, spacers_arr):
+                for off, sp in zip(offsets, sp_arr):
                     if off >= last_offset + opts.tile_size:
-                        selected_spacers.add(sp)
+                        selected_codes.add(sp)
                         last_offset = off
-        targets = targets[targets["spacer"].isin(selected_spacers)]
+        targets = targets[
+            np.isin(targets["_spc"].to_numpy(), np.fromiter(selected_codes, np.int64, len(selected_codes)))
+        ]
 
     if opts.keep_top and opts.keep_top > 0:
         len_before = len(targets)
@@ -254,12 +265,13 @@ def apply_design_filters(
             # by (locus_tag, offset), so head(N) per group IS the N smallest
             # offsets with the same positional tie-breaking
             top_targets = targets.groupby("locus_tag").head(opts.keep_top)
-            top_spacers = top_targets["spacer"].unique()
-            targets = targets[targets["spacer"].isin(top_spacers)]
+            top_codes = top_targets["_spc"].unique()
+            targets = targets[np.isin(targets["_spc"].to_numpy(), top_codes)]
         info(f"Removed {len_before - len(targets):,} beyond-top-{opts.keep_top} guides")
 
-    if "_nc" in targets.columns:
-        targets = targets.drop(columns=["_nc"])
+    targets = targets.drop(
+        columns=[c for c in ("_nc", "_spc") if c in targets.columns]
+    )
     # integer coercion + final sort (design_guides.py:312-326 applies it to
     # every non-object column; under pandas 3 strings are `str` dtype, so
     # the equivalent guard is is_numeric_dtype)

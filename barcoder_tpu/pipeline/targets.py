@@ -160,19 +160,21 @@ def build_rows(
     # set semantics per hit: drop duplicate (tag, gene, coords, strand)
     # tuples like the reference's aligned_genes set (targets.py:412-416)
     if len(hit_idx):
-        ent_sig = np.array(
+        # signature ids over the (small) entry table, then one int64 unique
+        # over the pairs — the object-string pair_key unique measured ~2 s
+        # at design scale (600k pairs)
+        sig_keys = np.array(
             [
-                (e.locus_tag, e.gene, e.start, e.end, e.strand)
+                "\x00".join(
+                    map(str, (e.locus_tag, e.gene, e.start, e.end, e.strand))
+                )
                 for e in (contig.locus_entries if gene_window == "body" else index.entries)
             ],
             dtype=object,
         )
-        sig_keys = np.array(
-            ["\x00".join(map(str, s)) for s in ent_sig], dtype=object
-        )
-        pair_key = np.char.add(
-            np.char.add(hit_idx.astype(str), "|"), sig_keys[entry_idx].astype(str)
-        )
+        _, sig_ids = np.unique(sig_keys, return_inverse=True)
+        n_sigs = int(sig_ids.max()) + 1 if len(sig_ids) else 1
+        pair_key = hit_idx.astype(np.int64) * n_sigs + sig_ids[entry_idx]
         _, uniq = np.unique(pair_key, return_index=True)
         uniq.sort()
         hit_idx, entry_idx = hit_idx[uniq], entry_idx[uniq]
@@ -273,8 +275,21 @@ def build_notes(note: pd.DataFrame) -> np.ndarray:
     design scale), so dedupe the combos, format each once, and map back —
     both the row apply (~5.6 s/125k) and per-element np.char (~9 s/573k)
     measured far slower."""
-    mat = note[["sites", "genes", "intergenic"]].to_numpy()
-    combos, inv = np.unique(mat, axis=0, return_inverse=True)
+    mat = note[["sites", "genes", "intergenic"]].to_numpy(dtype=np.int64)
+    if len(mat) == 0:
+        return np.array([], dtype=object)
+    # pack the triple into one int64 when the counts fit (they always do in
+    # practice; the axis=0 void-view unique measured ~1.5 s at design scale)
+    b1 = int(mat[:, 1].max()).bit_length()
+    b2 = int(mat[:, 2].max()).bit_length()
+    if int(mat[:, 0].max()).bit_length() + b1 + b2 <= 62:
+        key = (mat[:, 0] << (b1 + b2)) | (mat[:, 1] << b2) | mat[:, 2]
+        uk, inv = np.unique(key, return_inverse=True)
+        m2 = (np.int64(1) << b2) - 1
+        m1 = (np.int64(1) << b1) - 1
+        combos = np.stack([uk >> (b1 + b2), (uk >> b2) & m1, uk & m2], axis=1)
+    else:  # pathological counts: fall back to the row-wise unique
+        combos, inv = np.unique(mat, axis=0, return_inverse=True)
     texts = np.array(
         [
             create_note({"sites": s, "genes": g, "intergenic": i})
@@ -336,10 +351,13 @@ def run_targets(
         by_len.setdefault(len(seq), []).append(seq)
 
     frames: list[pd.DataFrame] = []
-    seqs_with_hits: set[str] = set()
+    # track hit spacers by index per length bucket — a string set over the
+    # row frame (unique + set.update) iterated 600k arrow values per call
+    seen_by_len: dict[int, np.ndarray] = {}
     for L, seqs in sorted(by_len.items()):
         q_f = spacer_matrix(seqs)
         q_r = revcomp_matrix(q_f)
+        seen = seen_by_len.setdefault(L, np.zeros(len(seqs), dtype=bool))
         for contig in genome.contigs:
             if contig.length < L and not contig.circular:
                 continue
@@ -353,11 +371,17 @@ def run_targets(
                     gene_window=gene_window, insert_site=insert_site,
                 )
             if len(frame):
-                seqs_with_hits.update(frame["spacer"].unique())
+                seen[hits.spacer_idx] = True  # every hit emits >=1 row
                 frames.append(frame)
 
     # unmapped rows for spacers with no surviving hits, then expand per-name
-    # (reference gets one SAM stream per read name)
+    # (reference gets one SAM stream per read name); plain-str set from the
+    # seen indices, keeping the library-order row emission
+    seqs_with_hits = {
+        seqs[i]
+        for L, seqs in by_len.items()
+        for i in np.nonzero(seen_by_len[L])[0]
+    }
     unmapped = [
         {"spacer": seq, "len": len(seq)}
         for seq in names_per_seq
@@ -369,7 +393,10 @@ def run_targets(
     body = (
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     )
-    if all(len(v) == 1 and v[0] == k for k, v in names_per_seq.items()):
+    identity_names = all(
+        len(v) == 1 and v[0] == k for k, v in names_per_seq.items()
+    )
+    if identity_names:
         # identity naming (the design workload names candidates by their
         # sequence): skip the string-keyed merge (~3 s at 600k rows)
         results = body.copy()
@@ -383,7 +410,8 @@ def run_targets(
     results = results.reindex(columns=columns)
     with phases.phase("postprocess"):
         result = postprocess(
-            results, genome, pam, pam_direction, mismatches, insert_site=insert_site
+            results, genome, pam, pam_direction, mismatches,
+            insert_site=insert_site, identity_names=identity_names,
         )
     result.stats["profile"] = phases.summary()
     return result
@@ -396,6 +424,7 @@ def postprocess(
     pam_direction: str,
     mismatches: int,
     insert_site: bool = False,
+    identity_names: bool = False,
 ) -> TargetsResult:
     """The reference's main() dataframe stage (targets.py:605-701) plus the
     summary-statistics inputs for its rich table (targets.py:716-861)."""
@@ -419,15 +448,27 @@ def postprocess(
     sp_codes, sp_uniques = pd.factorize(results["spacer"])
     results["_sp"] = sp_codes
     n_sp = len(sp_uniques)
-    spacers_seen_arr = (
-        results[["name", "_sp"]].drop_duplicates().groupby("_sp").size()
-    )
-    results = results.drop("name", axis=1).drop_duplicates()
+    if identity_names:
+        # name == spacer: one name per spacer, and dropping the name column
+        # cannot create duplicate rows — skip two 600k-string-row dedups
+        spacers_seen_arr = pd.Series(1, index=np.arange(n_sp))
+        results = results.drop("name", axis=1)
+    else:
+        spacers_seen_arr = (
+            results[["name", "_sp"]].drop_duplicates().groupby("_sp").size()
+        )
+        results = results.drop("name", axis=1).drop_duplicates()
     sp = results["_sp"].to_numpy()
     # site identity = (chr, coords) pair as one int; NaN target rows get no
     # site (matches the string "chr_coords" site of targets.py:640-667)
     chr_c, _ = pd.factorize(results["chr"])
     coo_c, coo_u = pd.factorize(results["coords"])
+    # keep the factorized codes as helper columns so the summary stats run
+    # on ints (each string-column nunique/groupby re-factorizes ~600k arrow
+    # strings); null → -1 sentinel
+    results["_chr"] = chr_c
+    results["_coo"] = coo_c
+    results["_lt"], _ = pd.factorize(results["locus_tag"])
     has_t = results["target"].notna().to_numpy()
     site_id = np.where(has_t, chr_c * (len(coo_u) + 1) + coo_c, -1)
     tgt = pd.DataFrame({"_sp": sp[has_t], "_site": site_id[has_t]})
@@ -486,6 +527,13 @@ def postprocess(
     return TargetsResult(table=final_results, results=results, stats=stats)
 
 
+def _n_uniq_nonneg(codes: pd.Series) -> int:
+    """Distinct non-sentinel factorized codes (≡ .nunique() on the string
+    column the codes were factorized from, which excludes nulls)."""
+    arr = codes.to_numpy()
+    return int(np.unique(arr[arr >= 0]).size)
+
+
 def _summary_stats(
     results: pd.DataFrame,
     final_results: pd.DataFrame,
@@ -511,22 +559,24 @@ def _summary_stats(
         "total_genes": sum(genome.all_genes.values()),
         "overlapping_genes": ambiguous_locus_tags,
         "ambiguous_coordinates": ambiguous_coordinates,
-        "chromosomes_targeted": int(results["chr"].nunique()),
-        "genes_targeted": int(results["locus_tag"].nunique()),
-        "overlapping_genes_targeted": int(
-            results.loc[results["genes"] > 1, "locus_tag"].nunique()
+        # every aggregate below runs on postprocess-time factorized codes
+        # ("_sp"/"_chr"/"_coo"/"_lt", null → -1): string nunique/groupby
+        # re-factorizes ~600k arrow strings per call
+        "chromosomes_targeted": _n_uniq_nonneg(results["_chr"]),
+        "genes_targeted": _n_uniq_nonneg(results["_lt"]),
+        "overlapping_genes_targeted": _n_uniq_nonneg(
+            results.loc[results["genes"] > 1, "_lt"]
         ),
-        # spacer-keyed aggregates run on the postprocess-time "_sp" codes
-        # (string nunique/groupby re-factorizes ~600k arrow strings each)
         "unique_barcodes": int(results["_sp"].nunique()),
-        "intergenic_barcodes": int(
+        "intergenic_barcodes": _n_uniq_nonneg(
             results.loc[
-                results["locus_tag"].isnull() & results["chr"].notnull(), "_sp"
-            ].nunique()
+                (results["_lt"].to_numpy() < 0) & (results["_chr"].to_numpy() >= 0),
+                "_sp",
+            ]
         ),
         "off_target_barcodes": int(
             results[results["target"].notnull()]
-            .groupby("_sp")["coords"]
+            .groupby("_sp")["_coo"]
             .nunique()  # ≡ apply(set).apply(len), without per-group Python
             .gt(1)
             .sum()
@@ -536,7 +586,8 @@ def _summary_stats(
         ),
     }
     if "mismatches" in final_results.columns:
-        per_mm = final_results.groupby(["mismatches"])["spacer"].nunique()
+        # same rows as final_results, grouped on codes instead of strings
+        per_mm = results.groupby(["mismatches"])["_sp"].nunique()
         stats["spacers_per_mismatch"] = {int(k): int(v) for k, v in per_mm.items()}
     return stats
 
