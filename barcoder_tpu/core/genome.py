@@ -281,33 +281,54 @@ class Genome:
         (reference: targets.py:788-797).
 
         Computed on the unfolded [0, len + min(len, OVERHANG)) axis like the
-        reference's dict keys, then folded.
-        """
+        reference's dict keys, then folded. Genome-level and input-invariant,
+        so cached (postprocess calls it per run; ~1 s at E. coli scale)."""
+        cached = getattr(self, "_ambiguity_cache", None)
+        if cached is not None:
+            return cached
         total_coords = 0
         tags: set = set()
         for c in self.contigs:
-            overhang = min(OVERHANG, c.length) if c.circular else 0
+            overhang = OVERHANG if c.circular else 0
+            max_end = max((e.end for e in c.locus_entries), default=0)
             axis_len = c.length + max(
-                overhang, max((e.end for e in c.locus_entries), default=0) - c.length
+                min(overhang, c.length), max_end - c.length, 0
             )
             cov = np.zeros(axis_len + 1, dtype=np.int32)
-            # wrapped-gene adjusted intervals + normal parts
+            # Reproduce the reference's key set exactly, including its
+            # ORDER-DEPENDENT overhang duplication (targets.py:149-163):
+            # non-wrapped genes duplicate positions p in
+            # [overhang_continue, overhang) to p + len, where
+            # overhang_continue is the post-origin arm end of the most
+            # recently PROCESSED wrapped gene (0 before any) — so a gene
+            # earlier in the file than the wrapped gene duplicates into the
+            # wrapped gene's unfolded keys and collides, a later one does
+            # not. Wrapped genes themselves key [adj_start, adj_end).
+            oc = 0
             for e in c.locus_entries:
                 cov[min(e.start, axis_len)] += 1
                 cov[min(e.end, axis_len)] -= 1
-            # the reference also duplicates entries of genes inside the first
-            # `overhang` bases at +len (targets.py:149-163); those duplicate
-            # keys fold onto the originals so they do not change the folded
-            # ambiguous set — skipped here.
+                if e.end > c.length:  # wrapped (adjusted past the origin)
+                    oc = e.end - c.length
+                else:
+                    dup_lo = max(e.start, oc)
+                    dup_hi = min(e.end, overhang)
+                    if dup_hi > dup_lo:
+                        cov[min(dup_lo + c.length, axis_len)] += 1
+                        cov[min(dup_hi + c.length, axis_len)] -= 1
             cov = np.cumsum(cov[:-1])
             amb_pos = np.nonzero(cov > 1)[0]
-            folded = set(int(p) % c.length for p in amb_pos)
+            folded = np.unique(amb_pos % c.length)
             total_coords += len(folded)
             if len(folded):
-                fold_arr = np.fromiter(folded, dtype=np.int64)
-                for e in c.locus_entries:
-                    if e.join_end > e.join_start and np.any(
-                        (fold_arr >= e.join_start) & (fold_arr < e.join_end)
-                    ):
+                # the reference resolves tags by looking the FOLDED position
+                # up in the locus map (targets.py:793-797), i.e. entries
+                # whose direct key range contains it — that is the joinable
+                # interval (binary search per entry)
+                lo = np.searchsorted(folded, [e.join_start for e in c.locus_entries])
+                hi = np.searchsorted(folded, [e.join_end for e in c.locus_entries])
+                for e, touched in zip(c.locus_entries, hi > lo):
+                    if touched and e.join_end > e.join_start:
                         tags.add(e.locus_tag)
+        object.__setattr__(self, "_ambiguity_cache", (total_coords, len(tags)))
         return total_coords, len(tags)
