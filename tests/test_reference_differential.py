@@ -107,6 +107,72 @@ class TestHeuristicountDifferential:
         assert ours == ref and sum(ref.values()) > 0
 
 
+PYZSTD_SHIM = """\
+# pyzstd shim over zstandard (pyzstd is not installed in this image);
+# covers the three calls distillreads.py makes
+import zstandard as _z
+
+def compress(data, *a, **k):
+    return _z.ZstdCompressor().compress(data)
+
+def decompress(data, *a, **k):
+    return _z.ZstdDecompressor().decompress(data)
+
+def open(*a, **k):
+    return _z.open(*a, **k)
+"""
+
+
+class TestDistillDifferential:
+    def test_paired_outputs_identical(self, tmp_path):
+        import gzip
+
+        import zstandard
+
+        from .genomes import random_seq
+
+        rng = np.random.default_rng(17)
+        reads1 = [random_seq(40, rng) for _ in range(400)]
+        reads2 = [random_seq(40, rng) for _ in range(400)]
+
+        def write_fastq_gz(path, reads):
+            with gzip.open(path, "wt") as fh:
+                for i, r in enumerate(reads):
+                    fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+
+        shim_dir = tmp_path / "shim"
+        shim_dir.mkdir()
+        (shim_dir / "pyzstd.py").write_text(PYZSTD_SHIM)
+        ref_dir = tmp_path / "refrun"
+        our_dir = tmp_path / "ourrun"
+        for d in (ref_dir, our_dir):
+            d.mkdir()
+            write_fastq_gz(d / "r1.fastq.gz", reads1)
+            write_fastq_gz(d / "r2.fastq.gz", reads2)
+
+        env = dict(os.environ)
+        env["PYTHONPATH"] = f"{shim_dir}:{REF}"
+        env["LANG"] = env["LC_ALL"] = "en_US.UTF-8"
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REF, "distillreads.py"),
+             str(ref_dir / "r1.fastq.gz"), str(ref_dir / "r2.fastq.gz")],
+            capture_output=True, text=True, cwd=REF, env=env, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        run_ours(["distill", str(our_dir / "r1.fastq.gz"), str(our_dir / "r2.fastq.gz")])
+
+        def read_zst(path):
+            with zstandard.open(path, "rt") as fh:
+                return fh.read().splitlines()
+
+        for name in ("r1.reads.zst", "r2.reads.zst"):
+            ref_out = read_zst(ref_dir / name)
+            our_out = read_zst(our_dir / name)
+            assert our_out == ref_out, name
+        assert len(read_zst(ref_dir / "r1.reads.zst")) == 400
+
+
 class TestMismatchDifferential:
     PARAMS = os.path.join(REF, "mismatch_parameters.csv")
 
