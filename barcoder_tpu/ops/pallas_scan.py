@@ -1456,33 +1456,76 @@ def extract_matrix(q_blocks_all, codes_lp, n_sites, sc_p, tc_p, valid, *, L, K,
     return _compact_hits(hit, mm, cap=cap, cap_rows=cap_rows, k=k)
 
 
-class _SiteScanJob:
-    """Site-compacted scan of one contig (PAM scans whose dense genome-axis
-    kernel cost dwarfs host site enumeration — the design workload's
-    all-vs-all map-back being the canonical case).
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "K", "P2", "thresh", "cap", "B", "n_sb_pad8", "SUB"),
+)
+def extract_spec_matrix(q_blocks_all, codes_lp, n_sites, pairs, n_pairs, *, L,
+                        K, P2, thresh, cap, B, n_sb_pad8, SUB):
+    """Site-mode twin of extract_spec: speculative phase 2 chained on the
+    DEVICE-RESIDENT phase-1 pair list, returning the same packed layout
 
-    For a |PAM|-constrained scan every hit lies at a PAM-valid site, so the
-    genome axis contracts from contig.length to n_sites (~N/8 for NGG):
-    columns are the site windows themselves (R-strand windows revcomped at
-    enumeration, prep.enumerate_sites), which also halves the spacer rows —
-    no reverse one-hot matrix, no PAM bias, no wrap halo. Exact for every
-    mismatch budget (it is the same brute-force scoring over a provably
-    sufficient subset of positions)."""
+        [n_pairs, n_hits_signal, slots (B,), idx (cap,), mm (cap,)]
 
-    def __init__(self, prep: _QPrep, contig: Contig, positions, strands, codes,
-                 interpret: bool = False):
-        self.prep = prep
-        self.interpret = interpret
-        self.contig = contig
-        p = prep
+    so a small-library site scan (the cached-_SiteTable steady state) costs
+    ONE d2h fetch — without it the site engine paid 2+ round trips and lost
+    to the dense engine on tunneled links despite ~16x fewer FLOPs."""
+    slots = pairs[:B]
+    slot_ok = (jnp.arange(B, dtype=jnp.int32) < jnp.minimum(n_pairs, B)) & (slots >= 0)
+    safe_slots = jnp.where(slot_ok, slots, 0)
+    t_big = safe_slots // (n_sb_pad8 * SUB)
+    rem = safe_slots % (n_sb_pad8 * SUB)
+    s_idx = rem // SUB
+    t_idx = t_big * SUB + rem % SUB  # subtile index on the P2 grid
+    n_t2 = codes_lp.shape[1] // P2
+    L_pad = codes_lp.shape[0]
+    t_safe = jnp.clip(t_idx, 0, n_t2 - 1)
+    tiles2 = codes_lp.reshape(L_pad, n_t2, P2).transpose(1, 0, 2)[:, :L, :]
+    g = tiles2[t_safe]  # (B, L, P2) int8
+    oh = (
+        g[:, :, None, :] == jnp.arange(4, dtype=g.dtype)[None, None, :, None]
+    ).reshape(g.shape[0], 4 * L, P2)
+    g_oh = oh.astype(jnp.bfloat16)
+    if 4 * L < K:
+        g_oh = jnp.pad(g_oh, ((0, 0), (0, K - 4 * L), (0, 0)))
+    q = q_blocks_all[jnp.clip(s_idx, 0, q_blocks_all.shape[0] - 1)]  # (B, bs, K)
+    scores = jnp.einsum("nsk,nkp->nsp", q, g_oh, preferred_element_type=jnp.float32)
+    mm = (L - scores).astype(jnp.int32)
+    col_ok = t_safe[:, None] * P2 + jnp.arange(P2, dtype=jnp.int32)[None, :] < n_sites
+    hit = (mm <= thresh) & col_ok[:, None, :] & (slot_ok & (t_idx < n_t2))[:, None, None]
+    cap_rows = max(cap // 16, 2 * B)
+    idx, mm_vals, n_hits, n_rows, max_row_hits = _compact_hits(
+        hit, mm, cap=cap, cap_rows=cap_rows
+    )
+    n_signal = jnp.where(
+        (n_rows > cap_rows) | (max_row_hits > 4),
+        jnp.maximum(n_hits, cap + 1),
+        n_hits,
+    )
+    header = jnp.stack([n_pairs.astype(jnp.int32), n_signal])
+    return jnp.concatenate([header, slots.astype(jnp.int32), idx, mm_vals])
+
+
+class _SiteTable:
+    """Device-resident site-compacted representation of one contig's
+    PAM-valid windows: column j of codes_lp is the L-mer at positions[j]
+    (R-strand windows revcomped at enumeration). Built once per
+    (contig content, L, pam, direction, P) and cached in _SITE_DEV_CACHE —
+    the host enumeration (~0.2 s/Mb) and the site-matrix ship are what set
+    the dense↔site crossover, so a cache hit makes site mode the fastest
+    engine at ANY library size."""
+
+    __slots__ = ("positions", "strands", "codes_lp", "n_sites", "n_sites_b")
+
+    def __init__(self, P: int, L: int, positions, strands, codes):
         self.positions = positions
         self.strands = strands
         n_sites = len(positions)
         self.n_sites = n_sites
-        self.n_sites_b = _geom_bucket(max(n_sites, 1), p.P)
-        L_pad = _cdiv(p.L, 8) * 8  # Mosaic wants 8-aligned sublane rows
+        self.n_sites_b = _geom_bucket(max(n_sites, 1), P)
+        L_pad = _cdiv(L, 8) * 8  # Mosaic wants 8-aligned sublane rows
         codes_pad = np.full((self.n_sites_b, L_pad), 4, dtype=np.int8)
-        codes_pad[:n_sites, : p.L] = codes
+        codes_pad[:n_sites, :L] = codes
         flat = codes_pad.T.reshape(-1)  # (L_pad * n_sites_b), row j = base j
         # exceptions = genomic Ns only; the all-N padding columns are
         # reconstructed on device from (n_sites, n_sites_b)
@@ -1501,22 +1544,118 @@ class _SiteScanJob:
                 jnp.asarray(_pack_nibbles(flat)), total=len(flat)
             )
         self.codes_lp = flat_dev.reshape(L_pad, self.n_sites_b)
+
+
+_SITE_DEV_CACHE = _DeviceScanCache()
+
+
+class _SeenCounter(OrderedDict):
+    """Bounded occurrence counter for (contig, pam, L) scan keys."""
+
+    MAX = 64
+
+    def bump(self, key) -> int:
+        v = super().get(key, 0) + 1
+        self[key] = v
+        self.move_to_end(key)
+        while len(self) > self.MAX:
+            self.popitem(last=False)
+        return v
+
+
+_SITE_SEEN = _SeenCounter()
+
+
+class _SiteScanJob:
+    """Site-compacted scan of one contig (PAM scans whose dense genome-axis
+    kernel cost dwarfs host site enumeration — the design workload's
+    all-vs-all map-back being the canonical case — plus ANY repeat scan of
+    a cached _SiteTable).
+
+    For a |PAM|-constrained scan every hit lies at a PAM-valid site, so the
+    genome axis contracts from contig.length to n_sites (~N/8 for NGG):
+    columns are the site windows themselves (R-strand windows revcomped at
+    enumeration, prep.enumerate_sites), which also halves the spacer rows —
+    no reverse one-hot matrix, no PAM bias, no wrap halo. Exact for every
+    mismatch budget (it is the same brute-force scoring over a provably
+    sufficient subset of positions)."""
+
+    def __init__(self, prep: _QPrep, contig: Contig, table: _SiteTable,
+                 interpret: bool = False):
+        self.prep = prep
+        self.interpret = interpret
+        self.contig = contig
+        p = prep
+        self.positions = table.positions
+        self.strands = table.strands
+        self.n_sites = table.n_sites
+        self.n_sites_b = table.n_sites_b
+        self.codes_lp = table.codes_lp
         self.n_tiles2 = _cdiv(self.n_sites_b, p.P2)
-        # dispatch phase 1 (no speculative path: site mode only triggers on
-        # design-scale scans, which overflow the spec budget anyway)
         self.fut = phase1_matrix(
             self.codes_lp, p.q_dev[STRAND_F], p.thresh_dev,
             n_sites_b=self.n_sites_b, P=p.P, L=p.L, K=p.K, SUB=p.SUB,
             BS_M=p.bs, pair_cap=p.pair_cap, interpret=interpret,
         )
+        # small-library scans (the cached-table steady state) chain the
+        # speculative phase 2 so the whole scan is one packed fetch;
+        # design-scale libraries would always overflow the spec budget
+        self.spec_fut = None
+        if p.S_pad < _SITE_MODE_MIN_SPACERS:
+            self.spec_fut = extract_spec_matrix(
+                p.q_dev[STRAND_F].reshape(-1, p.bs, p.K), self.codes_lp,
+                jnp.int32(self.n_sites), self.fut[0], self.fut[2],
+                L=p.L, K=p.K, P2=p.P2, thresh=int(p.max_mismatches),
+                cap=p.spec_cap, B=p.spec_B, n_sb_pad8=self._n_sb_pad8(),
+                SUB=p.SUB,
+            )
 
     def _n_sb_pad8(self) -> int:
         p = self.prep
         return _cdiv(p.S_pad // p.bs, 8) * 8
 
+    def _decode_spec(self, packed: np.ndarray, n_hits: int) -> Hits:
+        """Hits from extract_spec_matrix's packed array; inverse of the
+        slot/row-space encoding, with site columns mapped back through the
+        table's positions/strands."""
+        p = self.prep
+        B, cap, bs, P2 = p.spec_B, p.spec_cap, p.bs, p.P2
+        if n_hits == 0:
+            return Hits()
+        slots = packed[2 : 2 + B]
+        idx = packed[2 + B : 2 + B + n_hits]
+        mm_vals = packed[2 + B + cap : 2 + B + cap + n_hits]
+        slot_i = idx // (bs * P2)
+        rem = idx % (bs * P2)
+        si = rem // P2
+        pi = rem % P2
+        pair = slots[slot_i]
+        n_sb_pad8 = self._n_sb_pad8()
+        t_big = pair // (n_sb_pad8 * p.SUB)
+        rem2 = pair % (n_sb_pad8 * p.SUB)
+        s_blk = rem2 // p.SUB
+        t_idx = t_big * p.SUB + rem2 % p.SUB
+        spacer_idx = s_blk * bs + si
+        col = t_idx * P2 + pi
+        keep = (spacer_idx < p.S) & (col < self.n_sites)
+        spacer_idx, col, mm_vals = spacer_idx[keep], col[keep], mm_vals[keep]
+        return Hits(
+            spacer_idx=spacer_idx.astype(np.int64),
+            pos=self.positions[col].astype(np.int64),
+            strand=self.strands[col].astype(np.int8),
+            mismatches=mm_vals.astype(np.int32),
+        )
+
     def collect(self) -> Hits:
         p = self.prep
         bs, K, P2, S = p.bs, p.K, p.P2, p.S
+        if self.spec_fut is not None:
+            packed = np.asarray(self.spec_fut)  # the ONE fetch, common case
+            n_pairs, n_sig = int(packed[0]), int(packed[1])
+            if n_pairs <= p.spec_B and n_sig <= p.spec_cap:
+                return self._decode_spec(packed, n_sig).sorted()
+            # overflow: fall through to the batched path (phase-1 future
+            # is still live)
         pairs, vals, n_pairs = self.fut
         n_pairs = int(n_pairs)
         cap_p = p.pair_cap
@@ -1670,17 +1809,35 @@ def pallas_scan_contigs(
 
     results: dict[str, Hits] = {}
     for c in contigs:
+        site_tab = site_key = None
+        if bool(pam) and site_mode != "never":
+            site_key = (
+                c.id, c.length, bool(c.circular), L, pam, pam_direction, P,
+                zlib.adler32(np.ascontiguousarray(c.codes).tobytes()),
+            )
+            site_tab = _SITE_DEV_CACHE.get(site_key)
+        # a cached site table makes site mode the fastest engine at ANY
+        # library size (the crossover cost — host enumeration + matrix
+        # ship — is already paid); without one it wins only at design scale
         use_sites = bool(pam) and site_mode != "never" and (
-            site_mode == "always" or prep.S_pad >= _SITE_MODE_MIN_SPACERS
+            site_mode == "always"
+            or prep.S_pad >= _SITE_MODE_MIN_SPACERS
+            or site_tab is not None
         )
+        if not use_sites and site_key is not None:
+            # repeat scans of the same (genome, pam, L): pay the one-time
+            # table build on the second occurrence so steady-state re-scans
+            # (serving many libraries against one genome) run compacted
+            use_sites = _SITE_SEEN.bump(site_key) >= 2
         if use_sites:
-            positions, strands, codes = enumerate_sites(c, L, pam, pam_direction)
-            if len(positions) == 0:
+            if site_tab is None:
+                positions, strands, codes = enumerate_sites(c, L, pam, pam_direction)
+                site_tab = _SiteTable(P, L, positions, strands, codes)
+                _SITE_DEV_CACHE.put(site_key, site_tab)
+            if site_tab.n_sites == 0:
                 results[c.id] = Hits()
                 continue
-            results[c.id] = _SiteScanJob(
-                prep, c, positions, strands, codes, interpret
-            ).collect()
+            results[c.id] = _SiteScanJob(prep, c, site_tab, interpret).collect()
         else:
             results[c.id] = _ScanJob(prep, c, interpret).collect()
     return results

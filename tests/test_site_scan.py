@@ -103,6 +103,67 @@ def test_site_mode_L32_no_spare_row():
     assert any(p == 700 for _, p, _, _ in got)
 
 
+def test_site_batched_path_matches_spec_path(monkeypatch):
+    """Small-library site scans use the speculative one-fetch phase 2; the
+    design-scale batched path (spec gate off) must produce identical hits."""
+    import barcoder_tpu.ops.pallas_scan as ps
+
+    rng = np.random.default_rng(59)
+    rec = make_record(n=3500, topology="circular", seed=59)
+    guides = [random_seq(20, rng) for _ in range(8)]
+    for i, g in enumerate(guides):
+        plant_guide(rec, g, 120 + i * 400, pam="AGG", strand="R" if i % 2 else "F")
+    contig = contig_from_record(rec)
+    kw = dict(pam="NGG", P=512, interpret=True, site_mode="always")
+    spec = tuples(pallas_scan(guides, contig, 2, **kw))
+    monkeypatch.setattr(ps, "_SITE_MODE_MIN_SPACERS", 1)  # force batched
+    batched = tuples(pallas_scan(guides, contig, 2, **kw))
+    want = tuples(oracle_scan(guides, contig, 2, pam="NGG"))
+    assert spec == batched == want
+
+
+def test_site_table_cache_and_repeat_policy(monkeypatch):
+    """First small-library auto scan runs dense; the second on the same
+    (genome, pam, L) builds + caches the site table; later scans reuse it
+    without re-enumerating. Results identical throughout."""
+    import barcoder_tpu.ops.pallas_scan as ps
+
+    rng = np.random.default_rng(53)
+    rec = make_record(n=3000, topology="circular", seed=53)
+    guides = [random_seq(20, rng) for _ in range(4)]
+    for i, g in enumerate(guides):
+        plant_guide(rec, g, 150 + i * 600, pam="GGG")
+    contig = contig_from_record(rec)
+    want = tuples(oracle_scan(guides, contig, 1, pam="NGG"))
+
+    ps._SITE_DEV_CACHE.clear()
+    ps._SITE_SEEN.clear()
+    calls = []
+    real_enum = enumerate_sites
+    monkeypatch.setattr(  # pallas_scan_contigs imports it from .prep per call
+        "barcoder_tpu.ops.prep.enumerate_sites",
+        lambda *a, **k: calls.append(1) or real_enum(*a, **k),
+    )
+
+    kw = dict(pam="NGG", P=512, interpret=True)
+    assert tuples(pallas_scan(guides, contig, 1, **kw)) == want  # dense
+    assert calls == []
+    assert tuples(pallas_scan(guides, contig, 1, **kw)) == want  # builds
+    assert len(calls) == 1
+    assert tuples(pallas_scan(guides, contig, 1, **kw)) == want  # cached
+    assert len(calls) == 1
+    assert len(ps._SITE_DEV_CACHE) == 1
+
+    # content change invalidates: mutate one base -> new key, dense again
+    s = list(rec.seq)
+    s[10] = "ACGT"[("ACGT".index(s[10]) + 1) % 4]
+    rec.seq = "".join(s)
+    contig2 = contig_from_record(rec)
+    want2 = tuples(oracle_scan(guides, contig2, 1, pam="NGG"))
+    assert tuples(pallas_scan(guides, contig2, 1, **kw)) == want2
+    assert len(calls) == 1  # first scan of the new content stays dense
+
+
 def test_site_mode_multi_contig():
     from barcoder_tpu.ops.pallas_scan import pallas_scan_contigs
 
