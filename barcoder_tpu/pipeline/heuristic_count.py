@@ -137,8 +137,10 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
 
     # packed-key candidate prefilter (see docstring); sentinel keys mean
     # some barcode doesn't 2-bit-pack -> use the unfiltered per-position loop
-    all_keys = _pack_strings(sorted(barcodes) + sorted(rev_barcodes))
-    use_prefilter = bc_len <= 32 and not (all_keys == _KEY_SENTINEL).any()
+    use_prefilter = False
+    if bc_len <= 32:  # > 32 doesn't fit a uint64 key at all
+        all_keys = _pack_strings(sorted(barcodes) + sorted(rev_barcodes))
+        use_prefilter = not (all_keys == _KEY_SENTINEL).any()
     cand_keys = np.sort(all_keys) if use_prefilter else None
 
     diversity_count1 = diversity_count2 = 0

@@ -357,6 +357,37 @@ class TestDeviceEngine:
         assert all(k.endswith("*") for k in undoc)
 
 
+class TestBarcodeLengthBoundaries:
+    """bc_len=32 saturates the uint64 2-bit packing (the reference's CN-32
+    library length); bc_len>32 must fall back to the per-read engine."""
+
+    def test_len32_engines_agree(self, tmp_path):
+        barcodes = make_barcodes(n=12, bc_len=32, seed=21)
+        reads1, reads2, truth = make_reads(barcodes, n_reads=1500, seed=21)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2)
+        args = (set(barcodes), str(f1), str(f2))
+        results = {
+            e: run_count(*args, engine=e)
+            for e in ("vector", "device", "reference")
+        }
+        doc_v = results["vector"][0]
+        assert doc_v == truth
+        for e in ("device", "reference"):
+            assert results[e][0] == doc_v, e
+            assert results[e][1] == results["vector"][1], e
+
+    def test_len40_auto_falls_back(self, tmp_path):
+        barcodes = make_barcodes(n=12, bc_len=40, seed=22)
+        reads1, _, truth = make_reads(barcodes, n_reads=800, seed=22)
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads1)
+        doc, undoc, total, info = run_count(set(barcodes), str(f1))
+        assert info["engine"] == "reference"
+        assert doc == truth
+
+
 class TestShardedEngine:
     """ShardedCounter (read-batch axis sharded over the mesh, doc counts
     psum-merged on device) must agree exactly with VectorCounter. Runs on
