@@ -40,14 +40,18 @@ def is_dna(sequence: str) -> bool:
 
 
 def _pack_windows(codes_mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(n, L<=32) codes → (keys uint64, valid bool) — N poisons validity."""
+    """(n, L) codes → (words uint64 (n, ceil(L/32)), valid bool) — N poisons
+    validity. Multi-word keys keep the dedup exact for ANY barcode length
+    (a single uint64 silently dropped bases past position 31: numpy shifts
+    >= 64 wrap/zero, so 40-mers differing only in their tail collided)."""
     n, L = codes_mat.shape
     valid = (codes_mat < 4).all(axis=1)
     vals = codes_mat.astype(np.uint64) & np.uint64(3)
-    keys = np.zeros(n, dtype=np.uint64)
+    n_words = max(-(-L // 32), 1)
+    words = np.zeros((n, n_words), dtype=np.uint64)
     for j in range(L):
-        keys |= vals[:, j] << np.uint64(2 * j)
-    return keys, valid
+        words[:, j // 32] |= vals[:, j] << np.uint64(2 * (j % 32))
+    return words, valid
 
 
 def find_candidate_guides(
@@ -66,7 +70,8 @@ def find_candidate_guides(
     measured ~30x fewer phase-2 pairs on the 1 Mb design benchmark than the
     packed-key order np.unique returns."""
     L = barcode_length
-    keys_list: list[np.ndarray] = []
+    words_list: list[np.ndarray] = []
+    codes_list: list[np.ndarray] = []
     ord_list: list[np.ndarray] = []
     base = 0
     for contig in genome.contigs:
@@ -86,27 +91,30 @@ def find_candidate_guides(
             if rc:
                 sel = sel[:, ::-1]
                 sel = np.where(sel < 4, 3 - sel, sel)
-            keys, valid = _pack_windows(sel)
-            keys_list.append(keys[valid])
+            words, valid = _pack_windows(sel)
+            words_list.append(words[valid])
+            codes_list.append(np.ascontiguousarray(sel[valid]))
             ord_list.append(base + pos[valid])
             base += contig.length
-    if not keys_list:
+    if not words_list:
         return []
-    keys = np.concatenate(keys_list)
+    words = np.concatenate(words_list)
+    codes_all = np.concatenate(codes_list)
     ords = np.concatenate(ord_list)
-    order = np.lexsort((ords, keys))
-    ks, os_ = keys[order], ords[order]
-    first = np.ones(len(ks), dtype=bool)
-    first[1:] = ks[1:] != ks[:-1]
-    uk, uo = ks[first], os_[first]
-    uk = uk[np.argsort(uo, kind="stable")]
-    # decode codes straight from the 2-bit packed keys (valid windows are
-    # N-free by construction)
-    shifts = (2 * np.arange(L, dtype=np.uint64))[None, :]
-    codes_mat = ((uk[:, None] >> shifts) & np.uint64(3)).astype(np.int8)
+    n_words = words.shape[1]
+    order = np.lexsort(
+        (ords,) + tuple(words[:, w] for w in range(n_words - 1, -1, -1))
+    )
+    ws = words[order]
+    first = np.ones(len(ws), dtype=bool)
+    first[1:] = (ws[1:] != ws[:-1]).any(axis=1)
+    sel_idx = order[first]  # first (smallest-ord) occurrence per key
+    sel_idx = sel_idx[np.argsort(ords[sel_idx], kind="stable")]
+    # decode from the stored window codes (exact for any L; valid windows
+    # are N-free by construction)
     from ..core.encode import DECODE_ASCII
 
-    ascii_mat = DECODE_ASCII[np.clip(codes_mat, 0, 4)]
+    ascii_mat = DECODE_ASCII[np.clip(codes_all[sel_idx], 0, 4)]
     Lw = ascii_mat.shape[1]
     flat = np.ascontiguousarray(ascii_mat).view(f"S{Lw}").ravel()
     return [b.decode("ascii") for b in flat]

@@ -50,6 +50,33 @@ class TestEnumeration:
         got = find_candidate_guides(genome, 20, "NGG")
         assert all("N" not in g for g in got)
 
+    @pytest.mark.parametrize("L", [33, 40, 70])
+    def test_long_barcodes_match_regex_oracle(self, L):
+        # L > 32 overflows a single uint64 dedup key; 40-mers differing
+        # only past position 31 must stay distinct, and emitted sequences
+        # must be the true windows (the old key-decode zeroed the tail)
+        rec = make_record(n=2500, topology="circular", seed=29)
+        genome = genome_from_records([rec])
+        got = find_candidate_guides(genome, L, "NGG")
+        want = regex_candidates(rec.seq, True, L, "NGG")
+        assert set(got) == want
+        assert len(got) == len(set(got))
+        assert len(got) > 20
+
+    def test_tail_differing_long_pair_kept(self):
+        # two planted 40-mers identical in their first 32 bases
+        rec = make_record(n=1200, topology="linear", seed=30)
+        head = "ACGT" * 8  # 32 bases
+        g1, g2 = head + "AAAATTTT", head + "CCCCGGGG"
+        s = list(rec.seq)
+        for pos, g in ((100, g1), (400, g2)):
+            for i, ch in enumerate(g + "TGG"):
+                s[pos + i] = ch
+        rec.seq = "".join(s)
+        genome = genome_from_records([rec])
+        got = set(find_candidate_guides(genome, 40, "NGG"))
+        assert g1 in got and g2 in got
+
     def test_upstream_pam(self):
         rec = make_record(n=2000, seed=23)
         genome = genome_from_records([rec])
