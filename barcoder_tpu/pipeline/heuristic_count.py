@@ -895,6 +895,14 @@ def run_count(
         need_swap=sample.need_swap,
     )
 
+    if bc_len > 32 and engine not in ("auto", "reference"):
+        # the array engines 2-bit-pack barcode cores into uint64 keys
+        if log:
+            log.warn(
+                f"{engine} engine requires barcodes <= 32 nt "
+                f"(got {bc_len}); using the per-read engine"
+            )
+        engine = "reference"
     use_vector = engine in ("vector", "device", "sharded") or (
         engine == "auto" and bc_len <= 32
     )

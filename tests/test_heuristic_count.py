@@ -378,12 +378,15 @@ class TestBarcodeLengthBoundaries:
             assert results[e][0] == doc_v, e
             assert results[e][1] == results["vector"][1], e
 
-    def test_len40_auto_falls_back(self, tmp_path):
+    @pytest.mark.parametrize("engine", ["auto", "vector", "device"])
+    def test_len40_falls_back(self, tmp_path, engine):
+        # auto skips the array engines; explicit array engines degrade to
+        # the per-read engine instead of crashing in the uint64 packing
         barcodes = make_barcodes(n=12, bc_len=40, seed=22)
         reads1, _, truth = make_reads(barcodes, n_reads=800, seed=22)
         f1 = tmp_path / "r1.fastq"
         write_reads(f1, reads1)
-        doc, undoc, total, info = run_count(set(barcodes), str(f1))
+        doc, undoc, total, info = run_count(set(barcodes), str(f1), engine=engine)
         assert info["engine"] == "reference"
         assert doc == truth
 
