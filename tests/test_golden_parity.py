@@ -82,3 +82,20 @@ def test_annotation_parity(golden_result):
     assert len(common) >= 100
     diff = [k for k in common if ga[k] != oa[k]]
     assert len(diff) / len(common) < 0.05, f"{len(diff)}/{len(common)} sites differ"
+
+
+def test_design_enumeration_covers_golden_library():
+    """CN-32-zmo.tsv is itself a design_guides output: every golden spacer
+    targeting the bundled plasmids must appear among our enumerated
+    candidates (same PAM/length) on the real SnapGene contigs."""
+    from barcoder_tpu.pipeline.design import find_candidate_guides
+
+    genome = Genome.from_snapgene("/root/reference/GCA_003054575.1")
+    cands = set(find_candidate_guides(genome, 32, "NGNC"))
+    gold = pd.read_csv(GOLD, sep="\t")
+    plasmid = gold[
+        gold.chr.isin(["CP023716.1", "CP023717.1", "CP023718.1", "CP023719.1"])
+    ]
+    spacers = set(plasmid.spacer)
+    assert len(spacers) > 600
+    assert spacers <= cands
