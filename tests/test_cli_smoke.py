@@ -107,3 +107,49 @@ def test_unknown_command():
     p = run_cli(["frobnicate"])
     assert p.returncode == 2
     assert "unknown command" in p.stderr
+
+
+class TestGui:
+    def test_build_argv(self):
+        from barcoder_tpu.cli.gui import build_argv
+
+        argv = build_argv(
+            "targets",
+            {"sgrna_file": "lib.fasta", "genome_file": "g.gb", "pam": "NGG",
+             "mismatches": "1", "--pam_direction": "upstream"},
+        )
+        assert argv == [
+            "targets", "lib.fasta", "g.gb", "NGG", "1",
+            "--pam_direction", "upstream",
+        ]
+        assert build_argv("distill", {"files": "a.fastq b.fastq"}) == [
+            "distill", "a.fastq", "b.fastq"
+        ]
+
+    def test_tui_runs_targets_end_to_end(self, data, monkeypatch, capsys):
+        # scripted prompts drive a real in-process targets run
+        from rich.prompt import Confirm, Prompt
+
+        from barcoder_tpu.cli.gui import run_tui
+
+        d, g = data
+        answers = iter([
+            "targets", str(d / "lib.fasta"), str(d / "genome.gb"),
+            "NGG", "1", "downstream",
+        ])
+        monkeypatch.setattr(Prompt, "ask", staticmethod(lambda *a, **k: next(answers)))
+        monkeypatch.setattr(Confirm, "ask", staticmethod(lambda *a, **k: True))
+        rc = run_tui()
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert g in out  # the planted guide appears in the TSV
+
+    def test_tui_decline(self, monkeypatch):
+        from rich.prompt import Confirm, Prompt
+
+        from barcoder_tpu.cli.gui import run_tui
+
+        answers = iter(["distill", "x.fastq"])
+        monkeypatch.setattr(Prompt, "ask", staticmethod(lambda *a, **k: next(answers)))
+        monkeypatch.setattr(Confirm, "ask", staticmethod(lambda *a, **k: False))
+        assert run_tui() == 1
