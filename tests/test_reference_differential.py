@@ -107,6 +107,59 @@ class TestHeuristicountDifferential:
         assert ours == ref and sum(ref.values()) > 0
 
 
+class TestHeuristicountFuzzDifferential:
+    """Randomized construct geometries (prefix/flank/tail lengths, paired
+    or single, undocumented barcodes, barcode length) through BOTH
+    implementations — the sampling/orientation/flank-voting heuristics are
+    the reference's most intricate logic, so equality is checked on the
+    full stdout count dict."""
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_random_geometry(self, tmp_path, seed):
+        from barcoder_tpu.core.encode import revcomp
+
+        from .genomes import random_seq
+        from .test_heuristic_count import make_barcodes
+
+        rng = np.random.default_rng(200 + seed)
+        bc_len = int(rng.choice([16, 20, 24, 32]))
+        barcodes = make_barcodes(n=int(rng.integers(10, 20)), bc_len=bc_len,
+                                 seed=300 + seed)
+        prefix = random_seq(int(rng.integers(0, 10)), rng)
+        l_fl = random_seq(int(rng.integers(1, 9)), rng)
+        r_fl = random_seq(int(rng.integers(1, 9)), rng)
+        tail = random_seq(int(rng.integers(4, 12)), rng)
+        paired = bool(rng.integers(0, 2))
+        undoc = [make_barcodes(n=1, bc_len=bc_len, seed=400 + seed)[0]]
+        pool = list(barcodes) + undoc
+        reads1, reads2 = [], []
+        for _ in range(1200):
+            bc = pool[int(rng.integers(0, len(pool)))]
+            read = prefix + l_fl + bc + r_fl + tail
+            reads1.append(read)
+            reads2.append(revcomp(read))
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        for path, reads in ((f1, reads1), (f2, reads2)):
+            with open(path, "w") as fh:
+                for i, r in enumerate(reads):
+                    fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+        bc_fasta = tmp_path / "bc.fasta"
+        bc_fasta.write_text("".join(f">{b}\n{b}\n" for b in barcodes))
+        args = [str(bc_fasta), str(f1)] + ([str(f2)] if paired else [])
+        try:
+            ref_out = run_script("heuristicount.py", args)
+        except AssertionError as e:
+            # geometries the reference itself rejects (e.g. flank
+            # complementarity violations) are out of scope here
+            pytest.skip(f"reference errored on this geometry: {e}"[:200])
+        ref = counts_of(ref_out)
+        ours = counts_of(run_ours(["count", *args]))
+        assert ours == ref, (
+            f"seed={seed} bc_len={bc_len} prefix={len(prefix)} "
+            f"flanks=({len(l_fl)},{len(r_fl)}) paired={paired}"
+        )
+
+
 PYZSTD_SHIM = """\
 # pyzstd shim over zstandard (pyzstd is not installed in this image);
 # covers the three calls distillreads.py makes
