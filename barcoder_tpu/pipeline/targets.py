@@ -396,6 +396,12 @@ def run_targets(
     identity_names = all(
         len(v) == 1 and v[0] == k for k, v in names_per_seq.items()
     )
+    # duplicate (name, seq) library entries are the one way the row frame
+    # can carry duplicates (the name merge expands them); everywhere else
+    # rows are unique by construction (see postprocess docstring)
+    unique_rows = identity_names or all(
+        len(v) == len(set(v)) for v in names_per_seq.values()
+    )
     if identity_names:
         # identity naming (the design workload names candidates by their
         # sequence): skip the string-keyed merge (~3 s at 600k rows)
@@ -412,6 +418,7 @@ def run_targets(
         result = postprocess(
             results, genome, pam, pam_direction, mismatches,
             insert_site=insert_site, identity_names=identity_names,
+            assume_unique_rows=unique_rows,
         )
     result.stats["profile"] = phases.summary()
     return result
@@ -425,29 +432,50 @@ def postprocess(
     mismatches: int,
     insert_site: bool = False,
     identity_names: bool = False,
+    assume_unique_rows: bool = False,
 ) -> TargetsResult:
     """The reference's main() dataframe stage (targets.py:605-701) plus the
-    summary-statistics inputs for its rich table (targets.py:716-861)."""
+    summary-statistics inputs for its rich table (targets.py:716-861).
+
+    assume_unique_rows: run_targets sets this — build_rows emits one row
+    per (hit, entry-signature) with hits unique on (spacer, pos, strand)
+    and unmapped rows unique per sequence, so the reference's SAM-stream
+    dedup (targets.py:607) is a no-op there; a full-frame drop_duplicates
+    hashes every string column (~15 arrow factorizations at design scale)."""
     seq_lens = genome.seq_lens
-    results = results.drop_duplicates()
+    if not assume_unique_rows:
+        results = results.drop_duplicates()
     results = filter_offtargets_by_pam(results)
 
+    results = results.copy()
     if len(results):
-        results = results.copy()
         # vectorized targets.py:624-630 (row-apply cost ~2.6 s at 125k rows)
         wrap = results["tar_start"] > results["tar_end"]
         chrlen = results["chr"].map(seq_lens).astype("float64")
         results["min_tar"] = np.where(
             wrap.fillna(False), results["tar_start"] - chrlen, results["tar_start"]
         )
-        results = results.sort_values(by=["chr", "min_tar", "spacer"])
-
-    # every per-spacer aggregate below runs on ONE factorization of the
-    # spacer column: each string-keyed groupby/value_counts re-factorizes
-    # ~600k arrow strings (~0.4 s each, 27 calls measured at design scale)
-    sp_codes, sp_uniques = pd.factorize(results["spacer"])
-    results["_sp"] = sp_codes
-    n_sp = len(sp_uniques)
+        # ONE lexicographic factorization of spacer/chr serves both the
+        # ["chr", "min_tar", "spacer"] sort (sort=True codes order exactly
+        # like the strings; NaN chr -> after the last code, NaN min_tar
+        # sorts last in np.lexsort — same as sort_values' na_position) and
+        # every downstream group/aggregate, which otherwise re-factorizes
+        # ~600k arrow strings per call
+        sp_codes, sp_uniques = pd.factorize(results["spacer"], sort=True)
+        chr_codes, chr_uniques = pd.factorize(results["chr"], sort=True)
+        order = np.lexsort((
+            sp_codes,
+            np.asarray(results["min_tar"], dtype=np.float64),
+            np.where(chr_codes < 0, len(chr_uniques), chr_codes),
+        ))
+        results = results.iloc[order]
+        results["_sp"] = sp_codes[order]
+        results["_chr"] = chr_codes[order]
+        n_sp = len(sp_uniques)
+    else:
+        results["_sp"] = np.zeros(0, dtype=np.int64)
+        results["_chr"] = np.zeros(0, dtype=np.int64)
+        n_sp = 0
     if identity_names:
         # name == spacer: one name per spacer, and dropping the name column
         # cannot create duplicate rows — skip two 600k-string-row dedups
@@ -460,13 +488,12 @@ def postprocess(
         results = results.drop("name", axis=1).drop_duplicates()
     sp = results["_sp"].to_numpy()
     # site identity = (chr, coords) pair as one int; NaN target rows get no
-    # site (matches the string "chr_coords" site of targets.py:640-667)
-    chr_c, _ = pd.factorize(results["chr"])
+    # site (matches the string "chr_coords" site of targets.py:640-667).
+    # Codes stay as helper columns so the summary stats run on ints (each
+    # string-column nunique/groupby re-factorizes ~600k arrow strings);
+    # null → -1 sentinel
+    chr_c = results["_chr"].to_numpy()
     coo_c, coo_u = pd.factorize(results["coords"])
-    # keep the factorized codes as helper columns so the summary stats run
-    # on ints (each string-column nunique/groupby re-factorizes ~600k arrow
-    # strings); null → -1 sentinel
-    results["_chr"] = chr_c
     results["_coo"] = coo_c
     results["_lt"], _ = pd.factorize(results["locus_tag"])
     has_t = results["target"].notna().to_numpy()
