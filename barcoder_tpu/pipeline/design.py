@@ -310,8 +310,9 @@ def run_design(
     candidates = find_candidate_guides(genome, barcode_length, pam, opts.pam_direction)
     if log:
         log.info(f"Found {len(candidates):,} potential guides in the genome")
-    # name = sequence, like create_sgRNA_fasta (design_guides.py:53-56)
-    library = BarcodeLibrary.from_list(candidates)
+    # name = sequence, like create_sgRNA_fasta (design_guides.py:53-56);
+    # candidates are already unique + normalized (find_candidate_guides)
+    library = BarcodeLibrary.from_unique_list(candidates)
     tr = run_targets(
         library, genome, pam, opts.mismatches,
         pam_direction=opts.pam_direction, backend=backend,

@@ -342,22 +342,41 @@ def run_targets(
     from ..utils.profiling import Phases
 
     phases = phases if phases is not None else Phases()
-    # unique sequences per length; names expand after annotation
-    names_per_seq: dict[str, list[str]] = {}
-    for name, seq in library.entries:
-        names_per_seq.setdefault(seq, []).append(name)
-    by_len: dict[int, list[str]] = {}
-    for seq in names_per_seq:
-        by_len.setdefault(len(seq), []).append(seq)
+    # unique sequences per length; names expand after annotation. Libraries
+    # built with BarcodeLibrary.from_unique_list skip the 573k-entry dict
+    # bookkeeping entirely (design workload).
+    if getattr(library, "identity_unique", False):
+        all_seqs = [s for _, s in library.entries]
+        names_per_seq = None
+        identity_names = unique_rows = True
+    else:
+        names_per_seq = {}
+        for name, seq in library.entries:
+            names_per_seq.setdefault(seq, []).append(name)
+        all_seqs = list(names_per_seq)
+        identity_names = all(
+            len(v) == 1 and v[0] == k for k, v in names_per_seq.items()
+        )
+        # duplicate (name, seq) library entries are the one way the row
+        # frame can carry duplicates (the name merge expands them);
+        # everywhere else rows are unique by construction (see postprocess
+        # docstring)
+        unique_rows = identity_names or all(
+            len(v) == len(set(v)) for v in names_per_seq.values()
+        )
+    seq_arr = np.array(all_seqs, dtype=object)
+    lens = np.fromiter(map(len, all_seqs), np.int64, len(all_seqs))
+    by_len = {int(L): np.nonzero(lens == L)[0] for L in np.unique(lens)}
 
     frames: list[pd.DataFrame] = []
-    # track hit spacers by index per length bucket — a string set over the
-    # row frame (unique + set.update) iterated 600k arrow values per call
-    seen_by_len: dict[int, np.ndarray] = {}
-    for L, seqs in sorted(by_len.items()):
+    # track hit spacers by global index — a string set over the row frame
+    # (unique + set.update) iterated 600k arrow values per call
+    seen_global = np.zeros(len(all_seqs), dtype=bool)
+    for L, idxs in sorted(by_len.items()):
+        seqs = seq_arr[idxs].tolist()
         q_f = spacer_matrix(seqs)
         q_r = revcomp_matrix(q_f)
-        seen = seen_by_len.setdefault(L, np.zeros(len(seqs), dtype=bool))
+        seen = np.zeros(len(seqs), dtype=bool)
         for contig in genome.contigs:
             if contig.length < L and not contig.circular:
                 continue
@@ -373,34 +392,19 @@ def run_targets(
             if len(frame):
                 seen[hits.spacer_idx] = True  # every hit emits >=1 row
                 frames.append(frame)
+        seen_global[idxs[seen]] = True
 
     # unmapped rows for spacers with no surviving hits, then expand per-name
-    # (reference gets one SAM stream per read name); plain-str set from the
-    # seen indices, keeping the library-order row emission
-    seqs_with_hits = {
-        seqs[i]
-        for L, seqs in by_len.items()
-        for i in np.nonzero(seen_by_len[L])[0]
-    }
+    # (reference gets one SAM stream per read name); library-order emission
     unmapped = [
-        {"spacer": seq, "len": len(seq)}
-        for seq in names_per_seq
-        if seq not in seqs_with_hits
+        {"spacer": all_seqs[i], "len": int(lens[i])}
+        for i in np.nonzero(~seen_global)[0]
     ]
     if unmapped:
         frames.append(pd.DataFrame(unmapped))
     columns = ROW_COLUMNS if insert_site else ROW_COLUMNS[:-2]
     body = (
         pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-    )
-    identity_names = all(
-        len(v) == 1 and v[0] == k for k, v in names_per_seq.items()
-    )
-    # duplicate (name, seq) library entries are the one way the row frame
-    # can carry duplicates (the name merge expands them); everywhere else
-    # rows are unique by construction (see postprocess docstring)
-    unique_rows = identity_names or all(
-        len(v) == len(set(v)) for v in names_per_seq.values()
     )
     if identity_names:
         # identity naming (the design workload names candidates by their

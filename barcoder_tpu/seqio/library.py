@@ -79,6 +79,16 @@ class BarcodeLibrary:
         return lib
 
     @classmethod
+    def from_unique_list(cls, barcodes: list[str]) -> "BarcodeLibrary":
+        """Identity-named library from ALREADY-UNIQUE, already-normalized
+        sequences (the design workload's candidate list). The flag lets
+        run_targets skip its per-entry name/dedup bookkeeping — ~1.5 s of
+        dict building at 573k candidates."""
+        lib = cls(entries=[(s, s) for s in barcodes])
+        lib.identity_unique = True
+        return lib
+
+    @classmethod
     def load(cls, path: str, column: str | None = None) -> "BarcodeLibrary":
         """Dispatch on extension like the reference reader
         (BarCodeLibrary.py:19-25); fastq inputs take the read sequences."""
