@@ -231,22 +231,44 @@ def apply_design_filters(
     if opts.full_overlap:
         len_before = len(targets)
         codes = targets["_spc"].to_numpy()
-        keep_codes = np.unique(
-            codes[(targets["overlap"] == barcode_length).to_numpy(bool)]
-        )
+        # float compare so NA overlaps (non-targeting rows) read as
+        # no-match like the reference's numpy NaN semantics, instead of
+        # raising on the nullable boolean mask
+        ovl = targets["overlap"].to_numpy(dtype="float64", na_value=np.nan)
+        keep_codes = np.unique(codes[ovl == barcode_length])
         targets = targets[np.isin(codes, keep_codes)]
         info(f"Removed {len_before - len(targets):,} partial-overlap guides")
 
+    def lt_sorted(t):
+        """(t sorted like sort_values(["locus_tag", "offset"]), per-row
+        lexicographic locus codes, null code): one factorization serves the
+        sort and the group boundaries — pandas groupby materialized ~4200
+        sub-frames per pass (measured ~1.5 s at design scale); null
+        locus_tag sorts last (na_position) and is flagged for the
+        groupby-dropna semantics."""
+        lt_codes, lt_uniq = pd.factorize(t["locus_tag"], sort=True)
+        null_code = len(lt_uniq)
+        lt_adj = np.where(lt_codes < 0, null_code, lt_codes).astype(np.int64)
+        off = t["offset"].to_numpy(dtype="float64", na_value=np.nan)
+        order = np.lexsort((off, lt_adj))
+        return t.iloc[order], lt_adj[order], null_code
+
     if opts.tile_size and opts.tile_size > 0:
-        targets = targets.sort_values(["locus_tag", "offset"])
+        targets, lt_adj, null_code = lt_sorted(targets)
+        spc = targets["_spc"].to_numpy()
+        off_all = targets["offset"].to_numpy(dtype="float64", na_value=np.nan)
+        ovl_all = targets["overlap"].to_numpy(dtype="float64", na_value=np.nan)
+        starts = np.nonzero(np.r_[True, lt_adj[1:] != lt_adj[:-1]])[0] if len(lt_adj) else np.zeros(0, np.int64)
+        ends = np.r_[starts[1:], len(lt_adj)] if len(starts) else starts
         selected_codes = set()
-        # greedy per-gene tiling (design_guides.py:231-280); the scan runs
-        # on plain numpy arrays — groupby+iterrows measured ~4.5 s at 125k
-        # rows (design scale)
-        for _, group in targets.groupby("locus_tag"):
-            offsets = group["offset"].to_numpy()
-            sp_arr = group["_spc"].to_numpy()
-            overlaps = group["overlap"].to_numpy()
+        # greedy per-gene tiling (design_guides.py:231-280) over numpy
+        # slices of the sorted arrays
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            if lt_adj[a] == null_code:
+                continue  # groupby("locus_tag") drops the null group
+            offsets = off_all[a:b]
+            sp_arr = spc[a:b]
+            overlaps = ovl_all[a:b]
             if opts.full_overlap:
                 full = np.nonzero(overlaps == barcode_length)[0]
                 last_offset = offsets[full[0]] if len(full) else None
@@ -260,21 +282,28 @@ def apply_design_filters(
                         selected_codes.add(sp)
                         last_offset = off
         targets = targets[
-            np.isin(targets["_spc"].to_numpy(), np.fromiter(selected_codes, np.int64, len(selected_codes)))
+            np.isin(spc, np.fromiter(selected_codes, np.int64, len(selected_codes)))
         ]
 
     if opts.keep_top and opts.keep_top > 0:
         len_before = len(targets)
         if opts.full_overlap:
-            targets = targets[targets["overlap"] >= barcode_length]
-        targets = targets.sort_values(["locus_tag", "offset"])
+            targets = targets[
+                targets["overlap"].to_numpy(dtype="float64", na_value=np.nan)
+                >= barcode_length
+            ]
+        targets, lt_adj, null_code = lt_sorted(targets)
         if len(targets):
-            # ≡ groupby.apply(nsmallest(keep_top, "offset")): already sorted
-            # by (locus_tag, offset), so head(N) per group IS the N smallest
-            # offsets with the same positional tie-breaking
-            top_targets = targets.groupby("locus_tag").head(opts.keep_top)
-            top_codes = top_targets["_spc"].unique()
-            targets = targets[np.isin(targets["_spc"].to_numpy(), top_codes)]
+            # ≡ groupby("locus_tag").head(keep_top): already sorted by
+            # (locus_tag, offset), so within-group rank < N IS the N
+            # smallest offsets with the same positional tie-breaking
+            starts = np.nonzero(np.r_[True, lt_adj[1:] != lt_adj[:-1]])[0]
+            counts = np.diff(np.r_[starts, len(lt_adj)])
+            rank = np.arange(len(lt_adj)) - np.repeat(starts, counts)
+            spc = targets["_spc"].to_numpy()
+            head_mask = (rank < opts.keep_top) & (lt_adj != null_code)
+            top_codes = np.unique(spc[head_mask])
+            targets = targets[np.isin(spc, top_codes)]
         info(f"Removed {len_before - len(targets):,} beyond-top-{opts.keep_top} guides")
 
     targets = targets.drop(

@@ -90,6 +90,40 @@ class TestEnumeration:
         assert found_any
 
 
+class TestFullOverlapWithNonTargeting:
+    def test_na_overlap_rows_do_not_crash(self):
+        # full_overlap + keep_top + tiling on a table that still carries
+        # non-targeting rows (NA overlap/offset/locus_tag): the nullable
+        # boolean masks used to raise "boolean value of NA is ambiguous";
+        # the reference's numpy NaN comparisons read as False
+        import pandas as pd
+
+        rows = []
+        for i in range(30):
+            rows.append(dict(
+                spacer=f"ACGT{i:016d}"[:20], locus_tag="TST_0001",
+                gene="g", chr="C0", pam="AGG", mismatches=0,
+                target="A" * 20, tar_start=100 + i, tar_end=120 + i,
+                offset=i, overlap=20 if i % 2 else 15,
+                sp_dir="F", tar_dir="F", note="1 site, 1 gene",
+            ))
+        rows.append(dict(
+            spacer="T" * 20, locus_tag=None, gene=None, chr=None, pam=None,
+            mismatches=0, target=None, tar_start=None, tar_end=None,
+            offset=None, overlap=None, sp_dir=None, tar_dir=None,
+            note="non-targeting",
+        ))
+        df = pd.DataFrame(rows).convert_dtypes(dtype_backend="pyarrow")
+        opts = DesignOptions(
+            mismatches=0, omit_offtargets=False, omit_intergenic=False,
+            full_overlap=True, keep_top=3, tile_size=5,
+        ).resolve(20)
+        out = apply_design_filters(df, 20, opts)
+        assert len(out) > 0
+        assert (out["overlap"] == 20).all()  # partial-overlap guides gone
+        assert "T" * 20 not in set(out["spacer"])
+
+
 class TestDesignEndToEnd:
     @pytest.fixture(scope="class")
     def design_result(self):
