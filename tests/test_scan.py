@@ -178,3 +178,22 @@ class TestJaxOracleAgreement:
         a = hits_tuples(oracle_scan([g], contig, 0))
         b = hits_tuples(jax_scan([g], contig, 0, chunk=1024))
         assert a == b
+
+
+def test_long_pam_falls_back_to_jax():
+    # PAM longer than the traced spec's MAX_PAM slots routes pallas_scan to
+    # the XLA path; results must still match the oracle
+    rng = np.random.default_rng(61)
+    rec = make_record(n=2000, topology="circular", seed=61)
+    g = random_seq(20, rng)
+    pam = "NGGNGGNGGNGGN"  # 13 nt > ops.pallas_scan.MAX_PAM (12)
+    plant_guide(rec, g, 600, pam="AGGTGGCGGAGGA")
+    contig = contig_from_record(rec)
+    from barcoder_tpu.ops.pallas_scan import MAX_PAM, pallas_scan
+
+    assert len(pam) > MAX_PAM
+    a = oracle_scan([g], contig, 1, pam=pam)
+    b = pallas_scan([g], contig, 1, pam=pam, P=512, interpret=True)
+    at = set(zip(a.spacer_idx.tolist(), a.pos.tolist(), a.strand.tolist(), a.mismatches.tolist()))
+    bt = set(zip(b.spacer_idx.tolist(), b.pos.tolist(), b.strand.tolist(), b.mismatches.tolist()))
+    assert at == bt and len(at) >= 1
