@@ -282,7 +282,13 @@ class Genome:
 
         Computed on the unfolded [0, len + min(len, OVERHANG)) axis like the
         reference's dict keys, then folded. Genome-level and input-invariant,
-        so cached (postprocess calls it per run; ~1 s at E. coli scale)."""
+        so cached (postprocess calls it per run; ~1 s at E. coli scale).
+
+        The cache assumes a Genome is IMMUTABLE after construction — the
+        invariant the whole package relies on (the device scan caches key
+        on contig content for the same reason). Mutating `contigs` /
+        `locus_entries` in place after the first call returns stale stats;
+        build a new Genome instead."""
         cached = getattr(self, "_ambiguity_cache", None)
         if cached is not None:
             return cached

@@ -33,7 +33,7 @@ CPU core.
 from __future__ import annotations
 
 import functools
-import zlib
+import hashlib
 from collections import OrderedDict
 
 import numpy as np
@@ -655,6 +655,14 @@ def extract_hits_for_pairs(
 MAX_PAM = 12  # pattern slots in the traced PAM spec (reference PAMs are 2-4 nt)
 
 
+def _content_digest(arr: np.ndarray) -> bytes:
+    """Collision-safe content key for the device caches: blake2b-128 of the
+    raw buffer (~1 GB/s — noise next to the h2d ship it guards). adler32
+    was rejected: a 32-bit checksum colliding across two genomes with the
+    same contig id/length would silently serve a stale site table."""
+    return hashlib.blake2b(arr.tobytes(), digest_size=16).digest()
+
+
 class _DeviceScanCache(OrderedDict):
     """Tiny LRU of device-resident scan arrays keyed by contig identity +
     content checksum. Re-scanning the same genome (the design pipeline
@@ -1159,7 +1167,7 @@ class _ScanJob:
         cache_key = (
             contig.id, contig.length, bool(contig.circular),
             len(scan_padded), halo_len,
-            zlib.adler32(scan_padded.tobytes()),
+            _content_digest(scan_padded),
         )
         cached = _SCAN_DEV_CACHE.get(cache_key)
         if cached is not None:
@@ -1787,7 +1795,14 @@ def pallas_scan_contigs(
 
     site_mode: "auto" switches a PAM scan to the site-compacted matrix
     engine (_SiteScanJob) for design-scale libraries
-    (S_pad >= _SITE_MODE_MIN_SPACERS); "always"/"never" override (tests)."""
+    (S_pad >= _SITE_MODE_MIN_SPACERS); "always"/"never" override (tests).
+
+    Note: under "auto", repeat scans of the same (genome, pam, L) key are
+    promoted to site mode from the SECOND occurrence in a process
+    (_SITE_SEEN) — results are identical either way, but perf/compile
+    behavior of otherwise-identical calls is intentionally order-dependent
+    (steady-state serving of many libraries against one genome). Benchmarks
+    that need a fixed engine must pass site_mode="always"/"never"."""
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     if S == 0:
@@ -1813,7 +1828,7 @@ def pallas_scan_contigs(
         if bool(pam) and site_mode != "never":
             site_key = (
                 c.id, c.length, bool(c.circular), L, pam, pam_direction, P,
-                zlib.adler32(np.ascontiguousarray(c.codes).tobytes()),
+                _content_digest(np.ascontiguousarray(c.codes)),
             )
             site_tab = _SITE_DEV_CACHE.get(site_key)
         # a cached site table makes site mode the fastest engine at ANY

@@ -167,7 +167,8 @@ def apply_design_filters(
     # regex work runs once per UNIQUE note and maps back through codes —
     # str.extract over ~600k arrow rows measured ~1 s per call at design
     # scale, ×4 calls
-    if "note" in targets.columns:
+    has_note = "note" in targets.columns
+    if has_note:
         note_codes, note_uniq = pd.factorize(targets["note"])
         targets["_nc"] = note_codes
         uniq_s = pd.Series(note_uniq, dtype="object")
@@ -195,6 +196,11 @@ def apply_design_filters(
         targets = targets.loc[targets["sp_dir"] != targets["tar_dir"]]
 
     if opts.omit_offtargets:
+        if not has_note:
+            raise ValueError(
+                "omit_offtargets requires a 'note' column (site/gene counts) "
+                "on the targets frame; run the targets stage with notes enabled"
+            )
         len_before = len(targets)
         targets.loc[:, "sites"] = note_field(r"(\d+) site")
         targets = targets[targets["sites"] == 1]
@@ -206,14 +212,14 @@ def apply_design_filters(
         info(f"Removed {len_before - len(targets):,} mismatched guides")
 
     if opts.omit_ambiguous:
-        if "note" in targets.columns:
-            targets["sites"] = note_field(r"(\d+) site", fill=0)
-            targets["genes"] = note_field(r"(\d+) gene", fill=0)
-            targets["intergenic"] = note_field(r"(\d+) intergenic", fill=0)
-        else:
-            targets["sites"] = 0
-            targets["genes"] = 0
-            targets["intergenic"] = 0
+        if not has_note:
+            raise ValueError(
+                "omit_ambiguous requires a 'note' column (site/gene counts) "
+                "on the targets frame; run the targets stage with notes enabled"
+            )
+        targets["sites"] = note_field(r"(\d+) site", fill=0)
+        targets["genes"] = note_field(r"(\d+) gene", fill=0)
+        targets["intergenic"] = note_field(r"(\d+) intergenic", fill=0)
         len_before = len(targets)
         targets = targets[
             (targets["sites"] == 1) & (targets["genes"] == 1) & (targets["intergenic"] == 0)
@@ -221,6 +227,11 @@ def apply_design_filters(
         info(f"Removed {len_before - len(targets):,} ambiguous guides")
 
     if opts.omit_intergenic:
+        if not has_note:
+            raise ValueError(
+                "omit_intergenic requires a 'note' column (site/gene counts) "
+                "on the targets frame; run the targets stage with notes enabled"
+            )
         len_before = len(targets)
         has_inter = uniq_s.str.contains("intergenic").fillna(False).to_numpy(bool)
         codes_now = targets["_nc"].to_numpy()

@@ -906,6 +906,15 @@ def run_count(
     use_vector = engine in ("vector", "device", "sharded") or (
         engine == "auto" and bc_len <= 32
     )
+    if checkpoint_path and not use_vector:
+        # checkpointing is wired into the array engines only; say so loudly
+        # instead of silently recomputing from scratch on a crash
+        if log:
+            log.warn(
+                "--checkpoint is not supported on the per-read reference "
+                "engine (barcodes > 32 nt); counting will restart from "
+                "scratch if interrupted"
+            )
     doc: Counter = Counter()
     undoc: Counter = Counter()
     total_reads = 0

@@ -123,6 +123,30 @@ class TestFullOverlapWithNonTargeting:
         assert (out["overlap"] == 20).all()  # partial-overlap guides gone
         assert "T" * 20 not in set(out["spacer"])
 
+    def test_noteless_frame_raises_clear_error(self):
+        # a targets frame without `note` used to hit a NameError deep in
+        # note_field; the note-dependent filters must fail loudly instead
+        import pandas as pd
+
+        df = pd.DataFrame([dict(
+            spacer="A" * 20, locus_tag="TST_0001", gene="g", chr="C0",
+            pam="AGG", mismatches=0, target="A" * 20, tar_start=100,
+            tar_end=120, offset=0, overlap=20, sp_dir="F", tar_dir="F",
+        )])
+        for kw in ("omit_offtargets", "omit_ambiguous"):
+            opts = DesignOptions(
+                mismatches=0, omit_intergenic=False, keep_top=0, **{kw: True}
+            )
+            with pytest.raises(ValueError, match="note"):
+                apply_design_filters(df.copy(), 20, opts)
+        opts = DesignOptions(mismatches=0, omit_intergenic=True, keep_top=0)
+        with pytest.raises(ValueError, match="note"):
+            apply_design_filters(df.copy(), 20, opts)
+        # without note-dependent filters the frame passes through fine
+        opts = DesignOptions(mismatches=0, omit_intergenic=False, keep_top=0)
+        out = apply_design_filters(df.copy(), 20, opts)
+        assert len(out) == 1
+
 
 class TestDesignEndToEnd:
     @pytest.fixture(scope="class")

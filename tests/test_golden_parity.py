@@ -18,14 +18,17 @@ GOLD = "/root/reference/Example_Libraries/CN-32-zmo.tsv"
 DNA = "/root/reference/GCA_003054575.1/CP023716.dna"
 
 
+PLASMIDS = ["CP023716.1", "CP023717.1", "CP023718.1", "CP023719.1"]
+
+
 @pytest.fixture(scope="module")
 def golden_result():
     gold = pd.read_csv(GOLD, sep="\t")
-    g = gold[gold.chr == "CP023716.1"].copy()
-    g["chr"] = "CP023716"
-    genome = Genome.from_snapgene(DNA)
-    # restrict the library to spacers golden maps to this contig (plus a few
-    # non-targeting ones to exercise the unmapped path)
+    g = gold[gold.chr.isin(PLASMIDS)].copy()
+    g["chr"] = g["chr"].str.replace(r"\.1$", "", regex=True)
+    genome = Genome.from_snapgene("/root/reference/GCA_003054575.1")
+    # restrict the library to spacers golden maps to these contigs (plus a
+    # few non-targeting ones to exercise the unmapped path)
     spacers = sorted(set(g.spacer)) + sorted(set(gold.spacer))[:20]
     lib = BarcodeLibrary.from_list(sorted(set(spacers)))
     res = run_targets(lib, genome, "NGNC", 0, backend="jax")
@@ -38,7 +41,7 @@ def test_all_golden_sites_reproduced(golden_result):
     g = g[g.spacer.isin(lib_spacers)]
     assert len(g) >= 100
     ours = res.table[res.table.chr.notna()].copy()
-    key = ["spacer", "tar_start", "tar_end", "sp_dir", "pam", "target"]
+    key = ["spacer", "chr", "tar_start", "tar_end", "sp_dir", "pam", "target"]
     gk = set(map(tuple, g[key].itertuples(index=False)))
     ok = set(
         map(
@@ -52,11 +55,37 @@ def test_all_golden_sites_reproduced(golden_result):
     assert not missing, f"{len(missing)} golden sites missing, e.g. {list(missing)[:3]}"
 
 
+# The ONLY annotation diffs allowed vs CN-32-zmo.tsv, pinned exactly
+# (BASELINE.md "4/750 sites"): SnapGene-XML vs .gb feature-boundary
+# differences in the data source, verified by hand. Keyed by
+# (spacer, chr, tar_start, sp_dir). A 5th differing site — or one of these
+# four diverging in a NEW way — must fail.
+KNOWN_ANNOTATION_DIFFS = {
+    ("ACAGCTATCTCACGAATTTTTAACGACGATTT", "CP023718", 36444, "F"): (
+        {("ZMO1_ZMOp36x053", 5, 32, "F")},
+        {(None, None, None, None)},
+    ),
+    ("ATCTGACGGACGCGGAGTGGAAGATAATAGAG", "CP023716", 18346, "R"): (
+        {("ZMO1_ZMOp32x017", 10, 32, "R")},
+        {("ZMO1_ZMOp32x017", 10, 32, "R"), ("ZMO1_ZMOp32x019", 34, 32, "F")},
+    ),
+    ("GTCTTCTTCCAAGCGAACGAGGCCGCTGCGCA", "CP023716", 18313, "R"): (
+        {("ZMO1_ZMOp32x017", 43, 32, "R")},
+        {("ZMO1_ZMOp32x017", 43, 32, "R"), ("ZMO1_ZMOp32x019", 1, 32, "F")},
+    ),
+    ("TGGAAGAAGACCCTCTATTATCTTCCACTCCG", "CP023716", 18334, "F"): (
+        {("ZMO1_ZMOp32x019", 22, 32, "F")},
+        {("ZMO1_ZMOp32x017", 22, 32, "R"), ("ZMO1_ZMOp32x019", 22, 32, "F")},
+    ),
+}
+
+
 def test_annotation_parity(golden_result):
     """Per-site annotation sets (locus_tag, offset, overlap, tar_dir) must
-    match golden, compared set-wise per site (multi-gene sites produce one
-    row per gene in both outputs). A small fraction of sites may differ —
-    SnapGene XML vs .gb feature boundaries in the data source."""
+    match golden EXACTLY, compared set-wise per site (multi-gene sites
+    produce one row per gene in both outputs) — except the four pinned
+    data-source diffs in KNOWN_ANNOTATION_DIFFS, which must differ in
+    exactly the recorded way."""
     g, res = golden_result
     ours = res.table[res.table.chr.notna()].dropna(subset=["tar_start"]).astype(
         {"tar_start": int, "tar_end": int}
@@ -65,7 +94,7 @@ def test_annotation_parity(golden_result):
     def ann_sets(df):
         out = {}
         for _, r in df.iterrows():
-            k = (r.spacer, int(r.tar_start), r.sp_dir)
+            k = (r.spacer, r.chr, int(r.tar_start), r.sp_dir)
             out.setdefault(k, set()).add(
                 (
                     r.locus_tag if pd.notna(r.locus_tag) else None,
@@ -80,8 +109,21 @@ def test_annotation_parity(golden_result):
     oa = ann_sets(ours[ours.spacer.isin(set(g.spacer))])
     common = set(ga) & set(oa)
     assert len(common) >= 100
-    diff = [k for k in common if ga[k] != oa[k]]
-    assert len(diff) / len(common) < 0.05, f"{len(diff)}/{len(common)} sites differ"
+    unexpected = []
+    for k in sorted(common):
+        if ga[k] == oa[k]:
+            continue
+        allowed = KNOWN_ANNOTATION_DIFFS.get(k)
+        if allowed is None or allowed != (ga[k], oa[k]):
+            unexpected.append((k, ga[k], oa[k]))
+    assert not unexpected, (
+        f"{len(unexpected)} UNPINNED annotation diffs: {unexpected[:3]}"
+    )
+    # the pinned diffs on the contigs under test must still BE diffs —
+    # if one disappears, the allowlist is stale and should shrink
+    covered = {k for k in KNOWN_ANNOTATION_DIFFS if k in common}
+    for k in covered:
+        assert ga[k] != oa[k], f"pinned diff {k} no longer differs — update allowlist"
 
 
 def test_design_enumeration_covers_golden_library():
