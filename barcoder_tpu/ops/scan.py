@@ -22,7 +22,7 @@ import jax
 from ..core.genome import Contig, Genome
 from .types import Hits
 
-Backend = Literal["auto", "pallas", "jax", "oracle"]
+Backend = Literal["auto", "pallas", "pallas-interpret", "jax", "oracle"]
 
 
 def _tpu_available() -> bool:
@@ -54,10 +54,13 @@ def scan_contig(
         from .oracle import oracle_scan
 
         return oracle_scan(spacers, contig, max_mismatches, pam, pam_direction)
-    if b == "pallas":
+    if b in ("pallas", "pallas-interpret"):
         from .pallas_scan import pallas_scan
 
-        return pallas_scan(spacers, contig, max_mismatches, pam, pam_direction)
+        return pallas_scan(
+            spacers, contig, max_mismatches, pam, pam_direction,
+            interpret=(b == "pallas-interpret"),
+        )
     if b == "jax":
         from .ref_scan import jax_scan
 
@@ -77,11 +80,13 @@ def scan_genome(
 
     On the pallas backend all contigs share one spacer prep and their
     phase-1 dispatches pipeline (multi-replicon genomes cost one pass)."""
-    if resolve_backend(backend) == "pallas":
+    b = resolve_backend(backend)
+    if b in ("pallas", "pallas-interpret"):
         from .pallas_scan import pallas_scan_contigs
 
         return pallas_scan_contigs(
-            spacers, genome.contigs, max_mismatches, pam, pam_direction
+            spacers, genome.contigs, max_mismatches, pam, pam_direction,
+            interpret=(b == "pallas-interpret"),
         )
     return {
         c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
