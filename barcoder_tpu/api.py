@@ -26,7 +26,7 @@ import re
 import numpy as np
 import pandas as pd
 
-from .core.encode import revcomp
+from .core.encode import COMP_ASCII, encode, revcomp
 from .core.genome import Genome
 from .ops.scan import scan_contig
 from .ops.types import STRAND_R
@@ -37,32 +37,68 @@ __all__ = ["Genome", "BarcodeLibrary", "GuideFinder", "PAMFinder", "ScanRunner",
 
 
 class GuideFinder:
-    """Find guide sequences adjacent to PAM matches
-    (reference: PAMProcessor.py:27-57)."""
+    """Find guide sequences adjacent to PAM matches (behavioral spec:
+    PAMProcessor.py:27-57 — same outputs, vectorized match search).
+
+    Output semantics match the reference's regex enumeration exactly,
+    including its quirks: matches are NON-overlapping left-to-right
+    (``re.finditer`` resumes at match end, so "GGG" yields one "GG" match,
+    not two) and guides at a strand edge come back truncated (possibly
+    empty). ``pipeline.design.find_candidate_guides`` is the engine-grade
+    enumerator without these quirks; this class is the API-parity surface."""
 
     def __init__(self, genome: Genome, pam: str, direction: str, length: int):
         self.genome = genome
-        self.pam = pam.replace("N", "[ATCG]")
+        self.pam = pam.replace("N", "[ATCG]")  # regex form, kept for parity
+        self._pam_raw = pam
         self.direction = direction
         self.length = length
+        if direction not in ("upstream", "downstream"):
+            raise ValueError("Direction must be 'upstream' or 'downstream'")
+
+    def _match_starts(self, seq: str) -> np.ndarray:
+        """Start positions of non-overlapping PAM matches, left to right.
+
+        Computed as a vectorized per-position character-class AND over the
+        code array, then a greedy sparse pass for finditer's non-overlap
+        rule (iterates matches, ~n/4^|pam| of positions, not positions)."""
+        pam = self._pam_raw
+        plen = len(pam)
+        if plen == 0 or len(seq) < plen or set(pam) - set("ACGTN"):
+            # empty/non-IUPAC patterns: defer to the regex engine
+            return np.array([m.start() for m in re.finditer(self.pam, seq)], np.int64)
+        codes = encode(seq)
+        n_pos = len(codes) - plen + 1
+        m = np.ones(n_pos, dtype=bool)
+        for j, ch in enumerate(pam):
+            cj = codes[j : j + n_pos]
+            # genomic N matches nothing, as in the reference's [ATCG]
+            m &= (cj < 4) if ch == "N" else (cj == int(encode(ch)[0]))
+        cand = np.nonzero(m)[0]
+        if plen == 1 or not len(cand):
+            return cand
+        keep = []
+        last_end = -1
+        for p in cand:
+            if p >= last_end:
+                keep.append(p)
+                last_end = p + plen
+        return np.asarray(keep, dtype=np.int64)
 
     def find_guides_from_pam(self) -> list[str]:
-        """Regex-driven enumeration, faithful to the reference: for each
-        strand string, guides upstream of PAM matches (direction
-        'downstream' → the guide precedes the PAM)."""
+        """Guides adjacent to every PAM site on both strand strings of every
+        contig ('downstream' → the guide precedes the PAM)."""
+        plen = len(self._pam_raw)
         guides: list[str] = []
-        pat = re.compile(self.pam)
         for contig in self.genome.contigs:
             for seq in (contig.seq, revcomp(contig.seq)):
-                for match in pat.finditer(seq):
-                    start, end = match.start(), match.end()
-                    if self.direction == "downstream":
-                        g = seq[max(0, start - self.length) : start]
-                    elif self.direction == "upstream":
-                        g = seq[end : min(end + self.length, len(seq))]
-                    else:
-                        raise ValueError("Direction must be 'upstream' or 'downstream'")
-                    guides.append(g)
+                starts = self._match_starts(seq)
+                if self.direction == "downstream":
+                    guides.extend(seq[max(0, s - self.length) : s] for s in starts)
+                else:
+                    guides.extend(
+                        seq[s + plen : s + plen + self.length] for s in starts
+                    )
         return guides
 
 
@@ -200,9 +236,15 @@ class ScanRunner(Logger):
     def join_features(self, align_df: pd.DataFrame) -> pd.DataFrame:
         """Interval join of alignments × features (PyRanges .join
         equivalent): one output row per overlapping pair, feature columns
-        suffixed _b like PyRanges does."""
+        suffixed _b like PyRanges does.
+
+        Fully vectorized: candidate pairs come from a searchsorted window
+        over start-sorted features, expanded with repeat/cumsum indexing,
+        then overlap-filtered — one frame build per chromosome, no per-row
+        Python (the per-pair ``iloc``/``to_dict`` loop this replaces
+        measured ~1k rows/s)."""
         feats = self.feature_frame()
-        out = []
+        out_frames = []
         for chrom, adf in align_df[align_df.Mapped].groupby("Chromosome"):
             fdf = feats[feats.Chromosome == chrom].reset_index(drop=True)
             if not len(fdf):
@@ -215,30 +257,44 @@ class ScanRunner(Logger):
             a = adf.Start.to_numpy()
             b = adf.End.to_numpy()
             lo = np.searchsorted(s_sorted, a - max_len)
-            hi = np.searchsorted(s_sorted, b)
-            for row_i, (l, h) in enumerate(zip(lo, hi)):
-                for k in range(l, h):
-                    fi = order[k]
-                    if starts[fi] < b[row_i] and ends[fi] > a[row_i]:
-                        rec = adf.iloc[row_i].to_dict()
-                        frow = fdf.iloc[fi]
-                        rec.update(
-                            {
-                                "Start_b": int(frow.Start),
-                                "End_b": int(frow.End),
-                                "Strand_b": frow.Strand,
-                                "Locus_Tag": frow.Locus_Tag,
-                                "Gene": frow.Gene,
-                                "Type": frow.Type,
-                            }
-                        )
-                        out.append(rec)
-        return pd.DataFrame(out)
+            hi = np.maximum(np.searchsorted(s_sorted, b), lo)
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if not total:
+                continue
+            # flatten all [lo_i, hi_i) ranges: pair p -> (align row, slot)
+            rep = np.repeat(np.arange(len(adf)), cnt)
+            offsets = np.cumsum(cnt) - cnt
+            slot = np.arange(total) - np.repeat(offsets, cnt) + np.repeat(lo, cnt)
+            fi = order[slot]
+            keep = (starts[fi] < b[rep]) & (ends[fi] > a[rep])
+            rep, fi = rep[keep], fi[keep]
+            joined = adf.iloc[rep].reset_index(drop=True)
+            joined["Start_b"] = starts[fi]
+            joined["End_b"] = ends[fi]
+            joined["Strand_b"] = fdf.Strand.to_numpy()[fi]
+            joined["Locus_Tag"] = fdf.Locus_Tag.to_numpy()[fi]
+            joined["Gene"] = fdf.Gene.to_numpy()[fi]
+            joined["Type"] = fdf.Type.to_numpy()[fi]
+            out_frames.append(joined)
+        if not out_frames:
+            return pd.DataFrame()
+        return pd.concat(out_frames, ignore_index=True)
 
 
 class CRISPRiLibrary:
-    """Guide-library filters over the joined frame
-    (reference: CRISPRiLibrary.py:4-120)."""
+    """Guide-library filters over the joined frame (behavioral spec:
+    CRISPRiLibrary.py:4-120 — same frames out, column-vectorized).
+
+    Exposed frames, in dependency order:
+      source_unique_targets — chromosome-level ('source' rows) targets,
+          PAM-targeting, first row per barcode;
+      mapped_targets — feature rows with strand-aware Offset from feature
+          start and clamped Overlap;
+      unique_targets — mapped rows whose barcode is chromosome-unique,
+          position-sorted;
+      unambiguous_targets — first feature row per barcode of those (drops
+          overlapping-gene multi-rows)."""
 
     def __init__(self, targets_df: pd.DataFrame, pam_finder: PAMFinder):
         self.targets_df = targets_df.copy()
@@ -250,59 +306,73 @@ class CRISPRiLibrary:
         self.unambiguous_targets = self._get_unambiguous_targets()
 
     def _annotate_targets(self):
-        self.targets_df["PAM"] = self.targets_df.apply(
-            lambda row: self.pam_finder.get_pam_seq(row), axis=1
-        )
-        self.targets_df["Targeting"] = self.targets_df["PAM"].apply(
-            lambda x: self.pam_finder.pam_matches(x)
-        )
+        """PAM + Targeting columns: windows gathered per chromosome as one
+        (rows, pam_len) byte matrix (revcomp'd in bulk on the minus strand),
+        matched once per UNIQUE window string instead of once per row."""
+        df = self.targets_df
+        plen = self.pam_finder.pam_length
+        pams = np.full(len(df), "", dtype=object)
+        for chrom, idx in {} if plen == 0 else df.groupby("Chromosome").indices.items():
+            contig = self.pam_finder._by_id[chrom]
+            seqb = np.frombuffer(contig.seq.encode("ascii"), np.uint8)
+            n = len(seqb)
+            start = df["Start"].to_numpy()[idx].astype(np.int64)
+            end = df["End"].to_numpy()[idx].astype(np.int64)
+            plus = np.isin(df["Strand"].astype(str).to_numpy()[idx], ["+", "1", "+1"])
+            lo = np.where(plus, end, np.maximum(start - plen, 0))
+            hi = np.where(plus, np.minimum(end + plen, n), start)
+            cols = lo[:, None] + np.arange(plen)[None, :]
+            valid = cols < hi[:, None]
+            chars = seqb[np.clip(cols, 0, n - 1)]
+            chars[~valid] = 0
+            # minus strand reads revcomp'd: complement bytes, reverse columns
+            minus = ~plus
+            chars[minus] = COMP_ASCII[chars[minus]][:, ::-1]
+            full = valid.all(axis=1)
+            strs = np.ascontiguousarray(chars).view(f"S{plen}").ravel().astype(str)
+            pams[idx[full]] = strs[full]
+            for k in np.nonzero(~full)[0]:  # truncated boundary windows, rare
+                row_bytes = chars[k][chars[k] != 0]
+                pams[idx[k]] = row_bytes.tobytes().decode("ascii")
+        df["PAM"] = pams
+        # regex once per unique window (windows have tiny cardinality)
+        codes, uniq = pd.factorize(df["PAM"])
+        pat = re.compile(self.pam_finder.pam)
+        uniq_match = np.array([bool(pat.search(u)) for u in uniq], dtype=bool)
+        df["Targeting"] = uniq_match[codes]
 
     def _get_source_unique_targets(self):
-        """Targets unique at the chromosome level (CRISPRiLibrary.py:23-45)."""
-        return (
-            self.targets_df[
-                (self.targets_df["Type"] == "source")
-                & (self.targets_df["Targeting"] == True)  # noqa: E712
-                & (self.targets_df["Mapped"] == True)  # noqa: E712
-            ]
-            .loc[lambda df: ~df.duplicated(subset=["Barcode"])]
-            .reset_index(drop=True)
-        )
+        df = self.targets_df
+        sel = (df["Type"] == "source") & df["Targeting"] & df["Mapped"]
+        src = df[sel]
+        return src[~src.duplicated(subset=["Barcode"])].reset_index(drop=True)
 
     def _get_mapped_targets(self):
-        """Feature-mapped targets with Offset/Overlap
-        (CRISPRiLibrary.py:47-83)."""
-        return (
-            self.targets_df[
-                (self.targets_df["Type"] != "source")
-                & (self.targets_df["Targeting"] == True)  # noqa: E712
-                & (self.targets_df["Mapped"] == True)  # noqa: E712
-            ]
-            .assign(
-                Offset=lambda df: df.apply(
-                    lambda row: {
-                        "+": row.Start - row.Start_b,
-                        "-": row.End_b - row.End,
-                    }.get(row.Strand_b, None),
-                    axis=1,
-                ),
-                Overlap=lambda df: df.apply(
-                    lambda row: max(min(row.End, row.End_b) - max(row.Start, row.Start_b), 0),
-                    axis=1,
-                ),
-            )
-            .reset_index(drop=True)
-        )
+        df = self.targets_df
+        sel = (df["Type"] != "source") & df["Targeting"] & df["Mapped"]
+        mapped = df[sel].reset_index(drop=True)
+        start = mapped["Start"].to_numpy(dtype=np.int64, copy=True)
+        end = mapped["End"].to_numpy(dtype=np.int64)
+        start_b = mapped["Start_b"].to_numpy(dtype=np.int64)
+        end_b = mapped["End_b"].to_numpy(dtype=np.int64)
+        strand_b = mapped["Strand_b"].astype(str).to_numpy()
+        off = np.where(strand_b == "+", start - start_b, end_b - end)
+        known = (strand_b == "+") | (strand_b == "-")
+        overlap = np.maximum(np.minimum(end, end_b) - np.maximum(start, start_b), 0)
+        if known.all():
+            mapped["Offset"] = off
+        else:  # unstranded features carry a null offset
+            mapped["Offset"] = pd.array(off, dtype="Int64")
+            mapped.loc[~known, "Offset"] = pd.NA
+        mapped["Overlap"] = overlap
+        return mapped
 
     def _get_unique_targets(self):
-        mapped = self._get_mapped_targets()
-        return (
-            mapped[mapped["Barcode"].isin(self.source_unique_targets.Barcode)]
-            .sort_values(["Chromosome", "Start", "End"])
-            .reset_index(drop=True)
-        )
+        mapped = self.mapped_targets
+        uniq = mapped[mapped["Barcode"].isin(self.source_unique_targets.Barcode)]
+        return uniq.sort_values(["Chromosome", "Start", "End"]).reset_index(drop=True)
 
     def _get_unambiguous_targets(self):
         return self.unique_targets[
-            ~self.unique_targets.duplicated(subset=["Barcode"]).reset_index(drop=True)
+            ~self.unique_targets.duplicated(subset=["Barcode"])
         ]

@@ -29,6 +29,37 @@ class TestGuideFinder:
         assert g in seq or g in revcomp(seq)
 
 
+class TestGuideFinderEquivalence:
+    def test_matches_regex_reference_semantics(self, genome):
+        """The vectorized match search must replicate re.finditer exactly:
+        non-overlapping left-to-right matches, truncated edge guides."""
+        import re
+
+        from barcoder_tpu.core.encode import revcomp
+
+        for pam, direction, length in [
+            ("GG", "downstream", 20),
+            ("NGG", "downstream", 12),
+            ("TTN", "upstream", 15),
+        ]:
+            gf = GuideFinder(genome, pam, direction, length)
+            got = gf.find_guides_from_pam()
+            pat = re.compile(pam.replace("N", "[ATCG]"))
+            want = []
+            for contig in genome.contigs:
+                for seq in (contig.seq, revcomp(contig.seq)):
+                    for m in pat.finditer(seq):
+                        if direction == "downstream":
+                            want.append(seq[max(0, m.start() - length) : m.start()])
+                        else:
+                            want.append(seq[m.end() : m.end() + length])
+            assert got == want, (pam, direction)
+
+    def test_bad_direction_raises(self, genome):
+        with pytest.raises(ValueError):
+            GuideFinder(genome, "GG", "sideways", 20)
+
+
 class TestScanRunner:
     def test_align_frame_schema(self, genome):
         rng = np.random.default_rng(51)
@@ -55,6 +86,40 @@ class TestScanRunner:
         assert len(src_rows) >= 1
 
 
+class TestJoinFeaturesEquivalence:
+    def test_matches_bruteforce_pairs(self, genome):
+        """Every (alignment, feature) overlap pair exactly once, with the
+        feature columns of that pair — checked against an O(n*m) join."""
+        rec = genome.contigs[0]
+        guides = [rec.seq[s : s + 20] for s in (0, 1495, 1600, 2200, 8980)]
+        with ScanRunner(genome) as runner:
+            adf = runner.align(guides, num_mismatches=0)
+            joined = runner.join_features(adf)
+            feats = runner.feature_frame()
+        want = set()
+        for _, ar in adf[adf.Mapped].iterrows():
+            for _, fr in feats[feats.Chromosome == ar.Chromosome].iterrows():
+                if fr.Start < ar.End and fr.End > ar.Start:
+                    want.add(
+                        (ar.Barcode, ar.Start, ar.Strand, fr.Start, fr.End, fr.Type)
+                    )
+        got = set(
+            map(
+                tuple,
+                joined[
+                    ["Barcode", "Start", "Strand", "Start_b", "End_b", "Type"]
+                ].itertuples(index=False),
+            )
+        )
+        assert got == want
+        assert len(joined) == sum(
+            1
+            for _, ar in adf[adf.Mapped].iterrows()
+            for _, fr in feats[feats.Chromosome == ar.Chromosome].iterrows()
+            if fr.Start < ar.End and fr.End > ar.Start
+        )
+
+
 class TestCRISPRiLibrary:
     def test_full_flow(self, genome):
         rec = genome.contigs[0]
@@ -72,3 +137,41 @@ class TestCRISPRiLibrary:
         assert row.Overlap == 20
         assert len(lib.unique_targets) >= 1
         assert len(lib.unambiguous_targets) >= 1
+
+    def test_pam_annotation_matches_rowwise_extraction(self, genome):
+        """The bulk PAM gather (incl. minus strand and truncated boundary
+        windows) must equal PAMFinder.get_pam_seq row by row."""
+        rec = genome.contigs[0]
+        from barcoder_tpu.core.encode import revcomp
+
+        n = rec.length
+        guides = [
+            rec.seq[100:120],
+            revcomp(rec.seq[300:320]),  # minus-strand hit
+            rec.seq[n - 20 :],  # window truncated at the right edge (+)
+            revcomp(rec.seq[:20]),  # window truncated at the left edge (-)
+        ]
+        with ScanRunner(genome) as runner:
+            joined = runner.align(guides, num_mismatches=0, join_features=True)
+        pf = PAMFinder(genome, "NGG", "downstream")
+        lib = CRISPRiLibrary(joined, pf)
+        assert {"+", "-"} <= set(lib.targets_df.Strand)
+        for _, row in lib.targets_df.iterrows():
+            assert row.PAM == pf.get_pam_seq(row), (row.Barcode, row.Strand)
+            assert row.Targeting == pf.pam_matches(row.PAM)
+
+    def test_offset_overlap_vectorized(self, genome):
+        """Offset/Overlap columns equal the reference formulas row-wise."""
+        rec = genome.contigs[0]
+        g = rec.seq[1495:1515]  # straddles the gene-1 start at 1500
+        with ScanRunner(genome) as runner:
+            joined = runner.align([g], num_mismatches=0, join_features=True)
+        pf = PAMFinder(genome, "NN", "downstream")
+        lib = CRISPRiLibrary(joined, pf)
+        for _, row in lib.mapped_targets.iterrows():
+            want_off = {"+": row.Start - row.Start_b, "-": row.End_b - row.End}.get(
+                row.Strand_b
+            )
+            want_ovl = max(min(row.End, row.End_b) - max(row.Start, row.Start_b), 0)
+            assert row.Offset == want_off
+            assert row.Overlap == want_ovl
