@@ -98,15 +98,14 @@ class ShardedCounter(DeviceCounter):
         idx, m, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
         return n, idx, m, counts
 
-    def _drain(self) -> None:
-        for (n, _idx_f, m_f, counts_f), cores, eligible in self._pending:
-            # documented counts arrive psum-merged across the mesh
-            self.doc_counts += np.asarray(counts_f)[: self.B].astype(np.int64)
-            matched = np.asarray(m_f)[:n]
-            un = eligible & ~matched
-            if un.any():
-                uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
-                for row, cnt in zip(uniq, counts):
-                    seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
-                    self.undoc[seq + "*"] += int(cnt)
-        self._pending = []
+    def _drain_entry(self, entry) -> None:
+        (n, _idx_f, m_f, counts_f), cores, eligible = entry
+        # documented counts arrive psum-merged across the mesh
+        self.doc_counts += np.asarray(counts_f)[: self.B].astype(np.int64)
+        matched = np.asarray(m_f)[:n]
+        un = eligible & ~matched
+        if un.any():
+            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)

@@ -541,6 +541,9 @@ class _CheckpointState:
 
         import numpy as _np
 
+        # retire in-flight device work first — doc_counts/undoc must cover
+        # every chunk up to chunk_no or a resume loses the gap
+        vc.drain()
         meta = {
             "cfg_hash": self.cfg_hash,
             "chunk_no": chunk_no,
@@ -703,6 +706,13 @@ class VectorCounter:
                 doc[bc] = int(cnt)
         return doc, Counter(self.undoc)
 
+    def drain(self) -> None:
+        """Flush pending async work into doc_counts/undoc. No-op here; the
+        device/sharded engines override. MUST be called before reading
+        counter state mid-stream (checkpoint save) — a snapshot taken while
+        device futures are in flight would record an advanced chunk_no with
+        stale counts, and a resume would silently drop those chunks."""
+
 
 def _codes_to_strings(codes: np.ndarray):
     lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
@@ -810,23 +820,35 @@ class DeviceCounter(VectorCounter):
         codes = _CODE_LUT[cores]
         fut = self._device_match_async(codes, np.asarray(eligible, bool))
         self._pending.append((fut, cores, np.asarray(eligible, bool)))
+        # bounded pipelining: each entry retains its chunk's cores byte
+        # matrix on the host, so an unbounded queue grows O(total reads);
+        # retiring the oldest keeps RAM flat while successive dispatches
+        # still overlap
+        while len(self._pending) > self._MAX_PENDING:
+            self._drain_entry(self._pending.pop(0))
 
-    def _drain(self) -> None:
-        for (n, idx_f, m_f), cores, eligible in self._pending:
-            idx = np.asarray(idx_f)[:n]
-            matched = np.asarray(m_f)[:n]
-            if matched.any():
-                np.add.at(self.doc_counts, idx[matched], 1)
-            un = eligible & ~matched
-            if un.any():
-                uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
-                for row, cnt in zip(uniq, counts):
-                    seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
-                    self.undoc[seq + "*"] += int(cnt)
+    _MAX_PENDING = 8
+
+    def _drain_entry(self, entry) -> None:
+        (n, idx_f, m_f), cores, eligible = entry
+        idx = np.asarray(idx_f)[:n]
+        matched = np.asarray(m_f)[:n]
+        if matched.any():
+            np.add.at(self.doc_counts, idx[matched], 1)
+        un = eligible & ~matched
+        if un.any():
+            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)
+
+    def drain(self) -> None:
+        for entry in self._pending:
+            self._drain_entry(entry)
         self._pending = []
 
     def results(self):
-        self._drain()
+        self.drain()
         return super().results()
 
     def _try_native_single_end(self, mat, start, Lf, Rf) -> bool:
