@@ -154,7 +154,11 @@ class ScanRunner(Logger):
         pam: str = "",
         pam_direction: str = "downstream",
         join_features: bool = False,
+        sam_path: str | None = None,
     ) -> pd.DataFrame:
+        """sam_path: also export the (pre-join) alignments as SAM — the
+        interop surface the reference gets from Bowtie's own output
+        (BowtieRunner.align writes a .sam; PySamParser re-reads it)."""
         seqs = sorted(set(barcodes)) if not isinstance(barcodes, list) else list(dict.fromkeys(barcodes))
         by_len: dict[int, list[str]] = {}
         for s in seqs:
@@ -193,6 +197,11 @@ class ScanRunner(Logger):
                     }
                 )
         df = pd.DataFrame(rows)
+        if sam_path:
+            from .seqio.sam import write_sam
+
+            with open(sam_path, "w") as f:
+                write_sam(df, f, seq_lens=self.genome.seq_lens)
         if join_features:
             df = self.join_features(df)
         return df
