@@ -1154,42 +1154,64 @@ class _ScanJob:
         self.contig = contig
         self.interpret = interpret
         p = prep
-        scan = build_scan_array(contig, p.L)
         n = contig.length
-        self.n_starts = min(n, len(scan) - p.L + 1) if len(scan) >= p.L else 0
+        halo_len = p.L - 1 + MAX_PAM
+        # len(build_scan_array(contig, L)) without building it — the disk
+        # artifact path must know every structural size up front
+        scan_len = n + (p.L - 1) if (contig.circular and p.L > 1) else n
+        self.n_starts = min(n, scan_len - p.L + 1) if scan_len >= p.L else 0
         if self.n_starts <= 0:
             return
         # bucket the genome axis so the fused jits recompile only per size
         # bucket, not per genome
         self.n_starts_b = _geom_bucket(self.n_starts, p.P)
-        scan_padded = prep_scan_padded(contig, scan, p.L, self.n_starts_b, p.halo_total)
-        halo_len = p.L - 1 + MAX_PAM
+        total = self.n_starts_b + p.halo_total
+        digest = _content_digest(np.ascontiguousarray(contig.codes))
         cache_key = (
-            contig.id, contig.length, bool(contig.circular),
-            len(scan_padded), halo_len,
-            _content_digest(scan_padded),
+            contig.id, n, bool(contig.circular), total, halo_len, digest,
         )
         cached = _SCAN_DEV_CACHE.get(cache_key)
         if cached is not None:
             self.scan_dev = cached
-        elif contig.length >= halo_len:
+        elif n >= halo_len:
             # 2-bit ship: genome crumbs + sparse N exceptions; wrap halo and
-            # padding reconstructed on device (half the nibble-path bytes)
-            n = contig.length
-            exc = np.nonzero(scan_padded[:n] >= 4)[0].astype(np.int32)
-            exc_cap = max(16, 1 << (len(exc) - 1).bit_length()) if len(exc) else 16
-            exc_p = np.full(exc_cap, -1, dtype=np.int32)
-            exc_p[: len(exc)] = exc
+            # padding reconstructed on device (half the nibble-path bytes).
+            # The packed payload persists on disk keyed by content digest +
+            # structural sizes, so a fresh process skips host prep entirely.
+            from ..utils import artifacts
+
+            art_key = (
+                f"{digest.hex()}-{n}-{int(bool(contig.circular))}"
+                f"-{total}-{halo_len}"
+            )
+            art = artifacts.load("scan", art_key)
+            if art is not None:
+                packed, exc_p = art["packed"], art["exc"]
+            else:
+                scan = build_scan_array(contig, p.L)
+                scan_padded = prep_scan_padded(
+                    contig, scan, p.L, self.n_starts_b, p.halo_total
+                )
+                exc = np.nonzero(scan_padded[:n] >= 4)[0].astype(np.int32)
+                exc_cap = max(16, 1 << (len(exc) - 1).bit_length()) if len(exc) else 16
+                exc_p = np.full(exc_cap, -1, dtype=np.int32)
+                exc_p[: len(exc)] = exc
+                packed = _pack_2bit(scan_padded)
+                artifacts.store("scan", art_key, packed=packed, exc=exc_p)
             self.scan_dev = _build_scan_device(
-                jnp.asarray(_pack_2bit(scan_padded)),
+                jnp.asarray(packed),
                 jnp.asarray(exc_p),
                 jnp.int32(n),
-                total=len(scan_padded),
+                total=total,
                 pad_code=4 if contig.circular else 5,
                 halo_len=halo_len,
                 circular=bool(contig.circular),
             )
         else:  # tiny contig: the halo copy would read padding
+            scan = build_scan_array(contig, p.L)
+            scan_padded = prep_scan_padded(
+                contig, scan, p.L, self.n_starts_b, p.halo_total
+            )
             self.scan_dev = _unpack_nibbles(
                 jnp.asarray(_pack_nibbles(scan_padded)), total=len(scan_padded)
             )
@@ -1846,7 +1868,23 @@ def pallas_scan_contigs(
             use_sites = _SITE_SEEN.bump(site_key) >= 2
         if use_sites:
             if site_tab is None:
-                positions, strands, codes = enumerate_sites(c, L, pam, pam_direction)
+                from ..utils import artifacts
+
+                art_key = (
+                    f"{_content_digest(np.ascontiguousarray(c.codes)).hex()}"
+                    f"-{c.length}-{int(bool(c.circular))}-{L}-{pam}-{pam_direction}"
+                )
+                art = artifacts.load("sites", art_key)
+                if art is not None:
+                    positions, strands, codes = (
+                        art["positions"], art["strands"], art["codes"],
+                    )
+                else:
+                    positions, strands, codes = enumerate_sites(c, L, pam, pam_direction)
+                    artifacts.store(
+                        "sites", art_key,
+                        positions=positions, strands=strands, codes=codes,
+                    )
                 site_tab = _SiteTable(P, L, positions, strands, codes)
                 _SITE_DEV_CACHE.put(site_key, site_tab)
             if site_tab.n_sites == 0:
