@@ -1,27 +1,45 @@
-"""Multi-chip genome-axis sharded scan (shard_map over a 1-D mesh).
+"""Multi-chip genome-axis sharded scan (shard_map over a 1-D or 2-D mesh),
+running the FLAGSHIP single-chip engine per device.
 
 Sharding design (SURVEY.md §2/§5: the TPU replacement for the reference's
 100 kb-overhang + process-pool parallelism):
 
   - the genome position axis is split into contiguous per-device blocks of
-    B starts; the spacer one-hot matrix is replicated;
-  - each device fetches the first H codes of the *next* device's block over
-    ICI with ``lax.ppermute`` (ring halo exchange) so windows crossing the
-    block boundary score correctly — the circular wrap halo itself is
-    materialized once on the host into the scan array (build_scan_array),
-    so the ring is uniform;
-  - each device builds its overlapped (P + H)-wide tiles and runs the
-    phase-1 Pallas count kernel locally (no inter-chip traffic in the hot
-    loop);
-  - per-spacer-block totals are merged with ``psum`` — the count-merge
-    collective that replaces the reference's Counter summation across
-    process pools (heuristicount.py:726-737).
+    B starts; each device fetches the first ``halo`` codes of the *next*
+    device's block over ICI with ``lax.ppermute`` (ring halo exchange) so
+    windows crossing the block boundary score correctly — the circular wrap
+    halo itself is materialized once on the host into the scan array
+    (build_scan_array), so the ring is uniform;
+  - on a 2-D ``(library, genome)`` mesh (make_mesh_2d) the spacer one-hot
+    rows are sharded over the library axis too (the TP analog: libraries
+    larger than one device's memory scan without replication);
+  - phase 1 per device is the STRAND-FUSED folded-bias hit-indicator Pallas
+    kernel (ops.pallas_scan._scan_hits_kernel — the ~0.9-utilization engine,
+    not the old max-reduce one): one kernel scores both strands, with the
+    per-strand PAM site masks riding inside the matmul as spare G rows;
+  - the nonzero (subtile, spacer-block) pairs are compacted ON DEVICE
+    (_compact_pairs) — no dense indicator tensor ever crosses a link;
+  - phase 2 runs DEVICE-RESIDENT on each device's own compacted pair list
+    (the extract_spec formulation: gathered subtile G one-hots, einsum
+    re-score, hierarchical hit compaction) — hits stay on device;
+  - per-device packed hit lists merge with ``lax.all_gather`` (the hit-list
+    collective from SURVEY §2's communication plan) and global hit counts
+    with ``lax.psum`` (the count-merge collective), so the host performs
+    ONE fetch of an already-replicated array per scan.
 
-Phase-2 exact-hit extraction stays hit-proportional and runs on the host /
-single device against the nonzero (block, tile) pairs.
+Capacities (pairs per device, hits per device) are static per compile;
+overflow is signaled in the packed header and the host retries with
+doubled capacity buckets — the same fixed-capacity + retry protocol as the
+single-chip engine (SURVEY §7 "hit compaction on TPU").
+
+On CPU meshes (tests, dryrun_multichip) phase 1 uses a pure-jnp indicator
+with the exact kernel contract — same folded-bias G rows, same block
+max/subtile count semantics — because Mosaic kernels need TPU hardware.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -30,10 +48,26 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P_
 
 from ..core.genome import Contig
-from ..ops.pallas_scan import BS, MASK_BIAS, _cdiv, onehot_rows, scan_block_max
+from ..ops.pallas_scan import (
+    BS,
+    MASK_BIAS,
+    _build_g_onehot,
+    _cdiv,
+    _compact_hits,
+    _compact_pairs,
+    _tiles_device_impl,
+    onehot_rows,
+    scan_block_hits,
+    scan_block_max,
+)
 from ..ops.prep import build_scan_array, revcomp_matrix, site_masks, spacer_matrix
 from ..ops.types import STRAND_F, STRAND_R, Hits
 from .mesh import GENOME_AXIS, LIBRARY_AXIS, make_mesh
+
+_HDR = 6  # packed header ints:
+# [n_pairs, n_hits, psum_total, n_rows, max_row_hits, reserved] — the host
+# grows the matching static capacity (pair_cap / hit_cap / cap_rows / k)
+# for whichever one overflowed and retries
 
 
 def _mesh_dims(mesh) -> tuple[int, int]:
@@ -43,12 +77,753 @@ def _mesh_dims(mesh) -> tuple[int, int]:
     return shape.get(LIBRARY_AXIS, 1), shape[GENOME_AXIS]
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_engine(
+    mesh,
+    *,
+    n_lib: int,
+    n_gen: int,
+    B: int,
+    P: int,
+    P2: int,
+    halo: int,
+    L: int,
+    K: int,
+    SUB: int,
+    BS_M: int,
+    n_sblocks_loc: int,
+    half_blocks: int,
+    fused: bool,
+    fold: bool,
+    thresh_mm: int,
+    pair_cap: int,
+    cap: int,
+    cap_rows: int,
+    k: int,
+    use_pallas: bool,
+    interpret: bool,
+):
+    """Build + jit the sharded scan program for one static geometry.
+
+    Cached so repeat scans (and capacity-retry loops) reuse executables;
+    every argument is part of the compile key."""
+    n_tiles_loc = B // P
+    n_tiles2_loc = B // P2
+    n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
+    R = 2 if fused else 1
+    perm = [(d, (d - 1) % n_gen) for d in range(n_gen)]
+    psum_axes = (GENOME_AXIS,) + ((LIBRARY_AXIS,) if n_lib > 1 else ())
+
+    def indicator(thresh_v, q, tiles, bias_t):
+        if use_pallas:
+            return scan_block_hits(
+                thresh_v, q, tiles, bias_t, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
+                interpret=interpret, fold_bias=fold,
+            )
+
+        # pure-jnp fallback with the exact kernel contract (CPU meshes)
+        def per_tile(tile, bias):
+            g = _build_g_onehot(tile[0], L=L, K=K, P=P)
+            if fold:
+                for i in range(R):
+                    g = g.at[4 * L + i, :].set(bias[i].astype(g.dtype))
+                scores = jnp.dot(q, g, preferred_element_type=jnp.float32)
+            else:
+                scores = (
+                    jnp.dot(q, g, preferred_element_type=jnp.float32)
+                    + bias[0][None, :]
+                )
+            colmax = scores.reshape(n_sblocks_loc, BS_M, P).max(axis=1)
+            hit = colmax >= thresh_v[0]
+            cnt = (
+                hit.reshape(n_sblocks_loc, SUB, P // SUB)
+                .sum(axis=2)
+                .astype(jnp.float32)
+            )
+            return jnp.pad(cnt, ((0, n_sb_pad8 - n_sblocks_loc), (0, 0)))
+
+        return jax.vmap(per_tile)(tiles, bias_t)
+
+    def shard_fn(codes_b, ok_b, q, thresh_v):
+        # codes/masks arrive as int8 (h2d bytes are the dominant cost on
+        # thin links); widen and derive the f32 bias on device
+        codes_local = codes_b[0].astype(jnp.int32)  # (B,)
+        ok_local = ok_b[0]  # (R, B) int8
+        bias_local = jnp.where(ok_local > 0, 0.0, MASK_BIAS).astype(jnp.float32)
+        # ring halo exchange over ICI: windows crossing the block boundary
+        # read the next device's first ``halo`` codes
+        recv = jax.lax.ppermute(codes_local[:halo], GENOME_AXIS, perm)
+        local_ext = jnp.concatenate([codes_local, recv])  # (B + halo,)
+
+        # ---- phase 1: strand-fused hit indicator + device pair compaction
+        tiles = _tiles_device_impl(local_ext, n_starts=B, P=P, halo=halo)
+        bias_t = bias_local.reshape(R, n_tiles_loc, P).transpose(1, 0, 2)
+        ind = indicator(thresh_v, q, tiles, bias_t)
+        pairs, _vals, n_pairs = _compact_pairs(ind, pair_cap)
+
+        # ---- phase 2 (device-resident, extract_spec formulation) on this
+        # device's own compacted pair list
+        slots = pairs  # B_slots == pair_cap
+        slot_ok = (
+            jnp.arange(pair_cap, dtype=jnp.int32) < jnp.minimum(n_pairs, pair_cap)
+        ) & (slots >= 0)
+        safe = jnp.where(slot_ok, slots, 0)
+        t_big = safe // (n_sb_pad8 * SUB)
+        rem = safe % (n_sb_pad8 * SUB)
+        s_idx = rem // SUB
+        t_idx = t_big * SUB + rem % SUB  # subtile index on the P2 grid
+        tiles2 = _tiles_device_impl(local_ext, n_starts=B, P=P2, halo=halo)
+        ok_t = ok_local.reshape(R, n_tiles2_loc, P2)
+        if fused:
+            is_rev = s_idx >= half_blocks
+            mask_sel = jnp.where(is_rev[:, None], ok_t[1][t_idx], ok_t[0][t_idx])
+        else:
+            mask_sel = ok_t[0][t_idx]
+        g_oh = _build_g_onehot(tiles2[t_idx][:, 0, :], L=L, K=K, P=P2)
+        q_blocks = q.reshape(-1, BS_M, K)[jnp.clip(s_idx, 0, n_sblocks_loc - 1)]
+        scores = jnp.einsum(
+            "nsk,nkp->nsp", q_blocks, g_oh, preferred_element_type=jnp.float32
+        )
+        mm = (L - scores).astype(jnp.int32)
+        hit = (mm <= thresh_mm) & (mask_sel[:, None, :] > 0) & slot_ok[:, None, None]
+        idx, mm_vals, n_hits, n_rows, max_rh = _compact_hits(
+            hit, mm, cap=cap, cap_rows=cap_rows, k=k
+        )
+
+        # ---- collectives: psum count merge + all_gather of hit lists
+        total = jax.lax.psum(n_hits, psum_axes)
+        header = jnp.stack(
+            [
+                n_pairs.astype(jnp.int32),
+                n_hits.astype(jnp.int32),
+                total.astype(jnp.int32),
+                n_rows.astype(jnp.int32),
+                max_rh.astype(jnp.int32),
+                jnp.int32(0),
+            ]
+        )
+        packed = jnp.concatenate(
+            [header, slots.astype(jnp.int32), idx, mm_vals]
+        )  # (_HDR + pair_cap + 2*cap,)
+        g1 = jax.lax.all_gather(packed, GENOME_AXIS)  # (n_gen, LEN)
+        if n_lib > 1:
+            g2 = jax.lax.all_gather(g1, LIBRARY_AXIS)  # (n_lib, n_gen, LEN)
+        else:
+            g2 = g1[None]
+        return g2
+
+    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P_(GENOME_AXIS),
+            P_(GENOME_AXIS),
+            lib_spec,
+            P_(),
+        ),
+        out_specs=P_(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class _ShardDevCache(dict):
+    """Tiny LRU of device-resident sharded inputs keyed by content digest +
+    geometry — repeat scans of one genome/library over one mesh skip the
+    host build and the h2d ship entirely (the measured dominant cost of a
+    warm sharded call)."""
+
+    MAX = 8
+
+    def get_or_put(self, key, build):
+        v = super().get(key)
+        if v is None:
+            v = build()
+            self[key] = v
+            while len(self) > self.MAX:
+                del self[next(iter(self))]
+        return v
+
+
+_GENOME_SHARD_CACHE = _ShardDevCache()
+_Q_SHARD_CACHE = _ShardDevCache()
+
+
+def _host_onehot(q_codes: np.ndarray, K: int, L: int, fold: bool, bias_col: int):
+    """(rows, K) f32 one-hot with the folded-bias constant-1 column."""
+    oh = onehot_rows(q_codes, K)
+    if fold:
+        oh[:, 4 * L + bias_col] = 1.0
+    return oh
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_site_engine(
+    mesh,
+    *,
+    n_lib: int,
+    n_gen: int,
+    Bs: int,
+    P: int,
+    P2: int,
+    L: int,
+    L_pad: int,
+    K: int,
+    SUB: int,
+    BS_M: int,
+    n_sblocks_loc: int,
+    thresh_mm: int,
+    pair_cap: int,
+    cap: int,
+    cap_rows: int,
+    k: int,
+    use_pallas: bool,
+    interpret: bool,
+):
+    """Site-compacted sharded engine: the SITE axis (not the genome axis)
+    is sharded over the mesh — every PAM-valid window is an independent
+    column of the site-code matrix (R-strand windows pre-revcomped at
+    enumeration), so there is NO halo exchange at all: the collective
+    surface is just the psum count merge + the all_gathered hit lists.
+    Forward spacer rows only (half the matmul rows of the dense fused
+    path) and ~N/4^|pam-informative-bases| of its columns — the same
+    contraction that makes site mode the fastest single-chip engine
+    (ops.pallas_scan._SiteScanJob)."""
+    n_tiles_loc = Bs // P
+    n_t2_loc = Bs // P2
+    n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
+    psum_axes = (GENOME_AXIS,) + ((LIBRARY_AXIS,) if n_lib > 1 else ())
+
+    def indicator(thresh_v, q, tiles):
+        bias = jnp.zeros((n_tiles_loc, 1, P), jnp.float32)
+        if use_pallas:
+            return scan_block_hits(
+                thresh_v, q, tiles, bias, L=L, K=K, P=P, SUB=SUB, BS_M=BS_M,
+                interpret=interpret, fold_bias=False, matrix_rows=True,
+            )
+
+        def per_tile(tile):  # (L_pad, P) int32
+            oh = (
+                tile[:L, None, :] == jnp.arange(4, dtype=tile.dtype)[None, :, None]
+            ).reshape(4 * L, P)
+            g = oh.astype(jnp.bfloat16)
+            if 4 * L < K:
+                g = jnp.pad(g, ((0, K - 4 * L), (0, 0)))
+            scores = jnp.dot(q, g, preferred_element_type=jnp.float32)
+            colmax = scores.reshape(n_sblocks_loc, BS_M, P).max(axis=1)
+            hit = colmax >= thresh_v[0]
+            cnt = (
+                hit.reshape(n_sblocks_loc, SUB, P // SUB)
+                .sum(axis=2)
+                .astype(jnp.float32)
+            )
+            return jnp.pad(cnt, ((0, n_sb_pad8 - n_sblocks_loc), (0, 0)))
+
+        return jax.vmap(per_tile)(tiles)
+
+    def shard_fn(codes_lp_b, n_sites_v, q, thresh_v):
+        codes_lp = codes_lp_b  # (L_pad, Bs) int8
+        dev = jax.lax.axis_index(GENOME_AXIS)
+        tiles = (
+            codes_lp.astype(jnp.int32).reshape(L_pad, n_tiles_loc, P).transpose(1, 0, 2)
+        )
+        ind = indicator(thresh_v, q, tiles)
+        pairs, _vals, n_pairs = _compact_pairs(ind, pair_cap)
+
+        # phase 2 (extract_matrix formulation) on this device's pair list
+        slots = pairs
+        slot_ok = (
+            jnp.arange(pair_cap, dtype=jnp.int32) < jnp.minimum(n_pairs, pair_cap)
+        ) & (slots >= 0)
+        safe = jnp.where(slot_ok, slots, 0)
+        t_big = safe // (n_sb_pad8 * SUB)
+        rem = safe % (n_sb_pad8 * SUB)
+        s_idx = rem // SUB
+        t_idx = t_big * SUB + rem % SUB
+        t_safe = jnp.clip(t_idx, 0, n_t2_loc - 1)
+        tiles2 = codes_lp.reshape(L_pad, n_t2_loc, P2).transpose(1, 0, 2)[:, :L, :]
+        g = tiles2[t_safe]  # (pair_cap, L, P2) int8
+        oh = (
+            g[:, :, None, :] == jnp.arange(4, dtype=g.dtype)[None, None, :, None]
+        ).reshape(pair_cap, 4 * L, P2)
+        g_oh = oh.astype(jnp.bfloat16)
+        if 4 * L < K:
+            g_oh = jnp.pad(g_oh, ((0, 0), (0, K - 4 * L), (0, 0)))
+        q_blocks = q.reshape(-1, BS_M, K)[jnp.clip(s_idx, 0, n_sblocks_loc - 1)]
+        scores = jnp.einsum(
+            "nsk,nkp->nsp", q_blocks, g_oh, preferred_element_type=jnp.float32
+        )
+        mm = (L - scores).astype(jnp.int32)
+        # column validity is GLOBAL: this device holds sites
+        # [dev*Bs, dev*Bs + Bs); padding columns past n_sites never hit
+        col_global = dev * Bs + t_safe[:, None] * P2 + jnp.arange(P2, dtype=jnp.int32)[None, :]
+        col_ok = col_global < n_sites_v
+        hit = (mm <= thresh_mm) & col_ok[:, None, :] & (
+            slot_ok & (t_idx < n_t2_loc)
+        )[:, None, None]
+        idx, mm_vals, n_hits, n_rows, max_rh = _compact_hits(
+            hit, mm, cap=cap, cap_rows=cap_rows, k=k
+        )
+
+        total = jax.lax.psum(n_hits, psum_axes)
+        header = jnp.stack(
+            [
+                n_pairs.astype(jnp.int32),
+                n_hits.astype(jnp.int32),
+                total.astype(jnp.int32),
+                n_rows.astype(jnp.int32),
+                max_rh.astype(jnp.int32),
+                jnp.int32(0),
+            ]
+        )
+        packed = jnp.concatenate([header, slots.astype(jnp.int32), idx, mm_vals])
+        g1 = jax.lax.all_gather(packed, GENOME_AXIS)
+        if n_lib > 1:
+            g2 = jax.lax.all_gather(g1, LIBRARY_AXIS)
+        else:
+            g2 = g1[None]
+        return g2
+
+    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P_(None, GENOME_AXIS), P_(), lib_spec, P_()),
+        out_specs=P_(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _site_table_host(contig: Contig, L: int, pam: str, pam_direction: str):
+    """(positions, strands, codes) for one contig — shared with the
+    single-chip engine through the same on-disk artifact key
+    (ops.pallas_scan site path), cached in-process per genome."""
+    from ..ops.pallas_scan import _content_digest
+    from ..ops.prep import enumerate_sites
+    from ..utils import artifacts
+
+    digest = _content_digest(np.ascontiguousarray(contig.codes))
+    art_key = (
+        f"{digest.hex()}-{contig.length}-{int(bool(contig.circular))}"
+        f"-{L}-{pam}-{pam_direction}"
+    )
+
+    def build():
+        art = artifacts.load("sites", art_key)
+        if art is not None:
+            return art["positions"], art["strands"], art["codes"]
+        positions, strands, codes = enumerate_sites(contig, L, pam, pam_direction)
+        artifacts.store(
+            "sites", art_key, positions=positions, strands=strands, codes=codes
+        )
+        return positions, strands, codes
+
+    return _GENOME_SHARD_CACHE.get_or_put(("site_host", art_key), build), digest
+
+
+def _sharded_site_scan(
+    q_f: np.ndarray,
+    contig: Contig,
+    max_mismatches: int,
+    pam: str,
+    pam_direction: str,
+    mesh,
+    P: int,
+    sub_width: int,
+    pair_cap: int,
+    hit_cap: int,
+    use_pallas: bool,
+    interpret: bool,
+) -> Hits:
+    """Site-compacted multi-device scan (see _sharded_site_engine)."""
+    n_lib, n_gen = _mesh_dims(mesh)
+    S, L = q_f.shape
+    K = max(_cdiv(4 * L, 128) * 128, 128)
+    fold = 4 * L < K
+    BS_M = 512 if S >= 2048 else (256 if S >= 512 else BS)
+    (positions, strands, codes), genome_digest = _site_table_host(
+        contig, L, pam, pam_direction
+    )
+    n_sites = len(positions)
+    if n_sites == 0 or S == 0:
+        return Hits()
+    SUB = max(P // min(sub_width, P), 1)
+    P2 = P // SUB
+    L_pad = _cdiv(L, 8) * 8
+    Bs = _cdiv(n_sites, n_gen * P) * P
+    total_s = n_gen * Bs
+    mesh_key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.ravel()))
+    base_key = (genome_digest, contig.id, contig.length, bool(contig.circular),
+                L, pam, pam_direction, n_gen, Bs, mesh_key)
+
+    sharding_cols = NamedSharding(mesh, P_(None, GENOME_AXIS))
+    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
+    sharding_q = NamedSharding(mesh, lib_spec)
+
+    def _build_codes_lp():
+        codes_pad = np.full((total_s, L_pad), 4, dtype=np.int8)
+        codes_pad[:n_sites, :L] = codes
+        return np.ascontiguousarray(codes_pad.T)  # (L_pad, total_s)
+
+    codes_dev = _GENOME_SHARD_CACHE.get_or_put(
+        ("site_codes", base_key),
+        lambda: jax.device_put(_build_codes_lp(), sharding_cols),
+    )
+    n_sites_v = _Q_SHARD_CACHE.get_or_put(
+        ("n_sites", base_key), lambda: jnp.int32(n_sites)
+    )
+    thresh_v = _Q_SHARD_CACHE.get_or_put(
+        ("thresh", L - max_mismatches),
+        lambda: jnp.full((1,), L - max_mismatches, jnp.float32),
+    )
+
+    S_loc = _cdiv(S, n_lib * BS_M) * BS_M
+    q_pad = np.full((n_lib * S_loc, L), 4, dtype=np.int8)
+    q_pad[:S] = q_f
+    n_sblocks_loc = S_loc // BS_M
+    n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
+    from ..ops.pallas_scan import _content_digest
+
+    q_digest = _content_digest(np.ascontiguousarray(q_pad))
+    q_dev = _Q_SHARD_CACHE.get_or_put(
+        (q_digest, "site", K, n_lib, S_loc, mesh_key),
+        lambda: jax.device_put(
+            jnp.asarray(_host_onehot(q_pad, K, L, fold, 0), dtype=jnp.bfloat16),
+            sharding_q,
+        ),
+    )
+
+    cap_rows = max(hit_cap // 16, 2 * pair_cap)
+    k_top = 4
+    while True:
+        eng = _sharded_site_engine(
+            mesh, n_lib=n_lib, n_gen=n_gen, Bs=Bs, P=P, P2=P2, L=L,
+            L_pad=L_pad, K=K, SUB=SUB, BS_M=BS_M,
+            n_sblocks_loc=n_sblocks_loc, thresh_mm=int(max_mismatches),
+            pair_cap=pair_cap, cap=hit_cap,
+            cap_rows=min(cap_rows, pair_cap * BS_M), k=k_top,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        packed = np.asarray(eng(codes_dev, n_sites_v, q_dev, thresh_v))
+        worst_pairs = int(packed[..., 0].max())
+        worst_hits = int(packed[..., 1].max())
+        worst_rows = int(packed[..., 3].max())
+        worst_rh = int(packed[..., 4].max())
+        if (
+            worst_pairs <= pair_cap
+            and worst_hits <= hit_cap
+            and worst_rows <= min(cap_rows, pair_cap * BS_M)
+            and worst_rh <= k_top
+        ):
+            break
+        if worst_pairs > pair_cap:
+            pair_cap = 1 << (max(worst_pairs, 2 * pair_cap) - 1).bit_length()
+        if worst_hits > hit_cap:
+            hit_cap = 1 << (max(worst_hits, 2 * hit_cap) - 1).bit_length()
+        if worst_rows > cap_rows:
+            cap_rows = 1 << (max(worst_rows, 2 * cap_rows) - 1).bit_length()
+        if worst_rh > k_top:
+            k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
+
+    out = []
+    for li in range(packed.shape[0]):
+        for di in range(n_gen):
+            row = packed[li, di]
+            n_sig = int(row[1])
+            if n_sig == 0:
+                continue
+            slots_arr = row[_HDR : _HDR + pair_cap]
+            idx = row[_HDR + pair_cap : _HDR + pair_cap + hit_cap][:n_sig]
+            mm_vals = row[_HDR + pair_cap + hit_cap :][:n_sig]
+            slot_i = idx // (BS_M * P2)
+            rem = idx % (BS_M * P2)
+            si = rem // P2
+            pi = rem % P2
+            pair = slots_arr[slot_i]
+            t_big = pair // (n_sb_pad8 * SUB)
+            rem2 = pair % (n_sb_pad8 * SUB)
+            s_blk = rem2 // SUB
+            t2 = t_big * SUB + rem2 % SUB
+            spacer = li * S_loc + s_blk * BS_M + si
+            col = di * Bs + t2 * P2 + pi
+            keep = (spacer < S) & (col < n_sites)
+            if not keep.any():
+                continue
+            col = col[keep]
+            out.append(
+                Hits(
+                    spacer_idx=spacer[keep].astype(np.int64),
+                    pos=positions[col].astype(np.int64),
+                    strand=strands[col].astype(np.int8),
+                    mismatches=mm_vals[keep].astype(np.int32),
+                )
+            )
+    return Hits.concat(out).sorted()
+
+
+def sharded_scan(
+    spacers,
+    contig: Contig,
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    mesh=None,
+    P: int = 2048,
+    sub_width: int = 512,
+    pair_cap: int = 256,
+    hit_cap: int = 1 << 12,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    site_mode: str = "auto",
+) -> Hits:
+    """Full multi-device scan on the flagship engine: sharded strand-fused
+    phase 1, device-side pair compaction, device-resident phase 2,
+    all_gathered hit lists, one host fetch. Same contract as
+    ops.scan.scan_contig.
+
+    pair_cap/hit_cap are PER-DEVICE static capacities (phase 2 is a fixed
+    (pair_cap, BS_M, P2) einsum, so modest defaults + overflow retry beat
+    sizing for the worst case upfront)."""
+    if mesh is None:
+        mesh = make_mesh()
+    n_lib, n_gen = _mesh_dims(mesh)
+    if use_pallas is None:
+        use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
+    q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
+    if q_f.shape[0] and bool(pam) and site_mode != "never":
+        # PAM scans run site-compacted (~N/4^|informative-bases| of the
+        # dense columns, forward rows only, no halo ring) — the same engine
+        # choice that wins single-chip; "never" forces the dense fused path
+        return _sharded_site_scan(
+            q_f, contig, max_mismatches, pam, pam_direction, mesh, P,
+            sub_width, pair_cap, hit_cap, use_pallas, interpret,
+        )
+    S, L = q_f.shape
+    K = max(_cdiv(4 * L, 128) * 128, 128)
+    halo = K // 4
+    fused = 4 * L + 2 <= K
+    fold = 4 * L < K
+    BS_M = 512 if S >= 2048 else (256 if S >= 512 else BS)
+    n = contig.length
+    # len(build_scan_array(contig, L)) without building it — repeat scans
+    # must not pay ANY genome-proportional host work (it all lives behind
+    # the content-keyed device caches below)
+    scan_len = n + (L - 1) if (contig.circular and L > 1) else n
+    n_starts = min(n, scan_len - L + 1) if scan_len >= L else 0
+    if n_starts <= 0 or S == 0:
+        return Hits()
+    SUB = max(P // min(sub_width, P), 1)
+    P2 = P // SUB  # phase-2 subtile width; decode relies on P2 * SUB == P
+    if P2 < halo:
+        raise ValueError(f"subtile width {P2} must cover the halo {halo}")
+
+    # genome-axis blocks (+ halo materialized in padding when it fits; the
+    # ring ppermute provides cross-block and exact-multiple wrap codes)
+    B = _cdiv(n_starts, n_gen * P) * P
+    total = n_gen * B
+
+    def _build_codes_blocks():
+        scan = build_scan_array(contig, L)  # int8; widened on device
+        codes_padded = np.full(total, 4, dtype=np.int8)
+        usable = min(len(scan), total)
+        codes_padded[:usable] = scan[:usable]
+        return codes_padded.reshape(n_gen, B)
+
+    def _blocked(mask):
+        ok = np.zeros(total, dtype=np.int8)
+        ok[:n_starts] = mask[:n_starts]
+        return ok
+
+    # library-axis spacer layout: shard i holds fwd rows [i*S_loc,(i+1)*S_loc)
+    # (and, fused, their reverse rows stacked below — so each shard's q is a
+    # self-contained fwd++rev block and in_spec P_(library) hands it over)
+    S_loc = _cdiv(S, n_lib * BS_M) * BS_M
+    q_pad = np.full((n_lib * S_loc, L), 4, dtype=np.int8)
+    q_pad[:S] = q_f
+    n_sblocks_loc = ((2 if fused else 1) * S_loc) // BS_M
+    half_blocks = S_loc // BS_M
+
+    sharding_g = NamedSharding(mesh, P_(GENOME_AXIS))
+    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
+    sharding_q = NamedSharding(mesh, lib_spec)
+    from ..ops.pallas_scan import _content_digest
+
+    mesh_key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.ravel()))
+    genome_digest = _content_digest(np.ascontiguousarray(contig.codes))
+    base_key = (genome_digest, contig.id, n, bool(contig.circular),
+                L, pam, pam_direction, n_gen, B, mesh_key)
+    codes_dev = _GENOME_SHARD_CACHE.get_or_put(
+        ("codes", base_key),
+        lambda: jax.device_put(_build_codes_blocks(), sharding_g),
+    )
+    thresh_v = _Q_SHARD_CACHE.get_or_put(
+        ("thresh", L - max_mismatches),
+        lambda: jnp.full((1,), L - max_mismatches, jnp.float32),
+    )
+
+    cap_rows = max(hit_cap // 16, 2 * pair_cap)
+    k_top = 4
+
+    q_digest = _content_digest(np.ascontiguousarray(q_pad))
+
+    def run(strand_jobs):
+        """strand_jobs: list of (q one-hot BUILDER, ok-array BUILDER,
+        strand meta) → list of per-job packed arrays, retried together on
+        capacity overflow. All host builds + h2d ships live behind the
+        content-keyed device caches, so a repeat scan's host cost is one
+        digest of the spacer-codes matrix."""
+        nonlocal pair_cap, hit_cap, cap_rows, k_top
+        put = [
+            (
+                _Q_SHARD_CACHE.get_or_put(
+                    (q_digest, K, fused, fold, n_lib, S_loc, mesh_key, ji),
+                    lambda build_q=build_q: jax.device_put(
+                        jnp.asarray(build_q(), dtype=jnp.bfloat16), sharding_q
+                    ),
+                ),
+                _GENOME_SHARD_CACHE.get_or_put(
+                    ("ok", base_key, ji),
+                    lambda build_ok=build_ok: jax.device_put(
+                        np.ascontiguousarray(
+                            build_ok().reshape(-1, n_gen, B).transpose(1, 0, 2)
+                        ),
+                        sharding_g,
+                    ),
+                ),
+            )
+            for ji, (build_q, build_ok, _meta) in enumerate(strand_jobs)
+        ]
+        while True:
+            eng = _sharded_engine(
+                mesh, n_lib=n_lib, n_gen=n_gen, B=B, P=P, P2=P2,
+                halo=halo, L=L, K=K, SUB=SUB, BS_M=BS_M,
+                n_sblocks_loc=n_sblocks_loc, half_blocks=half_blocks,
+                fused=fused, fold=fold, thresh_mm=int(max_mismatches),
+                pair_cap=pair_cap, cap=hit_cap,
+                cap_rows=min(cap_rows, pair_cap * BS_M), k=k_top,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+            outs = [eng(codes_dev, ok_d, q_d, thresh_v) for q_d, ok_d in put]
+            packed = [np.asarray(o) for o in outs]  # ONE fetch per job
+            worst_pairs = max(int(p[..., 0].max()) for p in packed)
+            worst_hits = max(int(p[..., 1].max()) for p in packed)
+            worst_rows = max(int(p[..., 3].max()) for p in packed)
+            worst_rh = max(int(p[..., 4].max()) for p in packed)
+            if (
+                worst_pairs <= pair_cap
+                and worst_hits <= hit_cap
+                and worst_rows <= min(cap_rows, pair_cap * BS_M)
+                and worst_rh <= k_top
+            ):
+                return packed
+            # size each overflowed capacity from the exact reported counts —
+            # one retry, not a doubling walk
+            if worst_pairs > pair_cap:
+                pair_cap = 1 << (max(worst_pairs, 2 * pair_cap) - 1).bit_length()
+            if worst_hits > hit_cap:
+                hit_cap = 1 << (max(worst_hits, 2 * hit_cap) - 1).bit_length()
+            if worst_rows > cap_rows:
+                cap_rows = 1 << (max(worst_rows, 2 * cap_rows) - 1).bit_length()
+            if worst_rh > k_top:
+                k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
+
+    n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
+
+    def _masks():
+        return site_masks(contig, L, pam, pam_direction)
+
+    if fused:
+        def build_q_fused():
+            q_host = np.empty((n_lib * 2 * S_loc, K), dtype=np.float32)
+            q_f_oh = _host_onehot(q_pad, K, L, fold, 0)
+            q_r_oh = _host_onehot(revcomp_matrix(q_pad), K, L, fold, 1)
+            for i in range(n_lib):
+                q_host[i * 2 * S_loc : i * 2 * S_loc + S_loc] = q_f_oh[
+                    i * S_loc : (i + 1) * S_loc
+                ]
+                q_host[i * 2 * S_loc + S_loc : (i + 1) * 2 * S_loc] = q_r_oh[
+                    i * S_loc : (i + 1) * S_loc
+                ]
+            return q_host
+
+        def build_ok_fused():
+            mask_f, mask_r = _masks()
+            return np.stack([_blocked(mask_f), _blocked(mask_r)])
+
+        jobs = [(build_q_fused, build_ok_fused, None)]
+        strands_of = [None]
+    else:
+        jobs = [
+            (
+                lambda: _host_onehot(q_pad, K, L, fold, 0),
+                lambda: _blocked(_masks()[0])[None],
+                STRAND_F,
+            ),
+            (
+                lambda: _host_onehot(revcomp_matrix(q_pad), K, L, fold, 0),
+                lambda: _blocked(_masks()[1])[None],
+                STRAND_R,
+            ),
+        ]
+        strands_of = [STRAND_F, STRAND_R]
+
+    packed_all = run(jobs)
+
+    out = []
+    for packed, fixed_strand in zip(packed_all, strands_of):
+        for li in range(packed.shape[0]):
+            for di in range(n_gen):
+                row = packed[li, di]
+                n_sig = int(row[1])
+                if n_sig == 0:
+                    continue
+                slots_arr = row[_HDR : _HDR + pair_cap]
+                idx = row[_HDR + pair_cap : _HDR + pair_cap + hit_cap][:n_sig]
+                mm_vals = row[_HDR + pair_cap + hit_cap :][:n_sig]
+                slot_i = idx // (BS_M * P2)
+                rem = idx % (BS_M * P2)
+                si = rem // P2
+                pi = rem % P2
+                pair = slots_arr[slot_i]
+                t_big = pair // (n_sb_pad8 * SUB)
+                rem2 = pair % (n_sb_pad8 * SUB)
+                s_blk = rem2 // SUB
+                t2 = t_big * SUB + rem2 % SUB
+                if fused:
+                    rev = s_blk >= half_blocks
+                    sp_local = (s_blk - rev * half_blocks) * BS_M + si
+                    strand = np.where(rev, STRAND_R, STRAND_F).astype(np.int8)
+                else:
+                    sp_local = s_blk * BS_M + si
+                    strand = np.full(len(si), fixed_strand, np.int8)
+                spacer = li * S_loc + sp_local
+                pos = di * B + t2 * P2 + pi
+                keep = (sp_local < S_loc) & (spacer < S) & (pos < n_starts)
+                if not keep.any():
+                    continue
+                out.append(
+                    Hits(
+                        spacer_idx=spacer[keep].astype(np.int64),
+                        pos=pos[keep].astype(np.int64),
+                        strand=strand[keep],
+                        mismatches=mm_vals[keep].astype(np.int32),
+                    )
+                )
+    return Hits.concat(out).sorted()
+
+
+# ---------------------------------------------------------------------------
+# Older phase-1-only sharded block-max API (kept for A/B comparison in
+# parallel.scaling — the max-reduce kernel generation the flagship path
+# replaced; see scaling.measure_scaling(engine="blockmax")).
+# ---------------------------------------------------------------------------
+
+
 def _lib_layout(n_lib: int, S_pad: int) -> tuple[int, int, int, int]:
-    """Per-library-shard spacer layout: (S_loc, S_tot, nsb_local,
-    nsb_pad_local). Every shard holds S_loc one-hot rows (nsb_local blocks
-    of BS); the phase-1 kernel pads its block axis to nsb_pad_local
-    lanes, so the gathered global block-max carries nsb_pad_local columns
-    per shard of which only the first nsb_local are real."""
+    """Per-library-shard spacer layout for the block-max API: (S_loc, S_tot,
+    nsb_local, nsb_pad_local)."""
     S_loc = _cdiv(S_pad, n_lib * BS) * BS
     nsb_local = S_loc // BS
     nsb_pad_local = max(_cdiv(nsb_local, 128) * 128, 128)
@@ -62,8 +837,6 @@ def _fallback_block_max(q_oh, tiles, bias_tiles, *, L, K, P):
     S_pad = q_oh.shape[0]
     n_sblocks = S_pad // BS
     nsb_pad = max(_cdiv(n_sblocks, 128) * 128, 128)
-
-    from ..ops.pallas_scan import _build_g_onehot
 
     def per_tile(tile_codes, tile_bias):
         g_oh = _build_g_onehot(tile_codes[0], L=L, K=K, P=P)
@@ -88,19 +861,12 @@ def sharded_scan_block_max(
     P: int,
     use_pallas: bool | None = None,
 ):
-    """Run phase-1 block-max scoring with the genome axis sharded over
-    ``mesh`` — and, on a 2-D ``(library, genome)`` mesh (make_mesh_2d), the
-    spacer-block axis sharded too (the TP analog: each device holds only
-    S_pad/n_library one-hot rows, so libraries larger than one device's
-    memory scan without replication).
+    """Phase-1 block-max scoring with the genome axis sharded over ``mesh``
+    (the previous-generation sharded engine; superseded by sharded_scan's
+    hit-indicator path, retained for scaling A/B comparison).
 
-    scan_codes: 1-D int32 scan array (genome + circular wrap halo);
-    mask: 1-D bool/int over canonical starts.
-    Returns (block_max (n_tiles_total, 1, n_lib * nsb_pad_local) np.ndarray
-             — per-library-shard column groups, see _lib_layout;
-             global_best (n_lib * nsb_pad_local,) np.ndarray — psum-merged
-             per-block hit tallies demonstrating the count-merge collective).
-    """
+    Returns (block_max (n_tiles_total, 1, n_lib * nsb_pad_local) np.ndarray,
+    global_best (n_lib * nsb_pad_local,) np.ndarray psum-merged tallies)."""
     n_lib, n_gen = _mesh_dims(mesh)
     halo = K // 4
     n_starts = len(mask)
@@ -162,70 +928,3 @@ def sharded_scan_block_max(
     block_max, totals = jax.jit(fn)(codes_sharded, bias_sharded, q_sharded)
     block_max = np.asarray(block_max).reshape(-1, 1, block_max.shape[-1])
     return block_max, np.asarray(totals)
-
-
-def sharded_scan(
-    spacers,
-    contig: Contig,
-    max_mismatches: int,
-    pam: str = "",
-    pam_direction: str = "downstream",
-    mesh=None,
-    P: int = 2048,
-) -> Hits:
-    """Full multi-device scan: sharded phase-1 counts + host-side phase-2
-    extraction. Same contract as ops.scan.scan_contig."""
-    from ..ops.pallas_scan import _prep_mask, _prep_tiles, extract_hits_for_pairs
-
-    if mesh is None:
-        mesh = make_mesh()
-    q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
-    S, L = q_f.shape
-    K = max(_cdiv(4 * L, 128) * 128, 128)
-    q_r = revcomp_matrix(q_f)
-    scan = build_scan_array(contig, L).astype(np.int32)
-    n = contig.length
-    n_starts = min(n, len(scan) - L + 1) if len(scan) >= L else 0
-    if n_starts <= 0 or S == 0:
-        return Hits()
-    mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
-    S_pad = max(_cdiv(S, BS) * BS, BS)
-    n_lib, _ = _mesh_dims(mesh)
-    _, S_tot, nsb_local, nsb_pad_local = _lib_layout(n_lib, S_pad)
-    # map a gathered block-max column (shard-major, nsb_pad_local per shard)
-    # back to its global spacer block; padding lanes → -1
-    col_to_sblock = np.full(n_lib * nsb_pad_local, -1, dtype=np.int64)
-    for shard in range(n_lib):
-        col_to_sblock[
-            shard * nsb_pad_local : shard * nsb_pad_local + nsb_local
-        ] = shard * nsb_local + np.arange(nsb_local)
-
-    out = []
-    for strand, q_codes, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
-        q_oh = np.zeros((S_tot, K), dtype=np.float32)
-        q_oh[:S] = onehot_rows(q_codes, K)
-        q_oh_dev = jnp.asarray(q_oh, dtype=jnp.bfloat16)
-        block_max, _ = sharded_scan_block_max(
-            q_oh_dev, scan, mask.astype(np.int32), mesh, L=L, K=K, P=P,
-        )
-        t_idx, col_idx = np.nonzero(block_max[:, 0, :] >= L - max_mismatches - 0.5)
-        s_idx = col_to_sblock[col_idx]
-        real = s_idx >= 0  # padding lanes of each shard
-        t_idx, s_idx = t_idx[real], s_idx[real]
-        if len(t_idx) == 0:
-            continue
-        # host-side phase 2 over nonzero pairs (hit-proportional)
-        halo = K // 4
-        tiles_host = jnp.asarray(_prep_tiles(scan, n_starts, P, halo))
-        mask_tiles_host = jnp.asarray(_prep_mask(mask.astype(np.int32), n_starts, P))
-        n_tiles_host = tiles_host.shape[0]
-        in_range = t_idx < n_tiles_host  # padding tiles carry no hits
-        t_idx, s_idx = t_idx[in_range], s_idx[in_range]
-        out.extend(
-            extract_hits_for_pairs(
-                t_idx, s_idx, tiles_host, mask_tiles_host,
-                q_oh_dev.reshape(-1, BS, K),
-                S=S, L=L, K=K, P=P, thresh=int(max_mismatches), strand=strand,
-            )
-        )
-    return Hits.concat(out).sorted()

@@ -26,7 +26,8 @@ def mesh8():
 
 class TestShardedScan:
     @pytest.mark.parametrize("topology", ["circular", "linear"])
-    def test_agreement(self, mesh8, topology):
+    @pytest.mark.parametrize("site_mode", ["auto", "never"])
+    def test_agreement(self, mesh8, topology, site_mode):
         rng = np.random.default_rng(0)
         rec = make_record(n=9000, topology=topology, seed=0)
         spacers = [random_seq(20, rng) for _ in range(5)]
@@ -34,7 +35,8 @@ class TestShardedScan:
             plant_guide(rec, s, 700 + 1500 * i, pam="TGG", strand="F" if i % 2 else "R")
         contig = contig_from_record(rec)
         a = tuples(oracle_scan(spacers, contig, 1, pam="NGG"))
-        b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh8, P=256))
+        b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh8, P=256,
+                                site_mode=site_mode))
         assert a == b
         assert len(a) >= 5
 
@@ -92,4 +94,45 @@ class TestShardedScan:
         b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=256))
         assert any(p == 7995 for _, p, _, _ in b)
         a = tuples(oracle_scan([g], contig, 0))
+        assert a == b
+
+    def test_L32_per_strand_path(self, mesh8):
+        # 32-mers leave no spare G rows (4L == K), so the sharded engine
+        # must take the additive per-strand branch instead of strand fusing
+        rng = np.random.default_rng(5)
+        rec = make_record(n=6000, topology="circular", seed=5)
+        spacers = [random_seq(32, rng) for _ in range(4)]
+        for i, s in enumerate(spacers):
+            plant_guide(rec, s, 800 + 1200 * i, pam="TGG",
+                        strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        a = tuples(oracle_scan(spacers, contig, 1, pam="NGG"))
+        b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh8, P=256))
+        assert a == b and len(a) >= 4
+
+    def test_capacity_overflow_retry(self, mesh8):
+        # poly-A genome x poly-A spacer: every position hits, overflowing a
+        # deliberately tiny pair/hit capacity -> the packed-header overflow
+        # signal must drive doubling retries to a complete result
+        rec = make_record(n=4096, topology="linear", seed=6)
+        rec.seq = "A" * 4096
+        contig = contig_from_record(rec)
+        g = "A" * 20
+        a = tuples(oracle_scan([g], contig, 0))
+        b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=256,
+                                pair_cap=4, hit_cap=8))
+        assert a == b
+        assert len(b) == 4096 - 20 + 1
+
+    def test_subtile_decode(self, mesh8):
+        # SUB > 1 (sub_width < P): the (t_big, subtile) -> P2-grid decode
+        # and the per-subtile phase-2 masks are exercised
+        rng = np.random.default_rng(7)
+        rec = make_record(n=8192, topology="circular", seed=7)
+        g = random_seq(20, rng)
+        for p in [100, 1024 - 3, 3000, 8192 - 7]:
+            plant_guide(rec, g, p)
+        contig = contig_from_record(rec)
+        a = tuples(oracle_scan([g], contig, 0))
+        b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=512, sub_width=128))
         assert a == b
