@@ -18,8 +18,8 @@ queues, locks, or the reference's commented-out deadlock workarounds
 
 from __future__ import annotations
 
-import heapq
 import os
+import struct
 import tempfile
 
 import numpy as np
@@ -100,19 +100,112 @@ def _write_seq_array(fh, a: np.ndarray) -> None:
         fh.write(b"\n".join(a.tolist()) + b"\n")  # tolist strips null padding
 
 
-def _write_run(arrays: list[np.ndarray], tmpdir: str, run_id: int) -> str:
-    path = os.path.join(tmpdir, f"run{run_id}.zst")
-    with zstd.open(path, "wt") as fh:
+class _Run:
+    """One sorted spill run as a zstd-compressed fixed-width byte matrix.
+
+    Rows are the CONCATENATED null-padded per-file sequences; null padding
+    sorts below every base, so byte order of the combined row equals the
+    reference's (read1, read2, ...) tuple sort order — the same invariant
+    the in-memory lexsort path relies on. Layout: a 16-byte header
+    (n_rows, n_files) + n_files u64 widths, then the raw row bytes,
+    zstd-streamed. No per-line Python anywhere: the writer is one
+    ``tobytes`` and the reader slices whole row blocks."""
+
+    HEADER = struct.Struct("<QQ")
+
+    @staticmethod
+    def write(arrays: list[np.ndarray], tmpdir: str, run_id: int) -> "_Run":
+        path = os.path.join(tmpdir, f"run{run_id}.zst")
         n = len(arrays[0])
-        for i in range(n):
-            fh.write("\t".join(a[i].decode("ascii") for a in arrays) + "\n")
-    return path
+        widths = [a.dtype.itemsize for a in arrays]
+        with zstd.open(path, "wb") as fh:
+            fh.write(_Run.HEADER.pack(n, len(arrays)))
+            fh.write(struct.pack(f"<{len(arrays)}Q", *widths))
+            combined = np.empty((n, sum(widths)), np.uint8)
+            col = 0
+            for a, w in zip(arrays, widths):
+                combined[:, col : col + w] = a.view(np.uint8).reshape(n, w)
+                col += w
+            fh.write(combined.tobytes())
+        return _Run(path, n, widths)
+
+    def __init__(self, path: str, n: int, widths: list[int]):
+        self.path = path
+        self.n = n
+        self.widths = widths
+        self.remaining = n
+        self._fh = None
+
+    def open(self, global_widths: list[int]) -> None:
+        self._fh = zstd.open(self.path, "rb")
+        self._fh.read(self.HEADER.size + 8 * len(self.widths))  # skip header
+        self.global_widths = global_widths
+
+    def next_block(self, rows: int) -> np.ndarray | None:
+        """Next <= rows rows, re-padded to the GLOBAL per-file widths (read
+        lengths can differ between chunks) and viewed as one 'S' column."""
+        if self.remaining == 0:
+            return None
+        take = min(rows, self.remaining)
+        w_run = sum(self.widths)
+        raw = self._fh.read(take * w_run)
+        self.remaining -= take
+        mat = np.frombuffer(raw, np.uint8).reshape(take, w_run)
+        W = sum(self.global_widths)
+        if self.global_widths == self.widths:
+            out = np.ascontiguousarray(mat)
+        else:
+            out = np.zeros((take, W), np.uint8)
+            src = dst = 0
+            for w_r, w_g in zip(self.widths, self.global_widths):
+                out[:, dst : dst + w_r] = mat[:, src : src + w_r]
+                src += w_r
+                dst += w_g
+        return out.view(f"S{W}").ravel()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
 
 
-def _iter_run(path: str):
-    with zstd.open(path, "rt") as fh:
-        for line in fh:
-            yield tuple(line.rstrip("\n").split("\t"))
+def _merge_runs(runs: list[_Run], block_rows: int = 1 << 16):
+    """Streaming k-way merge of sorted byte-matrix runs, vectorized.
+
+    Cut-point batching instead of a per-row heap: each round takes the
+    minimum over runs of each run's current block maximum, emits every
+    buffered row <= that cut (any still-unread row of any run is >= its
+    block max >= the cut, so the emitted batch is globally final), and
+    np.sort's the batch — C-speed comparisons on 'S' rows, no Python
+    tuples (the heapq.merge path this replaces walked a Python generator
+    per row). Memory: k blocks + one batch. Yields sorted 'S' batches."""
+    global_widths = [max(r.widths[i] for r in runs) for i in range(len(runs[0].widths))]
+    for r in runs:
+        r.open(global_widths)
+    bufs = [r.next_block(block_rows) for r in runs]
+    live = [i for i, b in enumerate(bufs) if b is not None and len(b)]
+    while live:
+        cut = min(bufs[i][-1] for i in live)
+        parts = []
+        next_live = []
+        for i in live:
+            b = bufs[i]
+            hi = np.searchsorted(b, cut, side="right")
+            if hi:
+                parts.append(b[:hi])
+            rest = b[hi:]
+            if len(rest) == 0:
+                nb = runs[i].next_block(block_rows)
+                if nb is not None and len(nb):
+                    bufs[i] = nb
+                    next_live.append(i)
+            else:
+                bufs[i] = rest
+                next_live.append(i)
+        live = next_live
+        batch = parts[0] if len(parts) == 1 else np.sort(np.concatenate(parts))
+        yield batch, global_widths
+    for r in runs:
+        r.close()
 
 
 def distill_reads(
@@ -131,7 +224,7 @@ def distill_reads(
 
     max_in_memory_chunks = 64
     with tempfile.TemporaryDirectory() as tmpdir:
-        runs: list[str] = []
+        runs: list[_Run] = []
         in_memory: list[list[np.ndarray]] = []
         spilling = False
         for cols in _iter_tuple_chunks(filenames, chunk_size):
@@ -140,19 +233,24 @@ def distill_reads(
             if not spilling and len(in_memory) >= max_in_memory_chunks:
                 spilling = True
                 for rid, a in enumerate(in_memory):
-                    runs.append(_write_run(a, tmpdir, rid))
+                    runs.append(_Run.write(a, tmpdir, rid))
                 in_memory = []
             if spilling:
-                runs.append(_write_run(arrays, tmpdir, len(runs)))
+                runs.append(_Run.write(arrays, tmpdir, len(runs)))
             else:
                 in_memory.append(arrays)
 
-        if spilling:  # external k-way merge of sorted zstd runs
-            writers = [zstd.open(out, "wt") for out in outputs]
+        if spilling:  # external k-way merge of sorted byte-matrix runs
+            writers = [zstd.open(out, "wb") for out in outputs]
             try:
-                for row in heapq.merge(*(_iter_run(r) for r in runs)):
-                    for fh, seq in zip(writers, row):
-                        fh.write(seq + "\n")
+                for batch, widths in _merge_runs(runs):
+                    n = len(batch)
+                    mat = batch.view(np.uint8).reshape(n, sum(widths))
+                    col = 0
+                    for fh, w in zip(writers, widths):
+                        _write_seq_array(fh, np.ascontiguousarray(
+                            mat[:, col : col + w]).view(f"S{w}").ravel())
+                        col += w
             finally:
                 for fh in writers:
                     fh.close()

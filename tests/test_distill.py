@@ -75,3 +75,19 @@ def test_external_merge_path(tmp_path, monkeypatch):
     src = distill_mod.distill_reads.__globals__  # patch the constant via code path
     outs = distill_reads([str(f1)], chunk_size=3)  # 134 chunks > 64 → spill
     assert read_zst_lines(outs[0]) == sorted(reads)
+
+
+def test_external_merge_paired_variable_widths(tmp_path):
+    # spill path, paired-end, with read lengths that differ BETWEEN chunks:
+    # runs carry different per-file widths and the merge must re-pad to the
+    # global width without disturbing the combined-key sort order
+    rng = np.random.default_rng(9)
+    r1 = [random_seq(int(rng.integers(8, 20)), rng) for _ in range(300)]
+    r2 = [random_seq(int(rng.integers(8, 20)), rng) for _ in range(300)]
+    f1, f2 = tmp_path / "a.fastq", tmp_path / "b.fastq"
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r1)], f1, quality=30)
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r2)], f2, quality=30)
+    outs = distill_reads([str(f1), str(f2)], chunk_size=4)  # 75 chunks → spill
+    got1, got2 = read_zst_lines(outs[0]), read_zst_lines(outs[1])
+    want = sorted(zip(r1, r2))
+    assert list(zip(got1, got2)) == want
