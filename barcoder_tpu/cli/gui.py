@@ -88,21 +88,28 @@ def run_tui() -> int:
     return dispatch(argv)
 
 
-def run_qt() -> int:  # pragma: no cover - optional dependency
+def run_qt() -> int:  # pragma: no cover - needs a display
+    """Graphical front-end: PyQt5 when installed (cli/gui_qt.py — the
+    reference's extensible_GUI/targets_gui equivalent), else the tkinter
+    twin (cli/gui_tk.py — stdlib, runs anywhere with a display), else the
+    TUI."""
     try:
         from PyQt5.QtWidgets import QApplication  # noqa: F401
+
+        from .gui_qt import main as qt_main
+
+        return qt_main()
     except ImportError:
-        Console(stderr=True).print(
-            "[yellow]PyQt5 is not installed; falling back to the terminal UI.[/yellow]"
-        )
-        return run_tui()
-    # a minimal Qt front-end would mirror targets_gui.py's form → argv →
-    # subprocess pattern; environments this framework targets are headless,
-    # so the TUI is the maintained surface.
-    return run_tui()
+        pass
+    from .gui_tk import main as tk_main
+
+    return tk_main()
 
 
 def main(argv=None) -> int:
+    args = list(argv or [])
+    if "--graphical" in args or "-g" in args:
+        return run_qt()
     return run_tui()
 
 
