@@ -19,13 +19,21 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Sort and compress FASTQ reads")
     p.add_argument("files", nargs="+", help="FASTQ(.gz) input files (co-indexed)")
     p.add_argument("--chunk-size", type=int, default=2**20, help="Sequences per sort chunk")
+    p.add_argument(
+        "--checkpoint", metavar="DIR", default=None,
+        help="Directory for crash-safe resume: sorted chunk runs persist "
+        "there and a rerun continues from the last completed chunk",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = Logger()
-    outputs = distill_reads(args.files, chunk_size=args.chunk_size, log=log)
+    outputs = distill_reads(
+        args.files, chunk_size=args.chunk_size, log=log,
+        checkpoint_dir=args.checkpoint,
+    )
     log.info(f"Finished: {', '.join(outputs)}")
     return 0
 

@@ -18,6 +18,7 @@ queues, locks, or the reference's commented-out deadlock workarounds
 
 from __future__ import annotations
 
+import json
 import os
 import struct
 import tempfile
@@ -208,19 +209,117 @@ def _merge_runs(runs: list[_Run], block_rows: int = 1 << 16):
         r.close()
 
 
+class _DistillCheckpoint:
+    """Crash-safe resume for distill: sorted spill runs persist in a user
+    directory with a manifest recording how many input chunks they cover.
+
+    The expensive work (read + lexsort + zstd run compression — zstd is the
+    measured bound on this host) is durable per chunk; a rerun with the same
+    inputs skips straight past the chunks already spilled (read-and-discard,
+    no sort/compress) and continues. The reference has no equivalent — a
+    killed distillreads.py run recomputes everything (SURVEY.md §5
+    "Checkpoint / resume: none"); this must be strictly better.
+
+    Manifest invalidation is by input fingerprint (path, size, mtime_ns) +
+    chunk size + outputs: any change restarts from scratch."""
+
+    VERSION = 1
+
+    def __init__(self, directory: str, fingerprint: dict, info):
+        self.dir = directory
+        self.fingerprint = fingerprint
+        self.manifest_path = os.path.join(directory, "manifest.json")
+        self.chunks_done = 0
+        self.input_exhausted = False
+        self.runs: list[_Run] = []
+        os.makedirs(directory, exist_ok=True)
+        state = None
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as fh:
+                    state = json.load(fh)
+            except (OSError, ValueError):
+                state = None
+        if (
+            state
+            and state.get("version") == self.VERSION
+            and state.get("fingerprint") == fingerprint
+            and all(os.path.exists(os.path.join(directory, r[0])) for r in state["runs"])
+        ):
+            self.chunks_done = state["chunks_done"]
+            self.input_exhausted = state["input_exhausted"]
+            self.runs = [
+                _Run(os.path.join(directory, rel), n, widths)
+                for rel, n, widths in state["runs"]
+            ]
+            info(
+                f"resuming distill from checkpoint: {self.chunks_done:,} "
+                f"chunk(s) already sorted"
+            )
+        elif state is not None:
+            info("distill checkpoint does not match inputs; starting fresh")
+            self._clear_runs()
+
+    @staticmethod
+    def make_fingerprint(filenames, outputs, chunk_size) -> dict:
+        files = []
+        for fn in filenames:
+            st = os.stat(fn)
+            files.append([os.path.abspath(fn), st.st_size, st.st_mtime_ns])
+        return {"files": files, "outputs": list(outputs), "chunk_size": chunk_size}
+
+    def _clear_runs(self) -> None:
+        for name in os.listdir(self.dir):
+            if name.startswith("run") and name.endswith(".zst"):
+                os.unlink(os.path.join(self.dir, name))
+
+    def save(self) -> None:
+        state = {
+            "version": self.VERSION,
+            "fingerprint": self.fingerprint,
+            "chunks_done": self.chunks_done,
+            "input_exhausted": self.input_exhausted,
+            "runs": [[os.path.basename(r.path), r.n, r.widths] for r in self.runs],
+        }
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    def add_run(self, run: _Run) -> None:
+        self.runs.append(run)
+        self.chunks_done += 1
+        self.save()
+
+    def cleanup(self) -> None:
+        self._clear_runs()
+        if os.path.exists(self.manifest_path):
+            os.unlink(self.manifest_path)
+
+
 def distill_reads(
     filenames: list[str],
     output_filenames: list[str] | None = None,
     chunk_size: int = 2**20,
     log=None,
+    checkpoint_dir: str | None = None,
 ) -> list[str]:
-    """Sort + compress; returns the output paths."""
+    """Sort + compress; returns the output paths.
+
+    checkpoint_dir enables crash-safe resume: every sorted chunk is spilled
+    there as a durable zstd run and a rerun continues from the last one
+    (see _DistillCheckpoint)."""
     if zstd is None:
         raise RuntimeError("zstandard module unavailable")
     if not filenames:
         raise ValueError("No input files")
     info = log.info if log else (lambda *_: None)
     outputs = output_filenames or [get_output_filename(fn) for fn in filenames]
+
+    if checkpoint_dir:
+        return _distill_checkpointed(
+            filenames, outputs, chunk_size, checkpoint_dir, info
+        )
 
     max_in_memory_chunks = 64
     with tempfile.TemporaryDirectory() as tmpdir:
@@ -272,5 +371,59 @@ def distill_reads(
             finally:
                 for fh in writers:
                     fh.close()
+    info(f"wrote {', '.join(outputs)}")
+    return outputs
+
+
+def _distill_checkpointed(
+    filenames: list[str],
+    outputs: list[str],
+    chunk_size: int,
+    checkpoint_dir: str,
+    info,
+) -> list[str]:
+    """Checkpointed distill: every chunk spills as a durable run (progress
+    must survive a crash, so there is no in-memory accumulate path), the
+    manifest advances after each spill, and the final merge re-runs from the
+    persisted runs alone if the writer phase was interrupted."""
+    ckpt = _DistillCheckpoint(
+        checkpoint_dir,
+        _DistillCheckpoint.make_fingerprint(filenames, outputs, chunk_size),
+        info,
+    )
+    if not ckpt.input_exhausted:
+        chunk_no = -1
+        for chunk_no, cols in enumerate(_iter_tuple_chunks(filenames, chunk_size)):
+            if chunk_no < ckpt.chunks_done:
+                continue  # already spilled by a previous run: read-and-skip
+            arrays = _sort_chunk(cols)
+            info(f"sorted chunk {chunk_no}: {len(arrays[0]):,} sequences")
+            ckpt.add_run(_Run.write(arrays, ckpt.dir, ckpt.chunks_done))
+        if chunk_no + 1 < ckpt.chunks_done:
+            raise RuntimeError(
+                f"distill checkpoint covers {ckpt.chunks_done} chunks but the "
+                f"inputs now yield only {chunk_no + 1}; refusing to emit "
+                f"stale data — clear {checkpoint_dir} to restart"
+            )
+        ckpt.input_exhausted = True
+        ckpt.save()
+
+    writers = [zstd.open(out, "wb") for out in outputs]
+    try:
+        if ckpt.runs:
+            for batch, widths in _merge_runs(ckpt.runs):
+                n = len(batch)
+                mat = batch.view(np.uint8).reshape(n, sum(widths))
+                col = 0
+                for fh, w in zip(writers, widths):
+                    _write_seq_array(
+                        fh,
+                        np.ascontiguousarray(mat[:, col : col + w]).view(f"S{w}").ravel(),
+                    )
+                    col += w
+    finally:
+        for fh in writers:
+            fh.close()
+    ckpt.cleanup()
     info(f"wrote {', '.join(outputs)}")
     return outputs

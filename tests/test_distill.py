@@ -91,3 +91,105 @@ def test_external_merge_paired_variable_widths(tmp_path):
     got1, got2 = read_zst_lines(outs[0]), read_zst_lines(outs[1])
     want = sorted(zip(r1, r2))
     assert list(zip(got1, got2)) == want
+
+
+def _make_pair(tmp_path, n=600, seed=7):
+    rng = np.random.default_rng(seed)
+    r1 = [random_seq(28, rng) for _ in range(n)]
+    r2 = [random_seq(28, rng) for _ in range(n)]
+    f1, f2 = tmp_path / "c1.fastq", tmp_path / "c2.fastq"
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r1)], f1, quality=30)
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r2)], f2, quality=30)
+    return r1, r2, str(f1), str(f2)
+
+
+def test_checkpointed_run_matches_plain(tmp_path):
+    r1, r2, f1, f2 = _make_pair(tmp_path)
+    ckpt = tmp_path / "ckpt"
+    outs = distill_reads(
+        [f1, f2], [str(tmp_path / "o1.zst"), str(tmp_path / "o2.zst")],
+        chunk_size=100, checkpoint_dir=str(ckpt),
+    )
+    want = sorted(zip(r1, r2))
+    assert read_zst_lines(outs[0]) == [a for a, _ in want]
+    assert read_zst_lines(outs[1]) == [b for _, b in want]
+    # checkpoint cleaned up on success
+    assert not (ckpt / "manifest.json").exists()
+    assert not list(ckpt.glob("run*.zst"))
+
+
+def test_checkpoint_crash_resume(tmp_path, monkeypatch):
+    """Kill distill after several spilled chunks; the rerun must skip the
+    already-sorted chunks (no re-sort) and emit byte-identical output."""
+    import barcoder_tpu.pipeline.distill as distill_mod
+
+    r1, r2, f1, f2 = _make_pair(tmp_path, n=1000, seed=9)
+    ckpt = tmp_path / "ckpt"
+    outs = [str(tmp_path / "o1.zst"), str(tmp_path / "o2.zst")]
+
+    class Boom(Exception):
+        pass
+
+    orig_sort = distill_mod._sort_chunk
+    calls = {"n": 0}
+
+    def crashing(cols):
+        calls["n"] += 1
+        if calls["n"] > 4:
+            raise Boom()
+        return orig_sort(cols)
+
+    monkeypatch.setattr(distill_mod, "_sort_chunk", crashing)
+    with pytest.raises(Boom):
+        distill_reads([f1, f2], outs, chunk_size=100, checkpoint_dir=str(ckpt))
+    assert (ckpt / "manifest.json").exists()
+    assert len(list(ckpt.glob("run*.zst"))) == 4
+
+    # resume: chunks 0-3 must NOT be re-sorted (sort call counter proves it)
+    calls_resume = {"n": 0}
+
+    def counting(cols):
+        calls_resume["n"] += 1
+        return orig_sort(cols)
+
+    monkeypatch.setattr(distill_mod, "_sort_chunk", counting)
+    got = distill_reads([f1, f2], outs, chunk_size=100, checkpoint_dir=str(ckpt))
+    assert calls_resume["n"] == 10 - 4
+    want = sorted(zip(r1, r2))
+    assert read_zst_lines(got[0]) == [a for a, _ in want]
+    assert read_zst_lines(got[1]) == [b for _, b in want]
+    assert not (ckpt / "manifest.json").exists()
+
+
+def test_checkpoint_invalidated_on_input_change(tmp_path, monkeypatch):
+    import barcoder_tpu.pipeline.distill as distill_mod
+
+    r1, r2, f1, f2 = _make_pair(tmp_path, n=400, seed=11)
+    ckpt = tmp_path / "ckpt"
+    outs = [str(tmp_path / "o1.zst"), str(tmp_path / "o2.zst")]
+
+    class Boom(Exception):
+        pass
+
+    orig_sort = distill_mod._sort_chunk
+    calls = {"n": 0}
+
+    def crashing(cols):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise Boom()
+        return orig_sort(cols)
+
+    monkeypatch.setattr(distill_mod, "_sort_chunk", crashing)
+    with pytest.raises(Boom):
+        distill_reads([f1, f2], outs, chunk_size=100, checkpoint_dir=str(ckpt))
+    monkeypatch.setattr(distill_mod, "_sort_chunk", orig_sort)
+
+    # rewrite input 1 with different content: stale runs must be discarded
+    rng = np.random.default_rng(99)
+    r1b = [random_seq(28, rng) for _ in range(400)]
+    write_fastq([(f"r{i}", s) for i, s in enumerate(r1b)], f1, quality=30)
+    got = distill_reads([f1, f2], outs, chunk_size=100, checkpoint_dir=str(ckpt))
+    want = sorted(zip(r1b, r2))
+    assert read_zst_lines(got[0]) == [a for a, _ in want]
+    assert read_zst_lines(got[1]) == [b for _, b in want]
