@@ -31,6 +31,18 @@ except ImportError:  # pragma: no cover
     zstd = None
 
 
+def _zstd_writer(path: str):
+    """zstd write handle with MULTITHREADED frame compression: the worker
+    threads release the GIL, so compression overlaps the Python-side matrix
+    assembly — measured 107→222 MB/s on this 2-core host (zstd is the
+    distill bound; the reference gets its overlap from a 5-process graph,
+    distillreads.py:350-433). Output frames stay standard zstd."""
+    return zstd.open(
+        path, "wb",
+        cctx=zstd.ZstdCompressor(level=3, threads=max(os.cpu_count() or 1, 1)),
+    )
+
+
 def get_output_filename(filename: str) -> str:
     """distillreads.py:334-340."""
     if filename.endswith(".fastq.gz"):
@@ -119,7 +131,7 @@ class _Run:
         path = os.path.join(tmpdir, f"run{run_id}.zst")
         n = len(arrays[0])
         widths = [a.dtype.itemsize for a in arrays]
-        with zstd.open(path, "wb") as fh:
+        with _zstd_writer(path) as fh:
             fh.write(_Run.HEADER.pack(n, len(arrays)))
             fh.write(struct.pack(f"<{len(arrays)}Q", *widths))
             combined = np.empty((n, sum(widths)), np.uint8)
@@ -340,7 +352,7 @@ def distill_reads(
                 in_memory.append(arrays)
 
         if spilling:  # external k-way merge of sorted byte-matrix runs
-            writers = [zstd.open(out, "wb") for out in outputs]
+            writers = [_zstd_writer(out) for out in outputs]
             try:
                 for batch, widths in _merge_runs(runs):
                     n = len(batch)
@@ -354,7 +366,7 @@ def distill_reads(
                 for fh in writers:
                     fh.close()
         else:
-            writers = [zstd.open(out, "wb") for out in outputs]
+            writers = [_zstd_writer(out) for out in outputs]
             try:
                 if len(in_memory) <= 1:
                     arrays = in_memory[0] if in_memory else [np.array([], dtype="S1")] * len(filenames)
@@ -408,7 +420,7 @@ def _distill_checkpointed(
         ckpt.input_exhausted = True
         ckpt.save()
 
-    writers = [zstd.open(out, "wb") for out in outputs]
+    writers = [_zstd_writer(out) for out in outputs]
     try:
         if ckpt.runs:
             for batch, widths in _merge_runs(ckpt.runs):
