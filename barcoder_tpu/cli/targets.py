@@ -49,6 +49,12 @@ def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.Argu
         help="Add CRISPRt transposon insertion-site columns "
         "(insertCharacteristics.py equivalent)",
     )
+    p.add_argument(
+        "--compat-columns", action="store_true", default=False,
+        help="With --insert-site: emit the reference insertCharacteristics "
+        "header verbatim (chrom/CRISPRtTarget/targStart/targEnd/targDir, "
+        "no sp_dir) instead of the unified targets schema",
+    )
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
     p.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         gene_window=args.gene_window,
         insert_site=args.insert_site,
         phases=phases,
+        compat_columns=args.compat_columns,
     )
     if args.profile:
         import os as _os

@@ -334,11 +334,14 @@ def run_targets(
     gene_window: str = "body",
     insert_site: bool = False,
     phases=None,
+    compat_columns: bool = False,
 ) -> TargetsResult:
     """gene_window: "body" (targets.py) or "upstream" promoter windows
     (targets_in_upstream.py); insert_site adds the CRISPRt insSite /
-    insDirection columns (insertCharacteristics.py); phases: optional
-    utils.profiling.Phases collector."""
+    insDirection columns (insertCharacteristics.py); compat_columns emits
+    the reference insertCharacteristics camelCase header (chrom /
+    CRISPRtTarget / targStart / targEnd / targDir, no sp_dir); phases:
+    optional utils.profiling.Phases collector."""
     from ..utils.profiling import Phases
 
     phases = phases if phases is not None else Phases()
@@ -422,7 +425,7 @@ def run_targets(
         result = postprocess(
             results, genome, pam, pam_direction, mismatches,
             insert_site=insert_site, identity_names=identity_names,
-            assume_unique_rows=unique_rows,
+            assume_unique_rows=unique_rows, compat_columns=compat_columns,
         )
     result.stats["profile"] = phases.summary()
     return result
@@ -437,6 +440,7 @@ def postprocess(
     insert_site: bool = False,
     identity_names: bool = False,
     assume_unique_rows: bool = False,
+    compat_columns: bool = False,
 ) -> TargetsResult:
     """The reference's main() dataframe stage (targets.py:605-701) plus the
     summary-statistics inputs for its rich table (targets.py:716-861).
@@ -553,6 +557,18 @@ def postprocess(
     for col in ["count", "mismatches", "offset", "overlap", "tar_start", "tar_end"]:
         if col in final_results.columns:
             final_results[col] = final_results[col].astype("Int64")
+    if insert_site and compat_columns:
+        # byte-level insertCharacteristics.py header compatibility
+        # (insertCharacteristics.py:800-823): the reference's CRISPRt table
+        # has no sp_dir column (insDirection carries the read direction) and
+        # uses camelCase names; dropping sp_dir leaves exactly its order
+        # [..., overlap, insDirection, insSite, targDir, note]. insSite is
+        # deliberately absent from its Int64 list (:828-833) — kept float.
+        final_results = final_results.drop(columns=["sp_dir"]).rename(
+            columns={"chr": "chrom", "target": "CRISPRtTarget",
+                     "tar_start": "targStart", "tar_end": "targEnd",
+                     "tar_dir": "targDir"}
+        )
 
     stats = _summary_stats(results, final_results, genome, spacer_len_range, pam, pam_direction, mismatches)
     return TargetsResult(table=final_results, results=results, stats=stats)

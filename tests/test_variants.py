@@ -97,6 +97,29 @@ class TestInsertSite:
         assert row.insDirection == "R"
         assert row.insSite == (10 - 49) % n  # wraps: 9961
 
+    def test_compat_columns_reference_header(self):
+        """--compat-columns emits insertCharacteristics.py's exact header
+        (insertCharacteristics.py:800-833): camelCase names, no sp_dir,
+        insDirection/insSite between overlap and targDir, insSite kept
+        out of the Int64 set."""
+        rng = np.random.default_rng(36)
+        g = random_seq(20, rng)
+        rec = make_record(n=10000, seed=36)
+        plant_guide(rec, g, 1000, pam="TGG")
+        genome = genome_from_records([rec])
+        lib = BarcodeLibrary.from_list([g])
+        res = run_targets(lib, genome, "NGG", 0, insert_site=True,
+                          compat_columns=True)
+        assert list(res.table.columns) == [
+            "spacer", "locus_tag", "gene", "chrom", "CRISPRtTarget",
+            "targStart", "targEnd", "offset", "overlap", "insDirection",
+            "insSite", "targDir", "note",
+        ]
+        assert str(res.table["targStart"].dtype) == "Int64"
+        assert str(res.table["insSite"].dtype) != "Int64"
+        base = run_targets(lib, genome, "NGG", 0, insert_site=True)
+        assert (res.table["CRISPRtTarget"] == base.table["target"]).all()
+
 
 def pd_isna(x):
     import pandas as pd
