@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P_
 
-from ..pipeline.heuristic_count import CountConfig, DeviceCounter
+from ..pipeline.heuristic_count import (
+    CountConfig,
+    DeviceCounter,
+    _pack_cores_u32,
+    _unpacked_onehot,
+)
 
 READS_AXIS = "reads"
 
@@ -54,14 +59,12 @@ class ShardedCounter(DeviceCounter):
         B_pad = int(self._bc_oh.shape[1])
 
         def shard_fn(codes_b, elig_b, bc_oh):
-            cs = codes_b.astype(jnp.int32).reshape(-1, S, bc_len)
+            cs = codes_b.reshape(-1, S, 2)
             es = elig_b.reshape(-1, S)
 
             def one_slice(args):
                 cc, el = args
-                oh = (
-                    cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-                ).reshape(S, 4 * bc_len).astype(jnp.bfloat16)
+                oh = _unpacked_onehot(cc, bc_len, jnp)
                 scores = jnp.dot(oh, bc_oh, preferred_element_type=jnp.float32)
                 best = jnp.argmax(scores, axis=1)
                 exact = jnp.max(scores, axis=1) >= bc_len - 0.5
@@ -88,10 +91,11 @@ class ShardedCounter(DeviceCounter):
         n = core_codes.shape[0]
         quantum = self._n_dev * self._READ_SLICE
         n_pad = -(-max(n, 1) // quantum) * quantum
-        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)  # 4 never matches
-        codes_p[:n] = core_codes
-        elig_p = np.zeros(n_pad, bool)
-        elig_p[:n] = eligible
+        packed, has_n = _pack_cores_u32(core_codes)
+        codes_p = np.zeros((n_pad, 2), np.uint32)  # 2-bit packed cores
+        codes_p[:n] = packed
+        elig_p = np.zeros(n_pad, bool)  # pad/N rows device-ineligible
+        elig_p[:n] = eligible & ~has_n
         sharding = NamedSharding(self._mesh, P_(READS_AXIS))
         codes_d = jax.device_put(codes_p, sharding)
         elig_d = jax.device_put(elig_p, sharding)

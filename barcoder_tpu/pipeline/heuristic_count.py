@@ -721,14 +721,45 @@ def _codes_to_strings(codes: np.ndarray):
         yield row.tobytes().decode("ascii")
 
 
+def _pack_cores_u32(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """2-bit-pack (n, bc_len<=32) int8 codes into (n, 2) uint32 words for
+    the device ship (h2d bytes are the tunneled link's dominant cost:
+    packing cuts bc_len bytes/read to 8). Returns (packed, has_n) — N
+    (code 4) cannot be represented in 2 bits, so reads whose core contains
+    one carry a has_n flag and are excluded from EXACT matching on device;
+    the host's undocumented tally still sees their raw bytes."""
+    n, L = codes.shape
+    has_n = (codes >= 4).any(axis=1)
+    vals = (codes & 3).astype(np.uint32) << (2 * (np.arange(L) % 16)).astype(np.uint32)[None, :]
+    packed = np.zeros((n, 2), np.uint32)
+    packed[:, 0] = np.bitwise_or.reduce(vals[:, :16], axis=1)
+    if L > 16:
+        packed[:, 1] = np.bitwise_or.reduce(vals[:, 16:], axis=1)
+    return packed, has_n
+
+
+def _unpacked_onehot(cc, bc_len: int, jnp):
+    """(S, 2) uint32 packed cores → (S, 4*bc_len) bf16 one-hot, inside jit
+    (the device-side inverse of _pack_cores_u32)."""
+    j = jnp.arange(bc_len)
+    word = cc[:, j // 16]  # (S, bc_len)
+    codes_mat = (word >> (2 * (j % 16)).astype(jnp.uint32)[None, :]) & 3
+    oh = (
+        codes_mat[:, :, None] == jnp.arange(4, dtype=jnp.uint32)[None, None, :]
+    ).reshape(cc.shape[0], 4 * bc_len)
+    return oh.astype(jnp.bfloat16)
+
+
 class DeviceCounter(VectorCounter):
     """TPU-resident counting engine (SURVEY.md §7 step 8): the whole
     per-chunk hot loop — N filter, flank equality at the fixed offset,
     paired revcomp-consistency, and exact barcode matching — runs in ONE
     jitted program per chunk shape. Matching is a one-hot matmul on the MXU
-    (core rows x barcode columns; a score of bc_len means exact equality,
-    and N anywhere keeps the score below that), reduced with argmax; only
-    (match_idx, matched, undoc_mask) per read cross the device boundary.
+    (core rows x barcode columns; a score of bc_len means exact equality),
+    reduced with argmax; cores ship 2-bit-packed (8 bytes/read + 1
+    eligibility byte — N-in-core reads are device-ineligible and resolve
+    on the host, see _pack_cores_u32) and only (match_idx, matched) per
+    read cross back.
 
     Semantics are identical to VectorCounter / count_chunk_reference
     (cross-checked in tests). Worth it when reads already stream to the
@@ -779,16 +810,14 @@ class DeviceCounter(VectorCounter):
         def match(codes_d, elig_d, bc_oh):
             def one_slice(args):
                 cc, el = args
-                oh = (
-                    cc[:, :, None] == jnp.arange(4, dtype=jnp.int32)[None, None, :]
-                ).reshape(S, 4 * bc_len).astype(jnp.bfloat16)
+                oh = _unpacked_onehot(cc, bc_len, jnp)
                 scores = jnp.dot(oh, bc_oh, preferred_element_type=jnp.float32)
                 best = jnp.argmax(scores, axis=1)
                 exact = jnp.max(scores, axis=1) >= bc_len - 0.5
                 matched = exact & el & (best < B)
                 return best.astype(jnp.int32), matched
 
-            cs = codes_d.astype(jnp.int32).reshape(-1, S, bc_len)
+            cs = codes_d.reshape(-1, S, 2)
             es = elig_d.reshape(-1, S)
             idx, m = jax.lax.map(one_slice, (cs, es))
             return idx.reshape(-1), m.reshape(-1)
@@ -803,10 +832,11 @@ class DeviceCounter(VectorCounter):
         n = core_codes.shape[0]
         S = self._READ_SLICE
         n_pad = -(-max(n, 1) // S) * S
-        codes_p = np.full((n_pad, self.bc_len), 4, np.int8)
-        codes_p[:n] = core_codes
-        elig_p = np.zeros(n_pad, bool)
-        elig_p[:n] = eligible
+        packed, has_n = _pack_cores_u32(core_codes)
+        codes_p = np.zeros((n_pad, 2), np.uint32)
+        codes_p[:n] = packed
+        elig_p = np.zeros(n_pad, bool)  # pad rows (decode as poly-A) stay
+        elig_p[:n] = eligible & ~has_n  # ineligible, so they never count
         idx, m = self._match_fn()(jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh)
         return n, idx, m
 

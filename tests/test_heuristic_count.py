@@ -356,6 +356,34 @@ class TestDeviceEngine:
         assert sum(undoc.values()) > 0
         assert all(k.endswith("*") for k in undoc)
 
+    def test_n_in_core_agrees(self, tmp_path):
+        """An N INSIDE the barcode slot: the reference drops any read
+        containing an N outright (heuristicount.py:489-490,524-525), so
+        N'd reads must count NOWHERE — and the device engines' 2-bit core
+        packing (_pack_cores_u32, which cannot represent N) must not let
+        them alias to an A-substituted barcode. All engines must agree."""
+        from barcoder_tpu.pipeline.heuristic_count import run_count
+
+        barcodes = make_barcodes(n=20, seed=17)
+        reads1, _, _ = make_reads(barcodes, n_reads=2000, seed=17)
+        # corrupt a deterministic slice of cores with an N mid-barcode
+        start = len(PREFIX) + len(L_FLANK)
+        for i in range(0, 300):
+            r = reads1[i]
+            reads1[i] = r[: start + 7] + "N" + r[start + 8 :]
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads1)
+        args = (set(barcodes), str(f1), None)
+        results = {
+            e: run_count(*args, engine=e)
+            for e in ("vector", "device", "sharded", "reference")
+        }
+        doc_v, undoc_v = results["vector"][0], results["vector"][1]
+        assert sum(doc_v.values()) + sum(undoc_v.values()) == 2000 - 300
+        for e in ("device", "sharded", "reference"):
+            assert results[e][0] == doc_v, e
+            assert results[e][1] == undoc_v, e
+
 
 class TestBarcodeLengthBoundaries:
     """bc_len=32 saturates the uint64 2-bit packing (the reference's CN-32
