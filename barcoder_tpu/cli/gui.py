@@ -47,6 +47,16 @@ TOOLS = {
     ],
 }
 
+# one-line tool blurbs, shared by the TUI table and both graphical
+# launchers (a single source so the three surfaces cannot drift)
+TOOL_DESCRIPTIONS = {
+    "targets": "Map a guide/barcode library to a genome",
+    "design": "Design a genome-wide guide library",
+    "count": "Count barcodes in sequencing reads",
+    "mismatch": "Mismatch-efficacy model",
+    "distill": "Sort + compress FASTQ reads",
+}
+
 
 def build_argv(tool: str, answers: dict) -> list[str]:
     argv = [tool]
@@ -68,11 +78,8 @@ def run_tui() -> int:
     table = Table(title="barcoder-tpu toolkit")
     table.add_column("Tool")
     table.add_column("What it does")
-    table.add_row("targets", "Map a guide/barcode library to a genome")
-    table.add_row("design", "Design a genome-wide guide library")
-    table.add_row("count", "Count barcodes in sequencing reads")
-    table.add_row("mismatch", "Mismatch-efficacy model")
-    table.add_row("distill", "Sort + compress FASTQ reads")
+    for tool, desc in TOOL_DESCRIPTIONS.items():
+        table.add_row(tool, desc)
     console.print(table)
 
     tool = Prompt.ask("Tool", choices=list(TOOLS.keys()), default="targets")

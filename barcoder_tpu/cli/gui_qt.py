@@ -21,18 +21,11 @@ Tk front-end and then the TUI when unavailable. Smoke-tested offscreen
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
-from .gui import TOOLS, build_argv
-
-_DESCRIPTIONS = {
-    "targets": "Map a guide/barcode library to a genome",
-    "design": "Design a genome-wide guide library",
-    "count": "Count barcodes in sequencing reads",
-    "mismatch": "Mismatch-efficacy model",
-    "distill": "Sort + compress FASTQ reads",
-}
+from .gui import TOOL_DESCRIPTIONS, TOOLS, build_argv
 
 _PATHLIKE = ("file", "files", "genome", "fasta")
 
@@ -121,21 +114,34 @@ def build_app(argv=None):
                 [sys.executable, "-m", "barcoder_tpu", *argv],
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
-                text=True,
             )
+            # non-blocking pipe: poll() drains incrementally every tick. A
+            # blocked pipe (~64 KB OS buffer) would otherwise deadlock any
+            # child that logs more than that — it can never exit, and the
+            # old code only read AFTER exit.
+            os.set_blocking(self.proc.stdout.fileno(), False)
             self.run_btn.setEnabled(False)
             self.timer.start()
 
+        def _drain(self):
+            try:
+                data = self.proc.stdout.read()  # None when no data is ready
+            except (OSError, ValueError):
+                data = None
+            if data:
+                self.output.appendPlainText(data.decode(errors="replace"))
+
         def poll(self):
-            # QTimer-polled subprocess, the targets_gui.py:255-301 pattern
+            # QTimer-polled subprocess, the targets_gui.py:255-301 pattern,
+            # with incremental stdout streaming into the pane
             if self.proc is None:
                 return
+            self._drain()
             rc = self.proc.poll()
             if rc is None:
                 return
-            out, _ = self.proc.communicate()
-            if out:
-                self.output.appendPlainText(out)
+            self._drain()  # final remainder after exit
+            self.proc.stdout.close()
             self.output.appendPlainText(f"[exit {rc}]")
             self.proc = None
             self.run_btn.setEnabled(True)
@@ -156,7 +162,7 @@ def build_app(argv=None):
                 form = ToolForm(tool, self)
                 self.forms[tool] = form
                 self.stack.addWidget(form)
-                btn = QPushButton(f"{tool} — {_DESCRIPTIONS[tool]}")
+                btn = QPushButton(f"{tool} — {TOOL_DESCRIPTIONS[tool]}")
                 btn.clicked.connect(lambda _=False, idx=i: self.stack.setCurrentIndex(idx))
                 lay.addWidget(btn)
 

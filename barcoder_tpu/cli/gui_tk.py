@@ -11,11 +11,12 @@ output pane (Tk's equivalent of the QTimer pattern)."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
-from .gui import TOOLS, build_argv
-from .gui_qt import _DESCRIPTIONS, _is_pathlike
+from .gui import TOOL_DESCRIPTIONS, TOOLS, build_argv
+from .gui_qt import _is_pathlike
 
 
 def build_app(root=None):
@@ -54,19 +55,28 @@ def build_app(root=None):
     def argv_for(tool: str) -> list[str]:
         return build_argv(tool, answers(tool))
 
+    def drain(tool: str):
+        # non-blocking incremental read — a full OS pipe (~64 KB) would
+        # block the child forever if we only read after exit
+        try:
+            data = state["proc"].stdout.read()  # None when nothing ready
+        except (OSError, ValueError):
+            data = None
+        if data:
+            outputs[tool].insert("end", data.decode(errors="replace"))
+
     def poll(tool: str):
         proc = state["proc"]
         if proc is None:
             return
+        drain(tool)
         rc = proc.poll()
         if rc is None:
             root.after(200, lambda: poll(tool))
             return
-        out, _ = proc.communicate()
-        box = outputs[tool]
-        if out:
-            box.insert("end", out)
-        box.insert("end", f"[exit {rc}]\n")
+        drain(tool)  # final remainder after exit
+        proc.stdout.close()
+        outputs[tool].insert("end", f"[exit {rc}]\n")
         state["proc"] = None
         run_btns[tool].state(["!disabled"])
 
@@ -79,8 +89,8 @@ def build_app(root=None):
             [sys.executable, "-m", "barcoder_tpu", *argv],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
-            text=True,
         )
+        os.set_blocking(state["proc"].stdout.fileno(), False)
         run_btns[tool].state(["disabled"])
         root.after(200, lambda: poll(tool))
 
@@ -117,7 +127,7 @@ def build_app(root=None):
         outputs[tool] = box
         ttk.Button(
             launcher,
-            text=f"{tool} — {_DESCRIPTIONS[tool]}",
+            text=f"{tool} — {TOOL_DESCRIPTIONS[tool]}",
             command=lambda t=tool: show(t),
         ).grid(row=i, column=0, sticky="ew", pady=2)
 

@@ -619,9 +619,16 @@ def sharded_scan(
     if P2 < halo:
         raise ValueError(f"subtile width {P2} must cover the halo {halo}")
 
-    # genome-axis blocks (+ halo materialized in padding when it fits; the
-    # ring ppermute provides cross-block and exact-multiple wrap codes)
-    B = _cdiv(n_starts, n_gen * P) * P
+    # genome-axis blocks. B is sized so total >= n_starts + halo: every code
+    # any VALID window reads (scan_len = n_starts + L - 1 <= n_starts + halo)
+    # is materialized inside the blocks themselves, and the ring ppermute is
+    # only load-bearing for cross-block reads of real in-block codes. The
+    # last device's received halo is device 0's block start — wrong codes
+    # for a linear tail or a non-exact circular wrap — but with this sizing
+    # only masked starts (>= n_starts) can reach it. (Sizing from n_starts
+    # alone silently dropped tail/wrap hits whenever total - n_starts < L-1;
+    # pinned by test_parallel.py boundary-band tests.)
+    B = _cdiv(n_starts + halo, n_gen * P) * P
     total = n_gen * B
 
     def _build_codes_blocks():
@@ -870,7 +877,10 @@ def sharded_scan_block_max(
     n_lib, n_gen = _mesh_dims(mesh)
     halo = K // 4
     n_starts = len(mask)
-    B = _cdiv(n_starts, n_gen * P) * P  # per-device starts, tile-aligned
+    # same boundary-band sizing as sharded_scan: materialize every code a
+    # valid start can read, so the last device's wrapped halo is only ever
+    # read by masked starts
+    B = _cdiv(n_starts + halo, n_gen * P) * P  # per-device starts, tile-aligned
     total = n_gen * B
 
     codes_padded = np.full(total, 4, dtype=np.int32)

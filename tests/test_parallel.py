@@ -55,6 +55,33 @@ class TestShardedScan:
         positions = {t[1] for t in b}
         assert {1014, 2047, 4077, 8187} <= positions
 
+    @pytest.mark.parametrize("n,topology", [
+        (8211, "linear"),    # n_starts=8192 = old 8*B exactly: tail windows
+        (8187, "circular"),  # old total-n = 5 < L-1: wrap windows
+        (8192, "linear"),    # exact multiple, tail band
+        (8200, "circular"),  # total-n = 8*1024-8200 < 19
+    ])
+    def test_boundary_band_geometries(self, mesh8, n, topology):
+        """Dense-path regression: when the per-device block total lands
+        within L-1 of n_starts, tail/wrap windows used to read the ring
+        halo's device-0 codes instead of the real scan tail and silently
+        lost hits. Plant a guide in the band and require oracle equality."""
+        rng = np.random.default_rng(n)
+        rec = make_record(n=n, topology=topology, seed=n % 97)
+        g_tail = rec.seq[n - 20 :] if topology == "linear" else None
+        spacers = [random_seq(20, rng)]
+        if topology == "linear":
+            spacers.append(g_tail)  # window ending exactly at the tail
+        else:
+            # a window spanning the origin wrap
+            spacers.append(rec.seq[n - 10 :] + rec.seq[:10])
+        contig = contig_from_record(rec)
+        a = tuples(oracle_scan(spacers, contig, 1))
+        b = tuples(sharded_scan(spacers, contig, 1, mesh=mesh8, P=256,
+                                site_mode="never"))
+        assert a == b
+        assert any(t[0] == 1 for t in b), "planted tail/wrap spacer lost"
+
     @pytest.mark.parametrize("n_lib,n_gen", [(2, 4), (4, 2), (8, 1)])
     def test_library_axis_sharding(self, n_lib, n_gen):
         # TP analog: spacer-library axis sharded over the mesh. 300 spacers
