@@ -270,7 +270,10 @@ class _DistillCheckpoint:
             )
         elif state is not None:
             info("distill checkpoint does not match inputs; starting fresh")
-            self._clear_runs()
+            # delete only the run files the stale manifest owns — the user
+            # may have pointed --checkpoint at a non-empty directory whose
+            # other run*.zst files are not ours to destroy
+            self._clear_runs([r[0] for r in state.get("runs", [])])
 
     @staticmethod
     def make_fingerprint(filenames, outputs, chunk_size) -> dict:
@@ -280,10 +283,11 @@ class _DistillCheckpoint:
             files.append([os.path.abspath(fn), st.st_size, st.st_mtime_ns])
         return {"files": files, "outputs": list(outputs), "chunk_size": chunk_size}
 
-    def _clear_runs(self) -> None:
-        for name in os.listdir(self.dir):
-            if name.startswith("run") and name.endswith(".zst"):
-                os.unlink(os.path.join(self.dir, name))
+    def _clear_runs(self, names: list[str]) -> None:
+        for name in names:
+            path = os.path.join(self.dir, os.path.basename(name))
+            if os.path.exists(path):
+                os.unlink(path)
 
     def save(self) -> None:
         state = {
@@ -304,7 +308,7 @@ class _DistillCheckpoint:
         self.save()
 
     def cleanup(self) -> None:
-        self._clear_runs()
+        self._clear_runs([os.path.basename(r.path) for r in self.runs])
         if os.path.exists(self.manifest_path):
             os.unlink(self.manifest_path)
 

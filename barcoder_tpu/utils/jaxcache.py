@@ -5,6 +5,12 @@ tunneled single-chip dev setup a cold Mosaic compile of the L=32 kernel
 costs ~2 minutes. Caching compiled executables on disk makes every CLI
 invocation after the first start hot.
 
+The cache (and the device-assignment key patch below) is scoped to the
+TPU/axon backends only: XLA:CPU persistent entries are AOT-compiled for the
+exact host CPU ("machine features") and loading them on a different machine
+warns/SIGILLs — CPU runs (tests, dryrun_multichip, cpu-fallback bench) must
+always compile fresh.
+
 Set BARCODER_TPU_NO_CACHE=1 to disable, BARCODER_TPU_CACHE_DIR to relocate.
 """
 
@@ -20,6 +26,14 @@ def enable_compilation_cache() -> None:
     if _enabled or os.environ.get("BARCODER_TPU_NO_CACHE"):
         return
     import jax
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no backend at all
+        return
+    if platform not in ("tpu", "axon"):
+        _enabled = True  # decided for this process; don't re-probe
+        return
 
     cache_dir = os.environ.get(
         "BARCODER_TPU_CACHE_DIR",
