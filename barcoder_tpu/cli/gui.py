@@ -58,6 +58,73 @@ TOOL_DESCRIPTIONS = {
 }
 
 
+class StreamDrainer:
+    """Incremental subprocess-stdout drain shared by both graphical
+    front-ends. Non-blocking pipe reads where the platform supports them
+    (POSIX; Windows anonymous pipes only gained ``os.set_blocking`` in
+    3.12), else a daemon reader thread feeding a queue — so Run never
+    deadlocks on a full pipe and never blocks the event loop. Bytes pass
+    through an incremental UTF-8 decoder: a multibyte sequence split
+    across two drains decodes correctly instead of emitting U+FFFD."""
+
+    def __init__(self, stream):
+        import codecs
+
+        self.stream = stream
+        self._decoder = codecs.getincrementaldecoder("utf-8")("replace")
+        self._queue = None
+        self._thread = None
+        try:
+            import os
+
+            os.set_blocking(stream.fileno(), False)
+        except (OSError, AttributeError):
+            import queue
+            import threading
+
+            self._queue = queue.Queue()
+            self._thread = threading.Thread(target=self._pump, daemon=True)
+            self._thread.start()
+
+    def _pump(self):
+        while True:
+            chunk = self.stream.read(8192)
+            if not chunk:
+                return
+            self._queue.put(chunk)
+
+    def read(self) -> str:
+        """Decoded text available right now ('' when none)."""
+        if self._queue is None:
+            try:
+                data = self.stream.read()  # None when nothing is ready
+            except (OSError, ValueError):
+                data = None
+        else:
+            import queue
+
+            chunks = []
+            while True:
+                try:
+                    chunks.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            data = b"".join(chunks)
+        return self._decoder.decode(data) if data else ""
+
+    def close(self) -> str:
+        """Final drain after child exit: wait out the pump thread (threaded
+        mode), collect the remainder, flush the decoder tail, close."""
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+        tail = self.read() + self._decoder.decode(b"", True)
+        try:
+            self.stream.close()
+        except OSError:
+            pass
+        return tail
+
+
 def build_argv(tool: str, answers: dict) -> list[str]:
     argv = [tool]
     for name, _, _ in TOOLS[tool]:

@@ -21,11 +21,10 @@ Tk front-end and then the TUI when unavailable. Smoke-tested offscreen
 
 from __future__ import annotations
 
-import os
 import subprocess
 import sys
 
-from .gui import TOOL_DESCRIPTIONS, TOOLS, build_argv
+from .gui import TOOL_DESCRIPTIONS, TOOLS, StreamDrainer, build_argv
 
 _PATHLIKE = ("file", "files", "genome", "fasta")
 
@@ -115,33 +114,33 @@ def build_app(argv=None):
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
             )
-            # non-blocking pipe: poll() drains incrementally every tick. A
-            # blocked pipe (~64 KB OS buffer) would otherwise deadlock any
-            # child that logs more than that — it can never exit, and the
-            # old code only read AFTER exit.
-            os.set_blocking(self.proc.stdout.fileno(), False)
+            # incremental drain every tick: a blocked pipe (~64 KB OS
+            # buffer) would otherwise deadlock any child that logs more
+            # than that — it can never exit, and the old code only read
+            # AFTER exit. StreamDrainer also keeps chunk boundaries out of
+            # the pane (no paragraph break per drain, no split-UTF-8 U+FFFD)
+            self.drainer = StreamDrainer(self.proc.stdout)
             self.run_btn.setEnabled(False)
             self.timer.start()
 
-        def _drain(self):
-            try:
-                data = self.proc.stdout.read()  # None when no data is ready
-            except (OSError, ValueError):
-                data = None
-            if data:
-                self.output.appendPlainText(data.decode(errors="replace"))
+        def _append(self, text: str):
+            if not text:
+                return
+            cursor = self.output.textCursor()
+            cursor.movePosition(cursor.End)
+            cursor.insertText(text)
+            self.output.setTextCursor(cursor)
 
         def poll(self):
             # QTimer-polled subprocess, the targets_gui.py:255-301 pattern,
             # with incremental stdout streaming into the pane
             if self.proc is None:
                 return
-            self._drain()
+            self._append(self.drainer.read())
             rc = self.proc.poll()
             if rc is None:
                 return
-            self._drain()  # final remainder after exit
-            self.proc.stdout.close()
+            self._append(self.drainer.close())  # remainder after exit
             self.output.appendPlainText(f"[exit {rc}]")
             self.proc = None
             self.run_btn.setEnabled(True)

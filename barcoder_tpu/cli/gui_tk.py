@@ -11,11 +11,10 @@ output pane (Tk's equivalent of the QTimer pattern)."""
 
 from __future__ import annotations
 
-import os
 import subprocess
 import sys
 
-from .gui import TOOL_DESCRIPTIONS, TOOLS, build_argv
+from .gui import TOOL_DESCRIPTIONS, TOOLS, StreamDrainer, build_argv
 from .gui_qt import _is_pathlike
 
 
@@ -33,7 +32,7 @@ def build_app(root=None):
     root.rowconfigure(0, weight=1)
 
     frames: dict[str, ttk.Frame] = {}
-    state = {"proc": None, "tool": None}
+    state = {"proc": None, "tool": None, "drainer": None}
 
     def show(name: str):
         for f in frames.values():
@@ -55,27 +54,20 @@ def build_app(root=None):
     def argv_for(tool: str) -> list[str]:
         return build_argv(tool, answers(tool))
 
-    def drain(tool: str):
-        # non-blocking incremental read — a full OS pipe (~64 KB) would
-        # block the child forever if we only read after exit
-        try:
-            data = state["proc"].stdout.read()  # None when nothing ready
-        except (OSError, ValueError):
-            data = None
-        if data:
-            outputs[tool].insert("end", data.decode(errors="replace"))
-
     def poll(tool: str):
+        # incremental drain — a full OS pipe (~64 KB) would block the
+        # child forever if we only read after exit; StreamDrainer handles
+        # non-blocking reads (or a reader thread where unsupported) and
+        # incremental UTF-8 decoding
         proc = state["proc"]
         if proc is None:
             return
-        drain(tool)
+        outputs[tool].insert("end", state["drainer"].read())
         rc = proc.poll()
         if rc is None:
             root.after(200, lambda: poll(tool))
             return
-        drain(tool)  # final remainder after exit
-        proc.stdout.close()
+        outputs[tool].insert("end", state["drainer"].close())
         outputs[tool].insert("end", f"[exit {rc}]\n")
         state["proc"] = None
         run_btns[tool].state(["!disabled"])
@@ -90,7 +82,7 @@ def build_app(root=None):
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        os.set_blocking(state["proc"].stdout.fileno(), False)
+        state["drainer"] = StreamDrainer(state["proc"].stdout)
         run_btns[tool].state(["disabled"])
         root.after(200, lambda: poll(tool))
 

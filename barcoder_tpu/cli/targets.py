@@ -124,7 +124,11 @@ def summary_table(args, result: TargetsResult) -> Table:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.compat_columns and not args.insert_site:
+        parser.error("--compat-columns requires --insert-site (it renames the "
+                     "insertCharacteristics columns, which only exist there)")
     console = Console(file=sys.stderr)
     console.log("[bold red]Initializing barcode target seeker[/bold red]")
 

@@ -153,3 +153,17 @@ class TestGui:
         monkeypatch.setattr(Prompt, "ask", staticmethod(lambda *a, **k: next(answers)))
         monkeypatch.setattr(Confirm, "ask", staticmethod(lambda *a, **k: False))
         assert run_tui() == 1
+
+
+class TestArgValidation:
+    def test_compat_columns_requires_insert_site(self, capsys):
+        """ADVICE r2: --compat-columns without --insert-site was silently
+        ignored; it must be a hard argparse error."""
+        import pytest
+
+        from barcoder_tpu.cli.targets import main
+
+        with pytest.raises(SystemExit) as exc:
+            main(["lib.tsv", "genome.gb", "NGG", "0", "--compat-columns"])
+        assert exc.value.code == 2
+        assert "--insert-site" in capsys.readouterr().err

@@ -60,6 +60,77 @@ class TestFormModel:
         assert not _is_pathlike("mismatches")
 
 
+class TestStreamDrainer:
+    """Incremental subprocess-output drain shared by both graphical
+    front-ends (ADVICE r2: no paragraph break per chunk, no U+FFFD from a
+    UTF-8 sequence split across drains, portable off POSIX)."""
+
+    def _spawn(self, code: str):
+        import subprocess
+        import sys
+
+        return subprocess.Popen(
+            [sys.executable, "-u", "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+
+    def _drain_all(self, proc, drainer, timeout=10.0):
+        import time
+
+        out = []
+        t0 = time.time()
+        while proc.poll() is None and time.time() - t0 < timeout:
+            out.append(drainer.read())
+            time.sleep(0.02)
+        out.append(drainer.close())
+        return "".join(out)
+
+    def test_split_utf8_never_emits_replacement_char(self):
+        from barcoder_tpu.cli.gui import StreamDrainer
+
+        # two-byte UTF-8 (é) written byte-by-byte with flushes + sleeps so
+        # reads land mid-sequence
+        code = (
+            "import sys, time\n"
+            "b = 'héllo wörld'.encode()\n"
+            "for i in range(len(b)):\n"
+            "    sys.stdout.buffer.write(b[i:i+1]); sys.stdout.flush()\n"
+            "    time.sleep(0.01)\n"
+        )
+        proc = self._spawn(code)
+        text = self._drain_all(proc, StreamDrainer(proc.stdout))
+        assert "�" not in text
+        assert "héllo wörld" in text
+
+    def test_no_inserted_breaks_and_large_output_drains(self):
+        from barcoder_tpu.cli.gui import StreamDrainer
+
+        # >64 KB on one line: would deadlock a blocking read-after-exit and
+        # would be garbled by per-chunk appendPlainText
+        code = "import sys\nsys.stdout.write('x' * 200000 + '\\nEND\\n')\n"
+        proc = self._spawn(code)
+        text = self._drain_all(proc, StreamDrainer(proc.stdout))
+        assert text.count("\n") == 2
+        assert text.startswith("x" * 1000)
+        assert "END" in text
+
+    def test_threaded_fallback_platforms_without_set_blocking(self, monkeypatch):
+        import os
+
+        from barcoder_tpu.cli import gui
+
+        def no_set_blocking(fd, blocking):
+            raise OSError("not supported on this platform")
+
+        monkeypatch.setattr(os, "set_blocking", no_set_blocking)
+        proc = self._spawn("print('from the thread')")
+        drainer = gui.StreamDrainer(proc.stdout)
+        assert drainer._thread is not None  # reader-thread mode engaged
+        text = self._drain_all(proc, drainer)
+        assert "from the thread" in text
+
+
 @pytest.mark.skipif(not _qt_available(), reason="PyQt5/display unavailable")
 class TestQtSmoke:
     def test_form_to_argv(self):
