@@ -55,6 +55,13 @@ def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.Argu
         "header verbatim (chrom/CRISPRtTarget/targStart/targEnd/targDir, "
         "no sp_dir) instead of the unified targets schema",
     )
+    p.add_argument(
+        "--max-sites", type=int, default=None, metavar="N",
+        help="Bowtie-parity reporting cap: keep each spacer's best N sites "
+        "genome-wide (the reference's bowtie -k 100, targets.py:502). "
+        "Default: report ALL hits. Pass 100 for apples-to-apples diffs "
+        "against real Bowtie output on dense-hit libraries",
+    )
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
     p.add_argument(
         "--profile", default=None, metavar="DIR",
@@ -154,6 +161,7 @@ def main(argv=None) -> int:
         insert_site=args.insert_site,
         phases=phases,
         compat_columns=args.compat_columns,
+        max_sites=args.max_sites,
     )
     if args.profile:
         import os as _os

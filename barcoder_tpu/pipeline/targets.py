@@ -324,6 +324,47 @@ ROW_COLUMNS = [
 ]
 
 
+def _cap_sites(contig_hits: list[tuple], max_sites: int) -> list[tuple]:
+    """Per-spacer genome-wide site cap (the ``-k 100`` Bowtie-parity
+    reporting limit, reference targets.py:502). Keeps each spacer's best
+    ``max_sites`` sites ranked by (mismatches, contig order, pos, strand)
+    and returns the filtered per-contig hit lists."""
+    from ..ops.types import Hits
+
+    total = sum(len(h) for _, h in contig_hits)
+    if total == 0:
+        return contig_hits
+    ci = np.concatenate(
+        [np.full(len(h), i, np.int64) for i, (_, h) in enumerate(contig_hits)]
+    )
+    sp = np.concatenate([h.spacer_idx for _, h in contig_hits])
+    pos = np.concatenate([h.pos for _, h in contig_hits])
+    strand = np.concatenate([h.strand for _, h in contig_hits])
+    mm = np.concatenate([h.mismatches for _, h in contig_hits])
+    order = np.lexsort((strand, pos, ci, mm, sp))
+    sp_sorted = sp[order]
+    # rank within each spacer run of the (spacer, mm, ...) sort
+    starts = np.empty(total, dtype=bool)
+    starts[0] = True
+    np.not_equal(sp_sorted[1:], sp_sorted[:-1], out=starts[1:])
+    run_start = np.maximum.accumulate(np.where(starts, np.arange(total), 0))
+    keep_sorted = (np.arange(total) - run_start) < max_sites
+    keep = np.zeros(total, dtype=bool)
+    keep[order[keep_sorted]] = True
+    out = []
+    offset = 0
+    for contig, h in contig_hits:
+        k = keep[offset : offset + len(h)]
+        offset += len(h)
+        out.append(
+            (
+                contig,
+                Hits(h.spacer_idx[k], h.pos[k], h.strand[k], h.mismatches[k]),
+            )
+        )
+    return out
+
+
 def run_targets(
     library: BarcodeLibrary,
     genome: Genome,
@@ -335,13 +376,23 @@ def run_targets(
     insert_site: bool = False,
     phases=None,
     compat_columns: bool = False,
+    max_sites: int | None = None,
 ) -> TargetsResult:
     """gene_window: "body" (targets.py) or "upstream" promoter windows
     (targets_in_upstream.py); insert_site adds the CRISPRt insSite /
     insDirection columns (insertCharacteristics.py); compat_columns emits
     the reference insertCharacteristics camelCase header (chrom /
     CRISPRtTarget / targStart / targEnd / targDir, no sp_dir); phases:
-    optional utils.profiling.Phases collector."""
+    optional utils.profiling.Phases collector.
+
+    max_sites: Bowtie-parity reporting cap. The reference invokes bowtie
+    with ``-k 100`` (targets.py:502, BowtieRunner.py:111-125), so its
+    output tables cap at 100 sites per spacer SEQUENCE on dense-hit
+    libraries; this engine reports ALL hits by default (usually better —
+    documented in ops/scan.py). Passing max_sites=100 reproduces the cap
+    for apples-to-apples diffs against real Bowtie output. Kept sites are
+    the best N by (mismatches, contig order, pos, strand) — deterministic,
+    unlike Bowtie's index-order tie-breaking without --best."""
     from ..utils.profiling import Phases
 
     phases = phases if phases is not None else Phases()
@@ -380,6 +431,7 @@ def run_targets(
         q_f = spacer_matrix(seqs)
         q_r = revcomp_matrix(q_f)
         seen = np.zeros(len(seqs), dtype=bool)
+        contig_hits: list[tuple] = []
         for contig in genome.contigs:
             if contig.length < L and not contig.circular:
                 continue
@@ -387,6 +439,13 @@ def run_targets(
                 hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
             phases.count("spacer_positions", 2 * len(seqs) * contig.length)
             phases.count("hits", len(hits))
+            contig_hits.append((contig, hits))
+        if max_sites is not None:
+            # the cap is per spacer across the WHOLE genome (Bowtie aligns
+            # each read against the full index), so apply it after all
+            # contigs of this length group have scanned
+            contig_hits = _cap_sites(contig_hits, max_sites)
+        for contig, hits in contig_hits:
             with phases.phase("annotate"):
                 frame = build_rows(
                     contig, hits, seqs, q_f, q_r, pam, pam_direction,

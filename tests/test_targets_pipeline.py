@@ -239,3 +239,56 @@ class TestRunTargets:
         assert s["total_genes"] == 8
         assert s["systematic_name"] == "20-NGG"
         assert s["unique_barcodes"] == 1
+
+
+class TestMaxSitesCap:
+    """--max-sites: the bowtie -k 100 reporting-cap parity switch
+    (reference targets.py:502, BowtieRunner.py:111-125). Default (None)
+    reports all hits; N keeps each spacer's best N sites genome-wide by
+    (mismatches, contig order, pos, strand)."""
+
+    def _dense_case(self):
+        rng = np.random.default_rng(7)
+        g = random_seq(20, rng)
+        positions = [500 + 60 * i for i in range(8)]
+        rec, genome = build_case(seed=7, planted=[
+            (g, p, dict(pam="TGG")) for p in positions
+        ])
+        lib = BarcodeLibrary.from_list([g])
+        return g, positions, genome, lib
+
+    def test_cap_limits_sites_per_spacer(self):
+        g, positions, genome, lib = self._dense_case()
+        full = run_targets(lib, genome, "NGG", 0)
+        n_full = full.results.tar_start.nunique()
+        assert n_full >= 6  # dense-hit spacer (plant collisions may drop a couple)
+        capped = run_targets(lib, genome, "NGG", 0, max_sites=3)
+        assert capped.results.tar_start.nunique() == 3
+        # kept sites are the best-ranked: v=0 ties break by position
+        kept = sorted(capped.results.tar_start.unique())
+        assert kept == sorted(full.results.tar_start.unique())[:3]
+
+    def test_cap_prefers_low_mismatch_sites(self):
+        rng = np.random.default_rng(8)
+        g = random_seq(20, rng)
+        mut = "A" + g[1:] if g[0] != "A" else "C" + g[1:]
+        # exact site at a HIGHER position than the mismatch sites — the cap
+        # must rank by mismatches first, not position
+        rec, genome = build_case(seed=8, planted=[
+            (mut, 500, dict(pam="AGG")),
+            (mut, 700, dict(pam="CGG")),
+            (g, 3000, dict(pam="TGG")),
+        ])
+        lib = BarcodeLibrary.from_list([g])
+        capped = run_targets(lib, genome, "NGG", 1, max_sites=1)
+        assert capped.results.tar_start.tolist() == [3000]
+        assert capped.results.mismatches.tolist() == [0]
+
+    def test_cap_larger_than_hits_is_identity(self):
+        g, positions, genome, lib = self._dense_case()
+        full = run_targets(lib, genome, "NGG", 0)
+        capped = run_targets(lib, genome, "NGG", 0, max_sites=10_000)
+        pd.testing.assert_frame_equal(
+            full.results.reset_index(drop=True),
+            capped.results.reset_index(drop=True),
+        )
