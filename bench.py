@@ -135,6 +135,44 @@ def bench_design_scale() -> dict:
     }
 
 
+def bench_cn32() -> dict:
+    """The reference's OWN library shape (VERDICT r2 item 3): 9,984 32-nt
+    spacers (CN-32-zmo.tsv scale) vs a 2 Mb circular genome (Zymomonas
+    scale), NGNC, v=1. At L=32, 4L == K == 128: no spare G row, so no
+    folded bias and no strand fusing — the site-compacted engine (forward
+    rows only, PAM columns pre-enumerated) is the flagship at this shape
+    and is forced here (site_mode='always') for a stable engine choice."""
+    from barcoder_tpu.core.encode import decode, encode
+    from barcoder_tpu.core.genome import Contig
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+
+    n = 2_000_000
+    L32 = 32
+    rng = np.random.default_rng(3)
+    seq = decode(rng.integers(0, 4, size=n).astype(np.int8))
+    contig = Contig(id="CN32.1", length=n, codes=encode(seq), seq=seq,
+                    topology="circular")
+    spacers = []
+    step = n // (N_SPACERS + 1)
+    pos = 0
+    while len(spacers) < N_SPACERS:
+        pos = (pos + step) % (n - L32 - 4)
+        spacers.append(seq[pos : pos + L32])
+    t0 = time.time()
+    hits = pallas_scan(spacers, contig, 1, pam="NGNC", P=P, site_mode="always")
+    first_s = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        hits = pallas_scan(spacers, contig, 1, pam="NGNC", P=P, site_mode="always")
+        dt = min(dt, time.time() - t0)
+    pairs = len(spacers) * n * 2
+    return {"genome_bp": n, "spacers": len(spacers), "spacer_len": L32,
+            "pam": "NGNC", "max_mismatches": 1, "hits": len(hits),
+            "first_call_s": first_s, "end_to_end_s": dt,
+            "pairs_per_s": pairs / dt}
+
+
 def bench_counting() -> tuple[dict, str]:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine).
@@ -309,6 +347,7 @@ def inner_main() -> int:
 
     os.remove(fastq_path)
     design = bench_design_scale()
+    cn32 = bench_cn32()
 
     pairs = len(spacers) * contig.length * 2  # both strands
     rate = pairs / total_s
@@ -332,6 +371,7 @@ def inner_main() -> int:
             "distill": distill,
             "distill_random": distill_random,
             "design": design,
+            "cn32": cn32,
         },
     }
     print(json.dumps(result))
