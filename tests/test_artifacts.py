@@ -31,6 +31,7 @@ def _clear_device_caches():
     ps._SITE_DEV_CACHE.clear()
 
 
+@pytest.mark.slow
 def test_site_table_persists_on_disk(art_dir, contig, monkeypatch):
     g = contig.seq[100:120]
     kw = dict(pam="NGG", P=512, interpret=True, site_mode="always")
@@ -54,6 +55,7 @@ def test_site_table_persists_on_disk(art_dir, contig, monkeypatch):
     assert (first.pos == second.pos).all() and (first.strand == second.strand).all()
 
 
+@pytest.mark.slow
 def test_packed_scan_persists_on_disk(art_dir, contig, monkeypatch):
     g = contig.seq[200:220]
     kw = dict(pam="NGG", P=512, interpret=True, site_mode="never")

@@ -39,6 +39,7 @@ def data(tmp_path_factory):
     return d, g
 
 
+@pytest.mark.slow
 def test_targets_cli(data):
     d, g = data
     p = run_cli(["targets", str(d / "lib.fasta"), str(d / "genome.gb"), "NGG", "0"])
@@ -48,6 +49,7 @@ def test_targets_cli(data):
     assert any(g in line for line in lines[1:])
 
 
+@pytest.mark.slow
 def test_targets_json_flag(data):
     d, g = data
     p = run_cli(["targets", str(d / "lib.fasta"), str(d / "genome.gb"), "NGG", "0", "--json"])
@@ -56,6 +58,7 @@ def test_targets_json_flag(data):
     assert isinstance(records, list) and any(r["spacer"] == g for r in records)
 
 
+@pytest.mark.slow
 def test_design_cli(data):
     d, _ = data
     p = run_cli(["design", str(d / "genome.gb"), "NGG", "20", "--keep-top", "2"])
@@ -65,6 +68,7 @@ def test_design_cli(data):
     assert "spacer" in lines[0]
 
 
+@pytest.mark.slow
 def test_mismatch_cli(data, tmp_path):
     spacers = tmp_path / "sp.tsv"
     spacers.write_text("target\nACGTACGTACGTACGTACGT\n")

@@ -28,6 +28,7 @@ def tuples(h: Hits):
 
 
 @pytest.mark.parametrize("grouped", [False, True])
+@pytest.mark.slow
 def test_extractors_match_oracle(grouped):
     rng = np.random.default_rng(3)
     rec = make_record(n=6000, seed=3)

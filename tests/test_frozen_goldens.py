@@ -44,6 +44,7 @@ def test_jax_backend_reproduces_golden(genome, subset_lib, v):
 
 
 @pytest.mark.parametrize("v", [1, 3])
+@pytest.mark.slow
 def test_pallas_interpret_reproduces_golden(genome, subset_lib, v):
     res = run_targets(subset_lib, genome, "NGNC", v, backend="pallas-interpret")
     assert res.table.to_csv(sep="\t", index=False) == _golden(v)

@@ -83,6 +83,7 @@ class TestShardedScan:
         assert any(t[0] == 1 for t in b), "planted tail/wrap spacer lost"
 
     @pytest.mark.parametrize("n_lib,n_gen", [(2, 4), (4, 2), (8, 1)])
+    @pytest.mark.slow
     def test_library_axis_sharding(self, n_lib, n_gen):
         # TP analog: spacer-library axis sharded over the mesh. 300 spacers
         # span 3 BS=128 blocks, so shards hold unequal real block counts and
@@ -101,6 +102,7 @@ class TestShardedScan:
         planted = {s for s, *_ in b}
         assert {0, 129, 257, 299} <= planted
 
+    @pytest.mark.slow
     def test_library_sharding_matches_genome_only_mesh(self, mesh8):
         rng = np.random.default_rng(4)
         rec = make_record(n=4096, topology="linear", seed=4)
@@ -137,6 +139,7 @@ class TestShardedScan:
         b = tuples(sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh8, P=256))
         assert a == b and len(a) >= 4
 
+    @pytest.mark.slow
     def test_capacity_overflow_retry(self, mesh8):
         # poly-A genome x poly-A spacer: every position hits, overflowing a
         # deliberately tiny pair/hit capacity -> the packed-header overflow
@@ -151,6 +154,7 @@ class TestShardedScan:
         assert a == b
         assert len(b) == 4096 - 20 + 1
 
+    @pytest.mark.slow
     def test_subtile_decode(self, mesh8):
         # SUB > 1 (sub_width < P): the (t_big, subtile) -> P2-grid decode
         # and the per-subtile phase-2 masks are exercised

@@ -63,6 +63,7 @@ def counts_of(stdout: str) -> Counter:
     return out
 
 
+@pytest.mark.slow
 class TestHeuristicountDifferential:
     def _setup(self, tmp_path, paired, n_reads=1200, seed=9, undocumented=None):
         barcodes = make_barcodes(n=14, seed=seed)
@@ -107,6 +108,7 @@ class TestHeuristicountDifferential:
         assert ours == ref and sum(ref.values()) > 0
 
 
+@pytest.mark.slow
 class TestHeuristicountFuzzDifferential:
     """Randomized construct geometries (prefix/flank/tail lengths, paired
     or single, undocumented barcodes, barcode length) through BOTH
@@ -176,6 +178,7 @@ def open(*a, **k):
 """
 
 
+@pytest.mark.slow
 class TestDistillDifferential:
     def test_paired_outputs_identical(self, tmp_path):
         import gzip
@@ -226,6 +229,7 @@ class TestDistillDifferential:
         assert len(read_zst(ref_dir / "r1.reads.zst")) == 400
 
 
+@pytest.mark.slow
 class TestMismatchDifferential:
     PARAMS = os.path.join(REF, "mismatch_parameters.csv")
 

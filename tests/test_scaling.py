@@ -1,8 +1,11 @@
 """Scaling harness mechanics on the 8-fake-device mesh."""
 
+import pytest
+
 from barcoder_tpu.parallel.scaling import measure_scaling
 
 
+@pytest.mark.slow
 def test_measure_scaling_mechanics():
     r = measure_scaling(
         n_bp=1 << 16, n_spacers=128, repeats=1, device_counts=[1, 2, 8],

@@ -62,6 +62,7 @@ def test_site_mode_upstream_pam_and_n_bases():
     assert any(p == 1200 for _, p, _, _ in got)
 
 
+@pytest.mark.slow
 def test_site_mode_agrees_with_dense_mode():
     rng = np.random.default_rng(37)
     rec = make_record(n=4000, topology="circular", seed=37)
@@ -87,6 +88,7 @@ def test_enumerate_sites_covers_all_pam_windows():
     assert codes.shape == (len(pos), 20)
 
 
+@pytest.mark.slow
 def test_site_mode_L32_no_spare_row():
     # 4L == K leaves no spare G row; matrix mode never folds bias so L=32
     # must work (dense mode falls back to per-strand additive there)
@@ -122,6 +124,7 @@ def test_site_batched_path_matches_spec_path(monkeypatch):
     assert spec == batched == want
 
 
+@pytest.mark.slow
 def test_site_table_cache_and_repeat_policy(monkeypatch):
     """First small-library auto scan runs dense; the second on the same
     (genome, pam, L) builds + caches the site table; later scans reuse it

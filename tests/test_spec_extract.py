@@ -23,6 +23,7 @@ def tuples(h):
 
 
 @pytest.mark.parametrize("topology", ["circular", "linear"])
+@pytest.mark.slow
 def test_spec_path_matches_oracle(topology):
     rng = np.random.default_rng(7)
     rec = make_record(n=4000, topology=topology, seed=7)
@@ -40,6 +41,7 @@ def test_spec_path_matches_oracle(topology):
     assert len(got) >= 8  # every planted guide found (PAM planted)
 
 
+@pytest.mark.slow
 def test_spec_overflow_falls_back():
     rng = np.random.default_rng(9)
     rec = make_record(n=4000, topology="circular", seed=9)
@@ -57,6 +59,7 @@ def test_spec_overflow_falls_back():
     assert len(got) >= 8
 
 
+@pytest.mark.slow
 def test_spec_hit_cap_overflow_falls_back():
     # many hits of one spacer: n_hits > spec_cap must discard the
     # speculative result and produce the same table via the batched path
@@ -77,6 +80,7 @@ def test_spec_hit_cap_overflow_falls_back():
     assert len(got) > 16
 
 
+@pytest.mark.slow
 def test_n_bases_through_2bit_ship():
     # genomic Ns ride the sparse exception list of the 2-bit device ship
     # (_build_scan_device); windows covering an N must never match, and
@@ -100,6 +104,7 @@ def test_n_bases_through_2bit_ship():
     assert not any(p == 900 for _, p, _, _ in got)
 
 
+@pytest.mark.slow
 def test_tiny_contig_nibble_fallback():
     # contigs shorter than the wrap-halo length use the nibble ship path
     rng = np.random.default_rng(17)
@@ -111,6 +116,7 @@ def test_tiny_contig_nibble_fallback():
     assert got == want and any(p == 5 for _, p, _, _ in got)
 
 
+@pytest.mark.slow
 def test_dense_repeat_topk_retry():
     # >4 hits of one spacer inside a single phase-2 subtile forces the
     # max_row_hits > k retry in _compact_hits; results must stay exact
