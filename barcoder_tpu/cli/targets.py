@@ -145,9 +145,11 @@ def main(argv=None) -> int:
     console.log("Loading genome and annotations...")
     genome = Genome.load(args.genome_file)
 
-    from ..utils.profiling import Phases, device_trace, dump_summary
+    from ..utils.profiling import Phases, compile_stats, device_trace, dump_summary
 
     phases = Phases()
+    cs = compile_stats() if args.profile else None
+    cs_pre = cs.snapshot() if cs else None
     console.log("Scanning genome on device...")
     with device_trace(args.profile):
         result = run_targets(
@@ -166,6 +168,7 @@ def main(argv=None) -> int:
     if args.profile:
         import os as _os
 
+        phases.counters["xla_compiles"] = cs.delta(cs_pre)
         dump_summary(phases, _os.path.join(args.profile, "phases.json"))
         console.log(f"Wrote device trace + phase timings to {args.profile}")
 

@@ -323,14 +323,20 @@ def cpu_fallback() -> int:
 def inner_main() -> int:
     import jax
 
+    from barcoder_tpu.utils.profiling import compile_stats
+
+    cs = compile_stats()  # listeners must register before the first jit
+
     from barcoder_tpu.ops.pallas_scan import pallas_scan
 
     platform = jax.devices()[0].platform
     contig, spacers = build_config()
 
+    pre = cs.snapshot()
     t0 = time.time()
     hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
     warm_s = time.time() - t0
+    first_call_compiles = cs.delta(pre)
 
     # best of 3: single samples on the tunneled dev chip vary +-30%
     total_s = float("inf")
@@ -366,6 +372,8 @@ def inner_main() -> int:
             "hits": len(hits),
             "end_to_end_s": total_s,
             "first_call_s": warm_s,
+            "first_call_compiles": first_call_compiles,
+            "process_compiles": cs.snapshot(),
             "kernel": kernel,
             "counting": counting,
             "distill": distill,

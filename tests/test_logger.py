@@ -50,3 +50,22 @@ def test_log_methods_do_not_raise():
     assert any("hello" in m for m in records)
     assert any("No errors reported" in m for m in records)
     assert any("No help available" in m for m in records)
+
+
+class TestCompileStats:
+    def test_counts_backend_compiles(self):
+        import jax
+        import jax.numpy as jnp
+
+        from barcoder_tpu.utils.profiling import compile_stats
+
+        cs = compile_stats()
+        pre = cs.snapshot()
+        jax.jit(lambda x: x * 3 + 1)(jnp.arange(7))
+        d = cs.delta(pre)
+        assert d["compiles"] >= 1
+        assert d["compile_s"] > 0
+        # second call: cached executable, no new compile
+        pre2 = cs.snapshot()
+        jax.jit(lambda x: x * 3 + 1)(jnp.arange(7))
+        assert compile_stats() is cs  # singleton
