@@ -44,7 +44,9 @@ class ShardedCounter(DeviceCounter):
 
     Chunk semantics (flank windows, paired revcomp consistency, N filter,
     undocumented ``seq*`` counting) are inherited unchanged — only the
-    exact-match + tally stage is distributed."""
+    exact-match + tally stage is distributed. Like the single-device
+    engine, d2h is one packbits'd matched bit per read (sharded) plus the
+    psum-merged count vector (replicated)."""
 
     def __init__(self, cfg: CountConfig, mesh: Mesh | None = None):
         super().__init__(cfg)
@@ -75,13 +77,13 @@ class ShardedCounter(DeviceCounter):
             idx, m = idx.reshape(-1), m.reshape(-1)
             local = jnp.zeros((B_pad,), jnp.int32).at[idx].add(m.astype(jnp.int32))
             counts = jax.lax.psum(local, READS_AXIS)
-            return idx, m, counts
+            return jnp.packbits(m), counts
 
         fn = jax.shard_map(
             shard_fn,
             mesh=self._mesh,
             in_specs=(P_(READS_AXIS), P_(READS_AXIS), P_()),
-            out_specs=(P_(READS_AXIS), P_(READS_AXIS), P_()),
+            out_specs=(P_(READS_AXIS), P_()),
             check_vma=False,
         )
         self._match_jit = jax.jit(fn)
@@ -99,17 +101,7 @@ class ShardedCounter(DeviceCounter):
         sharding = NamedSharding(self._mesh, P_(READS_AXIS))
         codes_d = jax.device_put(codes_p, sharding)
         elig_d = jax.device_put(elig_p, sharding)
-        idx, m, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
-        return n, idx, m, counts
-
-    def _drain_entry(self, entry) -> None:
-        (n, _idx_f, m_f, counts_f), cores, eligible = entry
-        # documented counts arrive psum-merged across the mesh
-        self.doc_counts += np.asarray(counts_f)[: self.B].astype(np.int64)
-        matched = np.asarray(m_f)[:n]
-        un = eligible & ~matched
-        if un.any():
-            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
-            for row, cnt in zip(uniq, counts):
-                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
-                self.undoc[seq + "*"] += int(cnt)
+        mbits, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
+        # (n, matched-bits, psum-merged counts): the DeviceCounter drain
+        # contract, so _drain_entry is inherited unchanged
+        return n, mbits, counts

@@ -764,7 +764,12 @@ class DeviceCounter(VectorCounter):
     Semantics are identical to VectorCounter / count_chunk_reference
     (cross-checked in tests). Worth it when reads already stream to the
     accelerator faster than host cores can slice them — on PCIe-attached
-    production chips, not on a ~50 MB/s tunneled dev link."""
+    production chips, not on a ~50 MB/s tunneled dev link.
+
+    d2h per chunk is ONE bit per read (the matched mask, packbits'd on
+    device — undocumented-read resolution needs it) plus the B-sized count
+    vector: documented counts tally on device (scatter-add over the match
+    indices), so no per-read index column ever crosses back."""
 
     _READ_SLICE = 8192  # rows per matmul slice (keeps the (rows, B) score
     # matrix ~300 MB at 10k barcodes)
@@ -806,6 +811,8 @@ class DeviceCounter(VectorCounter):
         S = self._READ_SLICE
         bc_len, B = self.bc_len, self.B
 
+        B_pad = int(self._bc_oh.shape[1])
+
         @functools.partial(jax.jit, static_argnames=())
         def match(codes_d, elig_d, bc_oh):
             def one_slice(args):
@@ -820,14 +827,17 @@ class DeviceCounter(VectorCounter):
             cs = codes_d.reshape(-1, S, 2)
             es = elig_d.reshape(-1, S)
             idx, m = jax.lax.map(one_slice, (cs, es))
-            return idx.reshape(-1), m.reshape(-1)
+            idx, m = idx.reshape(-1), m.reshape(-1)
+            counts = jnp.zeros((B_pad,), jnp.int32).at[idx].add(m.astype(jnp.int32))
+            return jnp.packbits(m), counts
 
         self._match_jit = match
         return match
 
     def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
-        """Dispatch one chunk's matching; returns (n, idx_fut, m_fut)
-        device futures so chunks pipeline (fetch happens in results())."""
+        """Dispatch one chunk's matching; returns (n, matched-bits future,
+        device count-vector future) so chunks pipeline (fetch happens in
+        results())."""
         jnp = self._jnp
         n = core_codes.shape[0]
         S = self._READ_SLICE
@@ -837,8 +847,10 @@ class DeviceCounter(VectorCounter):
         codes_p[:n] = packed
         elig_p = np.zeros(n_pad, bool)  # pad rows (decode as poly-A) stay
         elig_p[:n] = eligible & ~has_n  # ineligible, so they never count
-        idx, m = self._match_fn()(jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh)
-        return n, idx, m
+        mbits, counts = self._match_fn()(
+            jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh
+        )
+        return n, mbits, counts
 
     def _tally(self, keys, cores, eligible) -> None:
         """Same contract as VectorCounter._tally, but the key matching runs
@@ -860,11 +872,9 @@ class DeviceCounter(VectorCounter):
     _MAX_PENDING = 8
 
     def _drain_entry(self, entry) -> None:
-        (n, idx_f, m_f), cores, eligible = entry
-        idx = np.asarray(idx_f)[:n]
-        matched = np.asarray(m_f)[:n]
-        if matched.any():
-            np.add.at(self.doc_counts, idx[matched], 1)
+        (n, mb_f, c_f), cores, eligible = entry
+        self.doc_counts += np.asarray(c_f)[: self.B].astype(self.doc_counts.dtype)
+        matched = np.unpackbits(np.asarray(mb_f))[:n].astype(bool)
         un = eligible & ~matched
         if un.any():
             uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
