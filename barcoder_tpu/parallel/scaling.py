@@ -177,6 +177,7 @@ def main(argv=None) -> int:
     args = list(sys.argv[1:] if argv is None else argv)
     engine = "flagship"
     single = False
+    P = None
     if "--engine" in args:
         i = args.index("--engine")
         engine = args[i + 1]
@@ -184,12 +185,17 @@ def main(argv=None) -> int:
     if "--single-chip" in args:
         single = True
         args.remove("--single-chip")
+    if "--P" in args:
+        i = args.index("--P")
+        P = int(args[i + 1])
+        del args[i : i + 2]
     n_bp = int(args[0]) if args else 1 << 21
     n_spacers = int(args[1]) if len(args) > 1 else 1024
     print(
         json.dumps(
             measure_scaling(
-                n_bp=n_bp, n_spacers=n_spacers, engine=engine, single_chip=single
+                n_bp=n_bp, n_spacers=n_spacers, engine=engine,
+                single_chip=single, P=P,
             ),
             indent=2,
         )

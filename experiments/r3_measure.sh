@@ -17,6 +17,10 @@ timeout 900 python -c "
 import time, numpy as np
 from barcoder_tpu.utils.profiling import compile_stats
 cs = compile_stats()
+import jax
+b = jax.devices()[0].client
+print('platform_version', repr(getattr(b, 'platform_version', None)))
+print('runtime_type', repr(getattr(b, 'runtime_type', None)))
 from barcoder_tpu.ops.pallas_scan import pallas_scan
 from barcoder_tpu.core.encode import decode, encode
 from barcoder_tpu.core.genome import Contig
