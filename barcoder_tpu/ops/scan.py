@@ -9,7 +9,10 @@ All backends share the same contract:
 
 reporting every site on either strand with Hamming distance <= v whose PAM
 context matches — the semantics of ``bowtie -a -v N`` followed by the
-reference's PAM rejection (targets.py:350-352), with no -k cap.
+reference's PAM rejection (targets.py:350-352), with no -k cap. (The
+targets pipeline's ``--max-sites N`` reproduces the reference's ``-k 100``
+reporting cap post-scan when apples-to-apples diffs are needed;
+pipeline/targets._cap_sites.)
 """
 
 from __future__ import annotations
