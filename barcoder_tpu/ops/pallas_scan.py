@@ -1846,20 +1846,32 @@ def pallas_scan_contigs(
 
     results: dict[str, Hits] = {}
     for c in contigs:
-        site_tab = site_key = None
+        site_tab = site_key = art_key = None
         if bool(pam) and site_mode != "never":
+            digest = _content_digest(np.ascontiguousarray(c.codes))
             site_key = (
                 c.id, c.length, bool(c.circular), L, pam, pam_direction, P,
-                _content_digest(np.ascontiguousarray(c.codes)),
+                digest,
             )
             site_tab = _SITE_DEV_CACHE.get(site_key)
+            art_key = (
+                f"{digest.hex()}-{c.length}-{int(bool(c.circular))}"
+                f"-{L}-{pam}-{pam_direction}"
+            )
         # a cached site table makes site mode the fastest engine at ANY
         # library size (the crossover cost — host enumeration + matrix
-        # ship — is already paid); without one it wins only at design scale
+        # ship — is already paid); without one it wins only at design scale.
+        # A site-table artifact on DISK counts too: a previous process
+        # already promoted this (genome, pam, L) — starting in site mode
+        # from call 1 skips compiling the dense engine entirely in this
+        # process (VERDICT r2 item 2: cold start).
+        from ..utils import artifacts
+
         use_sites = bool(pam) and site_mode != "never" and (
             site_mode == "always"
             or prep.S_pad >= _SITE_MODE_MIN_SPACERS
             or site_tab is not None
+            or artifacts.exists("sites", art_key)
         )
         if not use_sites and site_key is not None:
             # repeat scans of the same (genome, pam, L): pay the one-time
@@ -1868,12 +1880,6 @@ def pallas_scan_contigs(
             use_sites = _SITE_SEEN.bump(site_key) >= 2
         if use_sites:
             if site_tab is None:
-                from ..utils import artifacts
-
-                art_key = (
-                    f"{_content_digest(np.ascontiguousarray(c.codes)).hex()}"
-                    f"-{c.length}-{int(bool(c.circular))}-{L}-{pam}-{pam_direction}"
-                )
                 art = artifacts.load("sites", art_key)
                 if art is not None:
                     positions, strands, codes = (

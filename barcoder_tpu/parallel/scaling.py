@@ -158,7 +158,12 @@ def measure_scaling(
                 }
             )
         out[eng] = results
-    if single_chip:
+    if single_chip and devices[0].platform == "cpu":
+        # the flagship single-chip engine is Mosaic-only (interpret mode
+        # would time the emulator, not the engine) — the sharded-vs-single
+        # gap is a real-accelerator measurement
+        out["single_chip"] = {"skipped": "cpu mesh (Mosaic kernels unavailable)"}
+    elif single_chip:
         dt, n_hits = _time_single_chip(contig, spacers, repeats)
         out["single_chip"] = {
             "seconds": dt,
@@ -178,6 +183,12 @@ def main(argv=None) -> int:
     engine = "flagship"
     single = False
     P = None
+    if "--cpu" in args:
+        # the axon plugin ignores JAX_PLATFORMS; only the config knob works
+        # (fake-device count still comes from XLA_FLAGS
+        # --xla_force_host_platform_device_count=N)
+        jax.config.update("jax_platforms", "cpu")
+        args.remove("--cpu")
     if "--engine" in args:
         i = args.index("--engine")
         engine = args[i + 1]
@@ -189,13 +200,18 @@ def main(argv=None) -> int:
         i = args.index("--P")
         P = int(args[i + 1])
         del args[i : i + 2]
+    device_counts = None
+    if "--devices" in args:
+        i = args.index("--devices")
+        device_counts = [int(x) for x in args[i + 1].split(",")]
+        del args[i : i + 2]
     n_bp = int(args[0]) if args else 1 << 21
     n_spacers = int(args[1]) if len(args) > 1 else 1024
     print(
         json.dumps(
             measure_scaling(
                 n_bp=n_bp, n_spacers=n_spacers, engine=engine,
-                single_chip=single, P=P,
+                single_chip=single, P=P, device_counts=device_counts,
             ),
             indent=2,
         )

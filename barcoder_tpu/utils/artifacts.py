@@ -64,6 +64,14 @@ def load(kind: str, key: str) -> dict[str, np.ndarray] | None:
         return None
 
 
+def exists(kind: str, key: str) -> bool:
+    """Cheap presence probe (no load): does this artifact sit on disk?"""
+    d = cache_dir()
+    if d is None:
+        return False
+    return os.path.exists(os.path.join(d, f"{kind}-{key}.npz"))
+
+
 def store(kind: str, key: str, **arrays: np.ndarray) -> None:
     """Persist an artifact atomically; best-effort (never raises)."""
     d = cache_dir()

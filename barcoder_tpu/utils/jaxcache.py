@@ -45,9 +45,32 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _strip_device_assignment_from_cache_key()
+        if platform == "axon":
+            _force_cache_used_for_axon()
         _enabled = True
     except Exception:  # pragma: no cover - cache is best-effort
         pass
+
+
+def _force_cache_used_for_axon() -> None:
+    """jax 0.9 hard-codes the persistent cache to platforms
+    ``["tpu", "gpu", "cpu", "neuron"]`` (`compilation_cache.is_cache_used`);
+    the axon tunnel plugin reports platform "axon", so every process paid a
+    full Mosaic recompile (BENCH_r02: first_call_s = 104 s) while the cache
+    dir stayed empty. The backend IS a TPU and (when it advertises
+    executable serialization) its executables round-trip fine — mark the
+    cache as usable for this task. No-ops if the client explicitly reports
+    ``supports_executable_serialization = False``."""
+    import jax
+
+    client = jax.devices()[0].client
+    if not getattr(client, "supports_executable_serialization", True):
+        return
+    from jax._src import compilation_cache as _cc
+
+    with _cc._cache_initialized_mutex:
+        _cc._cache_checked = True
+        _cc._cache_used = True
 
 
 def _strip_device_assignment_from_cache_key() -> None:
