@@ -655,12 +655,41 @@ def extract_hits_for_pairs(
 MAX_PAM = 12  # pattern slots in the traced PAM spec (reference PAMs are 2-4 nt)
 
 
+_DIGEST_MEMO: OrderedDict = OrderedDict()
+_DIGEST_MEMO_MAX = 64
+
+
 def _content_digest(arr: np.ndarray) -> bytes:
     """Collision-safe content key for the device caches: blake2b-128 of the
     raw buffer (~1 GB/s — noise next to the h2d ship it guards). adler32
     was rejected: a 32-bit checksum colliding across two genomes with the
-    same contig id/length would silently serve a stale site table."""
-    return hashlib.blake2b(arr.tobytes(), digest_size=16).digest()
+    same contig id/length would silently serve a stale site table.
+
+    Memoized per live array object (id + data pointer + nbytes, validated
+    by weakref): steady-state re-scans were spending ~10 ms/scan re-hashing
+    the same 4.6 MB genome (shard_gap breakdown, r3). In-place mutation of
+    a previously-digested array is NOT detected — genome/library arrays are
+    treated as immutable throughout this package (same contract the device
+    LRUs rely on)."""
+    import weakref
+
+    key = id(arr)
+    ent = _DIGEST_MEMO.get(key)
+    if ent is not None:
+        ref, ptr, nbytes, dig = ent
+        if ref() is arr and arr.ctypes.data == ptr and arr.nbytes == nbytes:
+            _DIGEST_MEMO.move_to_end(key)
+            return dig
+        del _DIGEST_MEMO[key]
+    c = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
+    dig = hashlib.blake2b(c.tobytes(), digest_size=16).digest()
+    try:
+        _DIGEST_MEMO[key] = (weakref.ref(arr), arr.ctypes.data, arr.nbytes, dig)
+        while len(_DIGEST_MEMO) > _DIGEST_MEMO_MAX:
+            _DIGEST_MEMO.popitem(last=False)
+    except TypeError:  # pragma: no cover - non-weakrefable array subclass
+        pass
+    return dig
 
 
 class _DeviceScanCache(OrderedDict):
@@ -1166,7 +1195,7 @@ class _ScanJob:
         # bucket, not per genome
         self.n_starts_b = _geom_bucket(self.n_starts, p.P)
         total = self.n_starts_b + p.halo_total
-        digest = _content_digest(np.ascontiguousarray(contig.codes))
+        digest = _content_digest(contig.codes)
         cache_key = (
             contig.id, n, bool(contig.circular), total, halo_len, digest,
         )
@@ -1848,7 +1877,7 @@ def pallas_scan_contigs(
     for c in contigs:
         site_tab = site_key = art_key = None
         if bool(pam) and site_mode != "never":
-            digest = _content_digest(np.ascontiguousarray(c.codes))
+            digest = _content_digest(c.codes)
             site_key = (
                 c.id, c.length, bool(c.circular), L, pam, pam_direction, P,
                 digest,

@@ -71,6 +71,11 @@ _HDR = 6  # packed header ints:
 
 _MM_BITS = 6  # mismatch bits in the packed hit word (mm <= L <= 63)
 
+# per-scan wall-time breakdown of the last sharded site scan (observability
+# for the sharded-vs-single gap work; read by experiments/shard_gap.py and
+# parallel/scaling.py --breakdown)
+LAST_TIMINGS: dict = {}
+
 
 def _decode_packed_hits(row, cap, n_sig):
     """(word0, word1) hit lists from one device's packed payload → (global
@@ -445,7 +450,7 @@ def _site_table_host(contig: Contig, L: int, pam: str, pam_direction: str):
     from ..ops.prep import enumerate_sites
     from ..utils import artifacts
 
-    digest = _content_digest(np.ascontiguousarray(contig.codes))
+    digest = _content_digest(contig.codes)
     art_key = (
         f"{digest.hex()}-{contig.length}-{int(bool(contig.circular))}"
         f"-{L}-{pam}-{pam_direction}"
@@ -479,6 +484,9 @@ def _sharded_site_scan(
     interpret: bool,
 ) -> Hits:
     """Site-compacted multi-device scan (see _sharded_site_engine)."""
+    import time as _time
+
+    _t0 = _time.time()
     n_lib, n_gen = _mesh_dims(mesh)
     S, L = q_f.shape
     K = max(_cdiv(4 * L, 128) * 128, 128)
@@ -547,7 +555,15 @@ def _sharded_site_scan(
             cap_rows=min(cap_rows, pair_cap * BS_M), k=k_top,
             use_pallas=use_pallas, interpret=interpret,
         )
-        packed = np.asarray(eng(codes_dev, n_sites_v, q_dev, thresh_v))
+        _t1 = _time.time()
+        fut = eng(codes_dev, n_sites_v, q_dev, thresh_v)
+        _t2 = _time.time()
+        packed = np.asarray(fut)
+        _t3 = _time.time()
+        LAST_TIMINGS.update(
+            host_prep_s=_t1 - _t0, dispatch_s=_t2 - _t1, fetch_s=_t3 - _t2,
+            payload_ints=int(packed.size),
+        )
         worst_pairs = int(packed[..., 0].max())
         worst_hits = int(packed[..., 1].max())
         worst_rows = int(packed[..., 3].max())
@@ -591,7 +607,9 @@ def _sharded_site_scan(
                     mismatches=mm_vals[keep].astype(np.int32),
                 )
             )
-    return Hits.concat(out).sorted()
+    res = Hits.concat(out).sorted()
+    LAST_TIMINGS["decode_s"] = _time.time() - _t3
+    return res
 
 
 def sharded_scan(
@@ -689,7 +707,7 @@ def sharded_scan(
     from ..ops.pallas_scan import _content_digest
 
     mesh_key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.ravel()))
-    genome_digest = _content_digest(np.ascontiguousarray(contig.codes))
+    genome_digest = _content_digest(contig.codes)
     base_key = (genome_digest, contig.id, n, bool(contig.circular),
                 L, pam, pam_direction, n_gen, B, mesh_key)
     codes_dev = _GENOME_SHARD_CACHE.get_or_put(

@@ -267,7 +267,10 @@ def main() -> int:
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--inner"],
-            capture_output=True, text=True, timeout=2400,
+            # attach alone can cost 20+ min if another TPU process exited
+            # recently (see CLAUDE.md); compiles are cache-hits after the
+            # first round, so the budget is mostly attach headroom
+            capture_output=True, text=True, timeout=3300,
         )
         for line in (proc.stdout or "").splitlines():
             if line.startswith("{"):
@@ -332,6 +335,16 @@ def inner_main() -> int:
     platform = jax.devices()[0].platform
     contig, spacers = build_config()
 
+    # the tunneled dev chip charges a fixed ~20 s session-attach cost to the
+    # FIRST dispatched program, whatever it is (an 8x8 matmul pays the same)
+    # — measure it separately so first_call_s isolates the framework's own
+    # cold-start (compiles/cache loads/prep), not the link setup
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    attach_s = time.time() - t0
+
     pre = cs.snapshot()
     t0 = time.time()
     hits = pallas_scan(spacers, contig, V, pam=PAM, P=P)
@@ -371,6 +384,7 @@ def inner_main() -> int:
             "max_mismatches": V,
             "hits": len(hits),
             "end_to_end_s": total_s,
+            "attach_s": attach_s,
             "first_call_s": warm_s,
             "first_call_compiles": first_call_compiles,
             "process_compiles": cs.snapshot(),
