@@ -715,6 +715,7 @@ class _DeviceScanCache(OrderedDict):
 
 
 _SCAN_DEV_CACHE = _DeviceScanCache()
+_QPREP_CACHE = _DeviceScanCache()  # content-keyed _QPrep (library device prep)
 
 
 def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
@@ -1865,7 +1866,17 @@ def pallas_scan_contigs(
             c.id: jax_scan(spacers, c, max_mismatches, pam, pam_direction)
             for c in contigs
         }
-    prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
+    # library prep (one-hot device blocks, PAM specs) is immutable after
+    # construction and was rebuilt + re-shipped (~200 KB h2d + dispatches)
+    # on EVERY scan; steady-state serving re-scans the same library, so
+    # cache it content-keyed like the genome-side device arrays
+    qp_key = (
+        _content_digest(q_f), max_mismatches, pam, pam_direction, P, sub_width,
+    )
+    prep = _QPREP_CACHE.get(qp_key)
+    if prep is None:
+        prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
+        _QPREP_CACHE.put(qp_key, prep)
     # contigs run sequentially (shared prep amortizes the library shipping
     # and one-hot builds): overlapping one contig's phase-1 dispatches with
     # another's collect measured PATHOLOGICAL on tunneled dev links (first

@@ -76,6 +76,27 @@ _MM_BITS = 6  # mismatch bits in the packed hit word (mm <= L <= 63)
 # parallel/scaling.py --breakdown)
 LAST_TIMINGS: dict = {}
 
+# grown static capacities remembered across scans, keyed by workload
+# identity. Without this every scan restarted from the signature defaults
+# (pair_cap=256), and any workload that overflows them paid the capacity
+# retry — a full second engine round (dispatch + fetch) — on EVERY scan,
+# not just the first (measured: 2x wall on the bench workload, r3).
+_CAPS_MEMO: dict = {}
+_CAPS_MEMO_MAX = 256
+
+
+def _caps_recall(key, *caps):
+    ent = _CAPS_MEMO.get(key)
+    if ent is None:
+        return caps
+    return tuple(max(c, m) for c, m in zip(caps, ent))
+
+
+def _caps_store(key, *caps) -> None:
+    _CAPS_MEMO[key] = caps
+    while len(_CAPS_MEMO) > _CAPS_MEMO_MAX:
+        _CAPS_MEMO.pop(next(iter(_CAPS_MEMO)))
+
 
 def _decode_packed_hits(row, cap, n_sig):
     """(word0, word1) hit lists from one device's packed payload → (global
@@ -546,7 +567,14 @@ def _sharded_site_scan(
 
     cap_rows = max(hit_cap // 16, 2 * pair_cap)
     k_top = 4
+    caps_key = ("site", base_key, q_digest, int(max_mismatches))
+    pair_cap, hit_cap, cap_rows, k_top = _caps_recall(
+        caps_key, pair_cap, hit_cap, cap_rows, k_top
+    )
+    _t1 = _time.time()
+    _attempts = 0
     while True:
+        _attempts += 1
         eng = _sharded_site_engine(
             mesh, n_lib=n_lib, n_gen=n_gen, Bs=Bs, P=P, P2=P2, L=L,
             L_pad=L_pad, K=K, SUB=SUB, BS_M=BS_M,
@@ -555,14 +583,14 @@ def _sharded_site_scan(
             cap_rows=min(cap_rows, pair_cap * BS_M), k=k_top,
             use_pallas=use_pallas, interpret=interpret,
         )
-        _t1 = _time.time()
+        _ta = _time.time()
         fut = eng(codes_dev, n_sites_v, q_dev, thresh_v)
         _t2 = _time.time()
         packed = np.asarray(fut)
         _t3 = _time.time()
         LAST_TIMINGS.update(
-            host_prep_s=_t1 - _t0, dispatch_s=_t2 - _t1, fetch_s=_t3 - _t2,
-            payload_ints=int(packed.size),
+            host_prep_s=_t1 - _t0, dispatch_s=_t2 - _ta, fetch_s=_t3 - _t2,
+            attempts=_attempts, payload_ints=int(packed.size),
         )
         worst_pairs = int(packed[..., 0].max())
         worst_hits = int(packed[..., 1].max())
@@ -584,6 +612,7 @@ def _sharded_site_scan(
         if worst_rh > k_top:
             k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
 
+    _caps_store(caps_key, pair_cap, hit_cap, cap_rows, k_top)
     out = []
     for li in range(packed.shape[0]):
         for di in range(n_gen):
@@ -723,6 +752,10 @@ def sharded_scan(
     k_top = 4
 
     q_digest = _content_digest(np.ascontiguousarray(q_pad))
+    caps_key = ("dense", base_key, q_digest, int(max_mismatches))
+    pair_cap, hit_cap, cap_rows, k_top = _caps_recall(
+        caps_key, pair_cap, hit_cap, cap_rows, k_top
+    )
 
     def run(strand_jobs):
         """strand_jobs: list of (q one-hot BUILDER, ok-array BUILDER,
@@ -773,6 +806,7 @@ def sharded_scan(
                 and worst_rows <= min(cap_rows, pair_cap * BS_M)
                 and worst_rh <= k_top
             ):
+                _caps_store(caps_key, pair_cap, hit_cap, cap_rows, k_top)
                 return packed
             # size each overflowed capacity from the exact reported counts —
             # one retry, not a doubling walk

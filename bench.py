@@ -173,6 +173,31 @@ def bench_cn32() -> dict:
             "pairs_per_s": pairs / dt}
 
 
+def bench_sharded_1dev(contig, spacers) -> dict:
+    """The multi-chip engine on a 1-device mesh vs the same workload
+    (VERDICT r2 item 1: per-device efficiency of the sharded path). After
+    the r3 capacity-memo fix this is the FASTEST engine at bench shape —
+    one fused shard_map program (phase 1 + device phase 2 + packed hit
+    payload), one ~33 KB fetch."""
+    from barcoder_tpu.parallel.mesh import make_mesh
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan, LAST_TIMINGS
+
+    mesh = make_mesh(1)
+    for _ in range(2):
+        hits = sharded_scan(spacers, contig, V, pam=PAM, mesh=mesh, P=P)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        hits = sharded_scan(spacers, contig, V, pam=PAM, mesh=mesh, P=P)
+        dt = min(dt, time.time() - t0)
+    pairs = len(spacers) * contig.length * 2
+    return {
+        "end_to_end_s": dt, "hits": len(hits), "pairs_per_s": pairs / dt,
+        "timings": {k: round(v, 5) if isinstance(v, float) else v
+                    for k, v in LAST_TIMINGS.items()},
+    }
+
+
 def bench_counting() -> tuple[dict, str]:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine).
@@ -359,6 +384,7 @@ def inner_main() -> int:
         total_s = min(total_s, time.time() - t0)
 
     kernel = bench_kernel_phase(contig, spacers)
+    sharded_1dev = bench_sharded_1dev(contig, spacers)
     counting, fastq_path = bench_counting()
     distill = bench_distill(fastq_path)
     distill_random = bench_distill_random()
@@ -389,6 +415,7 @@ def inner_main() -> int:
             "first_call_compiles": first_call_compiles,
             "process_compiles": cs.snapshot(),
             "kernel": kernel,
+            "sharded_1dev": sharded_1dev,
             "counting": counting,
             "distill": distill,
             "distill_random": distill_random,
