@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tile size for the genome (defaults to barcode length)")
     p.add_argument("--full-overlap", action="store_true", default=False,
                    help="Require full overlap of the guide with the gene.")
-    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "sharded", "jax", "oracle"])
     return p
 
 

@@ -62,7 +62,7 @@ def build_parser(parser: argparse.ArgumentParser | None = None) -> argparse.Argu
         "Default: report ALL hits. Pass 100 for apples-to-apples diffs "
         "against real Bowtie output on dense-hit libraries",
     )
-    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jax", "oracle"])
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "sharded", "jax", "oracle"])
     p.add_argument(
         "--profile", default=None, metavar="DIR",
         help="Write a jax.profiler device trace + phase timings to DIR",

@@ -197,3 +197,50 @@ def test_long_pam_falls_back_to_jax():
     at = set(zip(a.spacer_idx.tolist(), a.pos.tolist(), a.strand.tolist(), a.mismatches.tolist()))
     bt = set(zip(b.spacer_idx.tolist(), b.pos.tolist(), b.strand.tolist(), b.mismatches.tolist()))
     assert at == bt and len(at) >= 1
+
+
+def test_sharded_backend_dispatch_matches_oracle():
+    """ops.scan backend='sharded' routes through the multi-device engine
+    (1..N-device mesh over whatever devices exist) with the same contract
+    as every other backend; long PAMs fall back to the XLA path."""
+    from barcoder_tpu.ops.scan import scan_contig
+
+    rng = np.random.default_rng(77)
+    rec = make_record(n=3000, topology="circular", seed=77)
+    g = random_seq(20, rng)
+    plant_guide(rec, g, 700, pam="TGG")
+    plant_guide(rec, g, 1500, pam="AGG")
+    contig = contig_from_record(rec)
+    a = oracle_scan([g], contig, 1, pam="NGG")
+    b = scan_contig([g], contig, 1, pam="NGG", backend="sharded")
+    at = set(zip(a.spacer_idx.tolist(), a.pos.tolist(), a.strand.tolist(), a.mismatches.tolist()))
+    bt = set(zip(b.spacer_idx.tolist(), b.pos.tolist(), b.strand.tolist(), b.mismatches.tolist()))
+    assert at == bt and len(at) >= 2
+
+    # long-PAM fallback keeps the contract too
+    pam13 = "NGGNGGNGGNGGN"
+    c = scan_contig([g], contig, 1, pam=pam13, backend="sharded")
+    d = oracle_scan([g], contig, 1, pam=pam13)
+    ct = set(zip(c.spacer_idx.tolist(), c.pos.tolist(), c.strand.tolist(), c.mismatches.tolist()))
+    dt = set(zip(d.spacer_idx.tolist(), d.pos.tolist(), d.strand.tolist(), d.mismatches.tolist()))
+    assert ct == dt
+
+
+def test_auto_backend_prefers_sharded_on_multichip(monkeypatch):
+    """auto = jax without a TPU; pallas on one TPU chip; sharded when a
+    multi-device TPU mesh is available."""
+    from barcoder_tpu.ops import scan as scan_mod
+
+    class _Dev:
+        def __init__(self, platform):
+            self.platform = platform
+
+    monkeypatch.delenv("BARCODER_TPU_BACKEND", raising=False)
+    monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("cpu")])
+    assert scan_mod.resolve_backend("auto") == "jax"
+    monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("tpu")])
+    assert scan_mod.resolve_backend("auto") == "pallas"
+    monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("tpu")] * 4)
+    assert scan_mod.resolve_backend("auto") == "sharded"
+    monkeypatch.setenv("BARCODER_TPU_BACKEND", "oracle")
+    assert scan_mod.resolve_backend("auto") == "oracle"
