@@ -167,3 +167,24 @@ class TestShardedScan:
         a = tuples(oracle_scan([g], contig, 0))
         b = tuples(sharded_scan([g], contig, 0, mesh=mesh8, P=512, sub_width=128))
         assert a == b
+
+
+def test_caps_memo_skips_retry_on_repeat_scans(mesh8_module=None):
+    """The grown capacities persist across scans (r3 perf fix): the first
+    overflowing scan retries, the second runs clean in ONE attempt —
+    without the memo every scan paid a full second engine round."""
+    from barcoder_tpu.parallel import sharded_scan as ss
+
+    rec = make_record(n=4096, topology="linear", seed=16)
+    rec.seq = "A" * 4096
+    contig = contig_from_record(rec)
+    g = "A" * 20
+    mesh = make_mesh(2)
+    kw = dict(mesh=mesh, P=256, pair_cap=4, hit_cap=8, pam="NAA", site_mode="always")
+    ss._CAPS_MEMO.clear()
+    a = tuples(sharded_scan([g], contig, 0, **kw))
+    first_attempts = ss.LAST_TIMINGS["attempts"]
+    assert first_attempts > 1, "tiny caps must overflow on the first scan"
+    b = tuples(sharded_scan([g], contig, 0, **kw))
+    assert ss.LAST_TIMINGS["attempts"] == 1, "memo must pre-size the repeat scan"
+    assert a == b == tuples(oracle_scan([g], contig, 0, pam="NAA"))
