@@ -292,3 +292,20 @@ class TestMaxSitesCap:
             full.results.reset_index(drop=True),
             capped.results.reset_index(drop=True),
         )
+
+
+@pytest.mark.slow
+def test_sharded_backend_full_pipeline_matches_jax():
+    """run_targets through the multi-device engine (8-fake-device mesh)
+    produces a byte-identical table to the XLA backend — the integration
+    pin for `--backend sharded` / auto-on-multichip (ops.scan)."""
+    rng = np.random.default_rng(21)
+    planted = [(random_seq(20, rng), 700 + 900 * i, dict(pam="TGG")) for i in range(6)]
+    rec, genome = build_case(seed=21, planted=planted, wrapped_gene=True)
+    lib = BarcodeLibrary.from_list([g for g, _, _ in planted] + [random_seq(20, rng)])
+    a = run_targets(lib, genome, "NGG", 1, backend="jax").table
+    b = run_targets(lib, genome, "NGG", 1, backend="sharded").table
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True),
+    )
