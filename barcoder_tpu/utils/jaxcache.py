@@ -42,7 +42,10 @@ def enable_compilation_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0.15 s: BENCH r3 showed 8 sub-1s executables recompiling in every
+        # fresh process (~8 s of the 9.1 s warm-cache first call); persisting
+        # them too costs a few hundred KB of disk
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.15)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _strip_device_assignment_from_cache_key()
         if platform == "axon":
