@@ -69,6 +69,14 @@ class Contig:
     _locus_index: object = None
     _upstream_index: object = None
 
+    def __post_init__(self):
+        # the device caches and disk-artifact keys digest ``codes`` by
+        # content, memoized per array object (ops.pallas_scan._content_digest)
+        # — freeze it so in-place mutation is an error rather than a silent
+        # stale-cache hazard (setting writeable=False is always permitted)
+        if isinstance(self.codes, np.ndarray):
+            self.codes.flags.writeable = False
+
     @property
     def circular(self) -> bool:
         return self.topology == "circular"

@@ -667,10 +667,11 @@ def _content_digest(arr: np.ndarray) -> bytes:
 
     Memoized per live array object (id + data pointer + nbytes, validated
     by weakref): steady-state re-scans were spending ~10 ms/scan re-hashing
-    the same 4.6 MB genome (shard_gap breakdown, r3). In-place mutation of
-    a previously-digested array is NOT detected — genome/library arrays are
-    treated as immutable throughout this package (same contract the device
-    LRUs rely on)."""
+    the same 4.6 MB genome (shard_gap breakdown, r3). Only NON-WRITEABLE
+    arrays are memoized — that enforces the immutability contract instead
+    of documenting it (Contig freezes ``codes`` at construction; a writable
+    array that might be mutated in place is simply re-hashed every call,
+    the pre-r3 behavior)."""
     import weakref
 
     key = id(arr)
@@ -683,12 +684,15 @@ def _content_digest(arr: np.ndarray) -> bytes:
         del _DIGEST_MEMO[key]
     c = arr if arr.flags.c_contiguous else np.ascontiguousarray(arr)
     dig = hashlib.blake2b(c.tobytes(), digest_size=16).digest()
-    try:
-        _DIGEST_MEMO[key] = (weakref.ref(arr), arr.ctypes.data, arr.nbytes, dig)
-        while len(_DIGEST_MEMO) > _DIGEST_MEMO_MAX:
-            _DIGEST_MEMO.popitem(last=False)
-    except TypeError:  # pragma: no cover - non-weakrefable array subclass
-        pass
+    if not arr.flags.writeable:
+        try:
+            _DIGEST_MEMO[key] = (
+                weakref.ref(arr), arr.ctypes.data, arr.nbytes, dig
+            )
+            while len(_DIGEST_MEMO) > _DIGEST_MEMO_MAX:
+                _DIGEST_MEMO.popitem(last=False)
+        except TypeError:  # pragma: no cover - non-weakrefable array subclass
+            pass
     return dig
 
 
@@ -1871,12 +1875,19 @@ def pallas_scan_contigs(
     # on EVERY scan; steady-state serving re-scans the same library, so
     # cache it content-keyed like the genome-side device arrays
     qp_key = (
-        _content_digest(q_f), max_mismatches, pam, pam_direction, P, sub_width,
+        _content_digest(q_f), q_f.shape, str(q_f.dtype),
+        max_mismatches, pam, pam_direction, P, sub_width,
     )
     prep = _QPREP_CACHE.get(qp_key)
     if prep is None:
         prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
-        _QPREP_CACHE.put(qp_key, prep)
+        # the cache exists for steady-state serving libraries (a few MB of
+        # HBM each); a design-scale prep pins hundreds of MB (q_dev fwd/rev
+        # + q_all at S_pad x K bf16), and MAX=8 of those OOMs a long-lived
+        # process scanning several distinct large libraries — don't retain
+        # those past the call
+        if prep.S_pad < _SITE_MODE_MIN_SPACERS:
+            _QPREP_CACHE.put(qp_key, prep)
     # contigs run sequentially (shared prep amortizes the library shipping
     # and one-hot builds): overlapping one contig's phase-1 dispatches with
     # another's collect measured PATHOLOGICAL on tunneled dev links (first

@@ -51,8 +51,20 @@ def enable_compilation_cache() -> None:
         if platform == "axon":
             _force_cache_used_for_axon()
         _enabled = True
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        # best-effort, but NOT silent: both patches below poke jax._src
+        # internals, and a jax upgrade that renames them would otherwise
+        # regress cold start ~10x (9 s -> ~2 min Mosaic recompile) with no
+        # signal (ADVICE r3)
+        import warnings
+
+        warnings.warn(
+            "barcoder_tpu: persistent compilation cache setup failed "
+            f"({e!r}); every process will pay full Mosaic recompiles "
+            "(~minutes on the L=32 kernel). Check jax version vs "
+            "utils/jaxcache.py's private-API patches.",
+            RuntimeWarning,
+        )
 
 
 def _force_cache_used_for_axon() -> None:

@@ -186,15 +186,19 @@ def bench_sharded_1dev(contig, spacers) -> dict:
     for _ in range(2):
         hits = sharded_scan(spacers, contig, V, pam=PAM, mesh=mesh, P=P)
     dt = float("inf")
+    best_timings: dict = {}
     for _ in range(3):
         t0 = time.time()
         hits = sharded_scan(spacers, contig, V, pam=PAM, mesh=mesh, P=P)
-        dt = min(dt, time.time() - t0)
+        d = time.time() - t0
+        if d < dt:  # snapshot the breakdown of the rep the headline reports
+            dt = d
+            best_timings = dict(LAST_TIMINGS)
     pairs = len(spacers) * contig.length * 2
     return {
         "end_to_end_s": dt, "hits": len(hits), "pairs_per_s": pairs / dt,
         "timings": {k: round(v, 5) if isinstance(v, float) else v
-                    for k, v in LAST_TIMINGS.items()},
+                    for k, v in best_timings.items()},
     }
 
 
