@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--full-overlap", action="store_true", default=False,
                    help="Require full overlap of the guide with the gene.")
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "sharded", "jax", "oracle"])
+    p.add_argument(
+        "--sgrna-out", default=None, metavar="FILE",
+        help="Also write the enumerated candidate library as FASTA "
+        "(name = sequence) before the off-target scan — the reference's "
+        "durable sgRNA.fasta intermediate (design_guides.py:53-56,82)",
+    )
     return p
 
 
@@ -77,10 +83,28 @@ def main(argv=None) -> int:
         full_overlap=args.full_overlap,
     )
     log = Logger()
-    genome = Genome.load(args.genome_file)
-    final, tr, candidates = run_design(
-        genome, args.pam, args.barcode_length, opts, backend=args.backend, log=log
-    )
+    # top-level user-input error contract (targets.py:703-712 applied to the
+    # design driver): friendly red message + exit 1, no raw traceback
+    try:
+        genome = Genome.load(args.genome_file)
+        final, tr, candidates = run_design(
+            genome, args.pam, args.barcode_length, opts, backend=args.backend,
+            log=log, sgrna_out=args.sgrna_out,
+        )
+        if args.sgrna_out:
+            console.log(f"Wrote candidate library to {args.sgrna_out}")
+    except FileNotFoundError as e:
+        console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
+        return 1
+    except KeyError as e:
+        console.log(
+            "[bold red]All of the proposed barcodes are missing some key "
+            f"attributes[/bold red]: {e}"
+        )
+        return 1
+    except ValueError as e:
+        console.log(f"[bold red]Invalid input[/bold red]: {e}")
+        return 1
     console.log(f"Found {len(tr.table):,} guides")
     final.to_csv(sys.stdout, sep="\t", index=False, na_rep="None")
     return 0

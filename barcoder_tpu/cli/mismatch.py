@@ -118,11 +118,23 @@ def main(argv=None) -> int:
     if args.mode == "recalculate" and args.existing_mismatches is None:
         console.log("[bold red]--existing_mismatches is required for recalculate mode[/bold red]")
         return 2
-    params = MismatchParams.from_csv(args.parameters_file)
-    if args.mode == "mismatches":
-        run_mismatches(args, params)
-        return 0
-    return run_recalculate(args, params)
+    # top-level user-input error contract (targets.py:703-712 equivalent):
+    # friendly red message + exit 1, no raw traceback
+    try:
+        params = MismatchParams.from_csv(args.parameters_file)
+        if args.mode == "mismatches":
+            run_mismatches(args, params)
+            return 0
+        return run_recalculate(args, params)
+    except FileNotFoundError as e:
+        console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
+        return 1
+    except KeyError as e:
+        console.log(f"[bold red]Input is missing a required column[/bold red]: {e}")
+        return 1
+    except ValueError as e:
+        console.log(f"[bold red]Invalid input[/bold red]: {e}")
+        return 1
 
 
 if __name__ == "__main__":

@@ -22,7 +22,7 @@ from rich.console import Console
 from rich.table import Table
 
 from ..pipeline.targets import TargetsResult, run_targets, write_output
-from ..seqio.library import BarcodeLibrary
+from ..seqio.library import BarcodeLibrary, BarcodeLibraryError
 from ..core.genome import Genome
 
 
@@ -139,44 +139,64 @@ def main(argv=None) -> int:
     console = Console(file=sys.stderr)
     console.log("[bold red]Initializing barcode target seeker[/bold red]")
 
-    console.log("Loading barcode library...")
-    library = BarcodeLibrary.load(args.sgrna_file, column=args.library_column)
+    # top-level user-input error contract (targets.py:703-712): a friendly
+    # red message + exit 1, never a raw traceback. The reference's
+    # FileNotFoundError text blames its Bowtie subprocess; with no external
+    # aligner the honest adaptation names the missing file instead.
+    try:
+        console.log("Loading barcode library...")
+        library = BarcodeLibrary.load(args.sgrna_file, column=args.library_column)
 
-    console.log("Loading genome and annotations...")
-    genome = Genome.load(args.genome_file)
+        console.log("Loading genome and annotations...")
+        genome = Genome.load(args.genome_file)
 
-    from ..utils.profiling import Phases, compile_stats, device_trace, dump_summary
+        from ..utils.profiling import Phases, compile_stats, device_trace, dump_summary
 
-    phases = Phases()
-    cs = compile_stats() if args.profile else None
-    cs_pre = cs.snapshot() if cs else None
-    console.log("Scanning genome on device...")
-    with device_trace(args.profile):
-        result = run_targets(
-        library,
-        genome,
-        args.pam,
-        args.mismatches,
-        pam_direction=args.pam_direction,
-        backend=args.backend,
-        gene_window=args.gene_window,
-        insert_site=args.insert_site,
-        phases=phases,
-        compat_columns=args.compat_columns,
-        max_sites=args.max_sites,
-    )
-    if args.profile:
-        import os as _os
+        phases = Phases()
+        cs = compile_stats() if args.profile else None
+        cs_pre = cs.snapshot() if cs else None
+        console.log("Scanning genome on device...")
+        with device_trace(args.profile):
+            result = run_targets(
+                library,
+                genome,
+                args.pam,
+                args.mismatches,
+                pam_direction=args.pam_direction,
+                backend=args.backend,
+                gene_window=args.gene_window,
+                insert_site=args.insert_site,
+                phases=phases,
+                compat_columns=args.compat_columns,
+                max_sites=args.max_sites,
+            )
+        if args.profile:
+            import os as _os
 
-        phases.counters["xla_compiles"] = cs.delta(cs_pre)
-        dump_summary(phases, _os.path.join(args.profile, "phases.json"))
-        console.log(f"Wrote device trace + phase timings to {args.profile}")
+            phases.counters["xla_compiles"] = cs.delta(cs_pre)
+            dump_summary(phases, _os.path.join(args.profile, "phases.json"))
+            console.log(f"Wrote device trace + phase timings to {args.profile}")
 
-    if args.json:
-        console.log("Writing to JSON...")
-    else:
-        console.log("Writing to TSV...")
-    write_output(result, sys.stdout, as_json=args.json)
+        if args.json:
+            console.log("Writing to JSON...")
+        else:
+            console.log("Writing to TSV...")
+        write_output(result, sys.stdout, as_json=args.json)
+    except FileNotFoundError as e:
+        console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
+        return 1
+    except BarcodeLibraryError as e:
+        console.log(f"[bold red]Trouble loading the barcode library[/bold red]: {e}")
+        return 1
+    except KeyError as e:
+        console.log(
+            "[bold red]All of the proposed barcodes are missing some key "
+            f"attributes[/bold red]: {e}"
+        )
+        return 1
+    except ValueError as e:
+        console.log(f"[bold red]Invalid input[/bold red]: {e}")
+        return 1
 
     console.log(summary_table(args, result))
     return 0

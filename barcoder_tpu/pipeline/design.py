@@ -336,6 +336,14 @@ def apply_design_filters(
     return targets
 
 
+def write_sgrna_fasta(candidates, path: str) -> None:
+    """create_sgRNA_fasta parity (design_guides.py:53-56): ``>seq\\nseq``
+    records, one per candidate, in enumeration order."""
+    with open(path, "wt") as fh:
+        for seq in candidates:
+            fh.write(f">{seq}\n{seq}\n")
+
+
 def run_design(
     genome: Genome,
     pam: str,
@@ -343,13 +351,20 @@ def run_design(
     opts: DesignOptions | None = None,
     backend: str = "auto",
     log=None,
+    sgrna_out: str | None = None,
 ) -> tuple[pd.DataFrame, TargetsResult, list[str]]:
     """Full design pipeline; returns (final table, targets stage result,
-    candidate guides)."""
+    candidate guides).
+
+    sgrna_out persists the enumerated candidates as a ``>seq\\nseq`` FASTA
+    BEFORE the scan stage — the reference's durable sgRNA.fasta intermediate
+    (design_guides.py:53-56,82), so the library survives a failed scan."""
     opts = (opts or DesignOptions()).resolve(barcode_length)
     candidates = find_candidate_guides(genome, barcode_length, pam, opts.pam_direction)
     if log:
         log.info(f"Found {len(candidates):,} potential guides in the genome")
+    if sgrna_out:
+        write_sgrna_fasta(candidates, sgrna_out)
     # name = sequence, like create_sgRNA_fasta (design_guides.py:53-56);
     # candidates are already unique + normalized (find_candidate_guides)
     library = BarcodeLibrary.from_unique_list(candidates)

@@ -183,6 +183,19 @@ class TestDesignEndToEnd:
                 window = revcomp(window)
             assert window == row.spacer
 
+    @pytest.mark.slow
+    def test_sharded_backend_matches_jax(self):
+        """The full design cascade through the 8-fake-device sharded engine
+        produces a byte-identical final TSV to the XLA backend — the
+        integration pin for `design --backend sharded` (VERDICT r3 item 4;
+        reference stage being replaced: design_guides.py:90-104)."""
+        rec = make_record(n=8000, topology="circular", seed=24, n_genes=6)
+        genome = genome_from_records([rec])
+        opts = DesignOptions(mismatches=1, omit_offtargets=True, keep_top=3)
+        a, _, _ = run_design(genome, "NGG", 20, opts, backend="jax")
+        b, _, _ = run_design(genome, "NGG", 20, opts, backend="sharded")
+        assert a.to_csv(sep="\t", index=False) == b.to_csv(sep="\t", index=False)
+
     def test_tiling_spacing(self):
         rec = make_record(n=6000, topology="circular", seed=25, n_genes=3)
         genome = genome_from_records([rec])
