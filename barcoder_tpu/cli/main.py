@@ -26,8 +26,22 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def _join_cluster() -> None:
+    """Multi-host runs set BARCODER_TPU_COORDINATOR / _NUM_PROCESSES /
+    _PROCESS_ID (one CLI process per host); joining must happen before the
+    first jax.devices() touch so every mesh spans the global device set
+    (parallel.multihost). No-op when the env is absent."""
+    if os.environ.get("BARCODER_TPU_COORDINATOR") or os.environ.get(
+        "BARCODER_TPU_NUM_PROCESSES"
+    ):
+        from ..parallel import multihost
+
+        multihost.initialize()
+
+
 def main(argv=None) -> int:
     _apply_platform_override()
+    _join_cluster()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)

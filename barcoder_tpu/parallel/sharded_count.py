@@ -25,6 +25,7 @@ from ..pipeline.heuristic_count import (
     _pack_cores_u32,
     _unpacked_onehot,
 )
+from .multihost import fetch_local_rows, put_global, put_process_local
 
 READS_AXIS = "reads"
 
@@ -46,12 +47,30 @@ class ShardedCounter(DeviceCounter):
     undocumented ``seq*`` counting) are inherited unchanged — only the
     exact-match + tally stage is distributed. Like the single-device
     engine, d2h is one packbits'd matched bit per read (sharded) plus the
-    psum-merged count vector (replicated)."""
+    psum-merged count vector (replicated).
+
+    On a process-spanning mesh (parallel.multihost) each HOST feeds its own
+    reads (put_process_local) in lockstep — same number of padded rows per
+    call on every process — and the psum leaves every host holding the
+    identical GLOBAL documented-count vector (the reference's end-of-run
+    Counter merge, heuristicount.py:734-737, happens on-device instead);
+    the undocumented tally stays host-local to each process's own reads."""
 
     def __init__(self, cfg: CountConfig, mesh: Mesh | None = None):
         super().__init__(cfg)
         self._mesh = mesh if mesh is not None else make_read_mesh()
         self._n_dev = int(self._mesh.devices.size)
+        self._n_local_dev = sum(
+            1 for d in self._mesh.devices.ravel()
+            if d.process_index == jax.process_index()
+        )
+        if jax.process_count() > 1:
+            # replicate the barcode table onto this process's mesh devices
+            # (a bare jnp array is single-device and can't feed a
+            # process-spanning shard_map)
+            self._bc_oh = put_global(
+                np.asarray(self._bc_oh), NamedSharding(self._mesh, P_())
+            )
 
     def _match_fn(self):
         if getattr(self, "_match_jit", None) is not None:
@@ -91,7 +110,9 @@ class ShardedCounter(DeviceCounter):
 
     def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
         n = core_codes.shape[0]
-        quantum = self._n_dev * self._READ_SLICE
+        # this process pads to ITS addressable quantum; the global row count
+        # is the sum over processes (put_process_local, process order)
+        quantum = self._n_local_dev * self._READ_SLICE
         n_pad = -(-max(n, 1) // quantum) * quantum
         packed, has_n = _pack_cores_u32(core_codes)
         codes_p = np.zeros((n_pad, 2), np.uint32)  # 2-bit packed cores
@@ -99,9 +120,26 @@ class ShardedCounter(DeviceCounter):
         elig_p = np.zeros(n_pad, bool)  # pad/N rows device-ineligible
         elig_p[:n] = eligible & ~has_n
         sharding = NamedSharding(self._mesh, P_(READS_AXIS))
-        codes_d = jax.device_put(codes_p, sharding)
-        elig_d = jax.device_put(elig_p, sharding)
+        codes_d = put_process_local(codes_p, sharding)
+        elig_d = put_process_local(elig_p, sharding)
         mbits, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
         # (n, matched-bits, psum-merged counts): the DeviceCounter drain
         # contract, so _drain_entry is inherited unchanged
         return n, mbits, counts
+
+    def _drain_entry(self, entry) -> None:
+        if jax.process_count() == 1:
+            return super()._drain_entry(entry)
+        # multi-host: counts are the replicated GLOBAL psum (fetch whole);
+        # the matched bits are row-sharded across processes — this host
+        # unpacks only its addressable rows, which are exactly its own
+        # reads (put_process_local row order)
+        (n, mb_f, c_f), cores, eligible = entry
+        self.doc_counts += np.asarray(c_f)[: self.B].astype(self.doc_counts.dtype)
+        matched = np.unpackbits(fetch_local_rows(mb_f))[:n].astype(bool)
+        un = eligible & ~matched
+        if un.any():
+            uniq, counts = np.unique(cores[un], axis=0, return_counts=True)
+            for row, cnt in zip(uniq, counts):
+                seq = row.tobytes().decode("ascii", errors="replace").rstrip("\x00")
+                self.undoc[seq + "*"] += int(cnt)

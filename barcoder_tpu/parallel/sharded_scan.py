@@ -63,6 +63,7 @@ from ..ops.pallas_scan import (
 from ..ops.prep import build_scan_array, revcomp_matrix, site_masks, spacer_matrix
 from ..ops.types import STRAND_F, STRAND_R, Hits
 from .mesh import GENOME_AXIS, LIBRARY_AXIS, make_mesh
+from .multihost import put_global
 
 _HDR = 6  # packed header ints:
 # [n_pairs, n_hits, psum_total, n_rows, max_row_hits, reserved] — the host
@@ -537,16 +538,23 @@ def _sharded_site_scan(
         codes_pad[:n_sites, :L] = codes
         return np.ascontiguousarray(codes_pad.T)  # (L_pad, total_s)
 
+    # all placements go through put_global: on a process-spanning mesh each
+    # host ships only its addressable shards (no whole-array device_put,
+    # which requires every mesh device to be local — parallel.multihost)
+    sharding_rep = NamedSharding(mesh, P_())
     codes_dev = _GENOME_SHARD_CACHE.get_or_put(
         ("site_codes", base_key),
-        lambda: jax.device_put(_build_codes_lp(), sharding_cols),
+        lambda: put_global(_build_codes_lp, sharding_cols),
     )
     n_sites_v = _Q_SHARD_CACHE.get_or_put(
-        ("n_sites", base_key), lambda: jnp.int32(n_sites)
+        ("n_sites", base_key),
+        lambda: put_global(np.int32(n_sites), sharding_rep),
     )
     thresh_v = _Q_SHARD_CACHE.get_or_put(
-        ("thresh", L - max_mismatches),
-        lambda: jnp.full((1,), L - max_mismatches, jnp.float32),
+        ("thresh", L - max_mismatches, mesh_key),
+        lambda: put_global(
+            np.full((1,), L - max_mismatches, np.float32), sharding_rep
+        ),
     )
 
     S_loc = _cdiv(S, n_lib * BS_M) * BS_M
@@ -559,8 +567,8 @@ def _sharded_site_scan(
     q_digest = _content_digest(np.ascontiguousarray(q_pad))
     q_dev = _Q_SHARD_CACHE.get_or_put(
         (q_digest, "site", K, n_lib, S_loc, mesh_key),
-        lambda: jax.device_put(
-            jnp.asarray(_host_onehot(q_pad, K, L, fold, 0), dtype=jnp.bfloat16),
+        lambda: put_global(
+            _host_onehot(q_pad, K, L, fold, 0).astype(jnp.bfloat16),
             sharding_q,
         ),
     )
@@ -741,11 +749,14 @@ def sharded_scan(
                 L, pam, pam_direction, n_gen, B, mesh_key)
     codes_dev = _GENOME_SHARD_CACHE.get_or_put(
         ("codes", base_key),
-        lambda: jax.device_put(_build_codes_blocks(), sharding_g),
+        lambda: put_global(_build_codes_blocks, sharding_g),
     )
     thresh_v = _Q_SHARD_CACHE.get_or_put(
-        ("thresh", L - max_mismatches),
-        lambda: jnp.full((1,), L - max_mismatches, jnp.float32),
+        ("thresh", L - max_mismatches, mesh_key),
+        lambda: put_global(
+            np.full((1,), L - max_mismatches, np.float32),
+            NamedSharding(mesh, P_()),
+        ),
     )
 
     cap_rows = max(hit_cap // 16, 2 * pair_cap)
@@ -768,13 +779,13 @@ def sharded_scan(
             (
                 _Q_SHARD_CACHE.get_or_put(
                     (q_digest, K, fused, fold, n_lib, S_loc, mesh_key, ji),
-                    lambda build_q=build_q: jax.device_put(
-                        jnp.asarray(build_q(), dtype=jnp.bfloat16), sharding_q
+                    lambda build_q=build_q: put_global(
+                        build_q().astype(jnp.bfloat16), sharding_q
                     ),
                 ),
                 _GENOME_SHARD_CACHE.get_or_put(
                     ("ok", base_key, ji),
-                    lambda build_ok=build_ok: jax.device_put(
+                    lambda build_ok=build_ok: put_global(
                         np.ascontiguousarray(
                             build_ok().reshape(-1, n_gen, B).transpose(1, 0, 2)
                         ),

@@ -1,0 +1,87 @@
+"""Worker process for tests/test_multihost.py.
+
+Joins a small multi-process CPU cluster (jax.distributed over a localhost
+coordinator, N fake devices per process set by the parent via XLA_FLAGS),
+then runs the UNCHANGED sharded engines over the process-spanning global
+mesh and dumps the results as JSON for the parent to compare against its
+own single-process 8-device run.
+
+Usage: python tests/multihost_worker.py <process_id> <num_processes> <port> <out.json>
+"""
+
+import json
+import sys
+
+
+def main() -> None:
+    pid, nproc, port, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    import jax
+
+    # the axon plugin ignores env vars; force CPU like tests/conftest.py
+    jax.config.update("jax_platforms", "cpu")
+    from barcoder_tpu.parallel import multihost
+
+    assert multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc
+    n_global = jax.device_count()
+
+    import numpy as np
+
+    from barcoder_tpu.core.genome import contig_from_record
+    from barcoder_tpu.parallel.mesh import make_mesh
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan
+    from tests.genomes import make_record, plant_guide, random_seq
+
+    # the same deterministic scan case as tests/test_parallel.py
+    # TestShardedScan.test_agreement — every process builds it identically
+    rng = np.random.default_rng(0)
+    rec = make_record(n=9000, topology="circular", seed=0)
+    spacers = [random_seq(20, rng) for _ in range(5)]
+    for i, s in enumerate(spacers):
+        plant_guide(rec, s, 700 + 1500 * i, pam="TGG", strand="F" if i % 2 else "R")
+    contig = contig_from_record(rec)
+
+    mesh = make_mesh()  # spans ALL processes' devices
+    assert mesh.devices.size == n_global
+    res = {"process_index": jax.process_index(), "n_global_devices": n_global}
+    for site_mode in ("auto", "never"):
+        h = sharded_scan(
+            spacers, contig, 1, pam="NGG", mesh=mesh, P=256, site_mode=site_mode
+        )
+        res[f"hits_{site_mode}"] = sorted(
+            zip(h.spacer_idx.tolist(), h.pos.tolist(),
+                h.strand.tolist(), h.mismatches.tolist())
+        )
+
+    # ShardedCounter over the global mesh: THIS process feeds its own half
+    # of the reads (put_process_local); the psum-merged documented counts
+    # must equal the whole-read-set truth on every host
+    from barcoder_tpu.parallel.sharded_count import ShardedCounter, make_read_mesh
+    from barcoder_tpu.pipeline.heuristic_count import CountConfig
+    from tests.test_heuristic_count import (
+        L_FLANK, PREFIX, R_FLANK, make_barcodes, make_reads,
+    )
+
+    barcodes = make_barcodes(n=10, seed=2)
+    reads1, _, _truth = make_reads(barcodes, n_reads=800, seed=2)
+    cfg = CountConfig(
+        barcodes=set(barcodes), bc_len=20,
+        L_fwd=L_FLANK, R_fwd=R_FLANK, L_rev=None, R_rev=None,
+        L_fwd_start=len(PREFIX), L_rev_start=None, need_swap=False,
+    )
+    half = len(reads1) // nproc
+    local = reads1[pid * half : (pid + 1) * half]
+    sc = ShardedCounter(cfg, mesh=make_read_mesh())
+    sc.process_chunk((local, None))
+    doc, undoc = sc.results()
+    res["counts"] = sorted(doc.items())
+    res["undoc_local"] = sorted(undoc.items())
+
+    with open(out_path, "w") as fh:
+        json.dump(res, fh)
+
+
+if __name__ == "__main__":
+    main()
