@@ -75,11 +75,16 @@ class ShardedCounter(DeviceCounter):
     def _match_fn(self):
         if getattr(self, "_match_jit", None) is not None:
             return self._match_jit
+        key = ("sharded", self.bc_len, self.B, int(self._bc_oh.shape[1]),
+               self._READ_SLICE, self._mesh)
+        cached = self._JIT_CACHE.get(key)
+        if cached is not None:
+            self._match_jit = cached
+            return cached
         S = self._READ_SLICE
         bc_len, B = self.bc_len, self.B
-        B_pad = int(self._bc_oh.shape[1])
 
-        def shard_fn(codes_b, elig_b, bc_oh):
+        def shard_fn(codes_b, elig_b, bc_oh, acc):
             cs = codes_b.reshape(-1, S, 2)
             es = elig_b.reshape(-1, S)
 
@@ -94,26 +99,42 @@ class ShardedCounter(DeviceCounter):
 
             idx, m = jax.lax.map(one_slice, (cs, es))
             idx, m = idx.reshape(-1), m.reshape(-1)
-            local = jnp.zeros((B_pad,), jnp.int32).at[idx].add(m.astype(jnp.int32))
-            counts = jax.lax.psum(local, READS_AXIS)
+            local = jnp.zeros(acc.shape, jnp.int32).at[idx].add(m.astype(jnp.int32))
+            # the on-device Counter merge: psum into the (replicated,
+            # donated) global accumulator — every host's drain fetch sees
+            # identical GLOBAL counts
+            counts = acc + jax.lax.psum(local, READS_AXIS)
             return jnp.packbits(m), counts
 
         fn = jax.shard_map(
             shard_fn,
             mesh=self._mesh,
-            in_specs=(P_(READS_AXIS), P_(READS_AXIS), P_()),
+            in_specs=(P_(READS_AXIS), P_(READS_AXIS), P_(), P_()),
             out_specs=(P_(READS_AXIS), P_()),
             check_vma=False,
         )
-        self._match_jit = jax.jit(fn)
+        self._match_jit = jax.jit(fn, donate_argnums=(3,))
+        self._JIT_CACHE[key] = self._match_jit
+        while len(self._JIT_CACHE) > 16:
+            self._JIT_CACHE.pop(next(iter(self._JIT_CACHE)))
         return self._match_jit
+
+    def _zero_acc(self):
+        return put_global(
+            np.zeros((int(self._bc_oh.shape[1]),), np.int32),
+            NamedSharding(self._mesh, P_()),
+        )
 
     def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
         n = core_codes.shape[0]
         # this process pads to ITS addressable quantum; the global row count
         # is the sum over processes (put_process_local, process order)
         quantum = self._n_local_dev * self._READ_SLICE
-        n_pad = -(-max(n, 1) // quantum) * quantum
+        # geometric quantum buckets: a tail batch reuses the full batch's
+        # executable (see DeviceCounter._device_match_async)
+        n_pad = quantum
+        while n_pad < n:
+            n_pad *= 2
         packed, has_n = _pack_cores_u32(core_codes)
         codes_p = np.zeros((n_pad, 2), np.uint32)  # 2-bit packed cores
         codes_p[:n] = packed
@@ -122,20 +143,23 @@ class ShardedCounter(DeviceCounter):
         sharding = NamedSharding(self._mesh, P_(READS_AXIS))
         codes_d = put_process_local(codes_p, sharding)
         elig_d = put_process_local(elig_p, sharding)
-        mbits, counts = self._match_fn()(codes_d, elig_d, self._bc_oh)
-        # (n, matched-bits, psum-merged counts): the DeviceCounter drain
-        # contract, so _drain_entry is inherited unchanged
-        return n, mbits, counts
+        if self._acc is None:
+            self._acc = self._zero_acc()
+        mbits, self._acc = self._match_fn()(
+            codes_d, elig_d, self._bc_oh, self._acc
+        )
+        # (n, matched-bits) + threaded accumulator: the DeviceCounter
+        # drain contract
+        return n, mbits
 
     def _drain_entry(self, entry) -> None:
         if jax.process_count() == 1:
             return super()._drain_entry(entry)
-        # multi-host: counts are the replicated GLOBAL psum (fetch whole);
-        # the matched bits are row-sharded across processes — this host
-        # unpacks only its addressable rows, which are exactly its own
-        # reads (put_process_local row order)
-        (n, mb_f, c_f), cores, eligible = entry
-        self.doc_counts += np.asarray(c_f)[: self.B].astype(self.doc_counts.dtype)
+        # multi-host: the matched bits are row-sharded across processes —
+        # this host unpacks only its addressable rows, which are exactly
+        # its own reads (put_process_local row order); the count
+        # accumulator is replicated and fetched once in drain()
+        (n, mb_f), cores, eligible = entry
         matched = np.unpackbits(fetch_local_rows(mb_f))[:n].astype(bool)
         un = eligible & ~matched
         if un.any():

@@ -202,10 +202,11 @@ def bench_sharded_1dev(contig, spacers) -> dict:
     }
 
 
-def bench_counting() -> tuple[dict, str]:
+def bench_counting() -> tuple[dict, str, list]:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine).
-    Returns (stats, fastq path) so bench_distill reuses the file."""
+    Returns (stats, fastq path, barcodes) so bench_distill reuses the file
+    and bench_counting_device reuses the workload."""
     import tempfile
 
     from barcoder_tpu.core.encode import decode
@@ -223,7 +224,7 @@ def bench_counting() -> tuple[dict, str]:
             fh.write(f"@r\n{r}\n+\n{'I' * len(r)}\n")
         path = fh.name
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         doc, undoc, total, _ = run_count(set(barcodes), path, engine="vector")
         dt = min(dt, time.time() - t0)
@@ -231,7 +232,25 @@ def bench_counting() -> tuple[dict, str]:
     return (
         {"reads": total, "count_s": dt, "reads_per_s": total / dt, "counts_exact": exact},
         path,
+        barcodes,
     )
+
+
+def bench_counting_device(barcodes, path: str) -> dict:
+    """Accelerator counting engine on the same workload (VERDICT r3 item 4:
+    the driver metric now reproduces the device-engine number, TPU-only —
+    the caller gates on platform). On the tunneled link the documented
+    floor is the per-dispatch RT + packed-core h2d (experiments/
+    count_budget.py); on PCIe-attached chips that floor collapses."""
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        doc, undoc, total, _ = run_count(set(barcodes), path, engine="device")
+        dt = min(dt, time.time() - t0)
+    return {"reads": total, "count_s": dt, "reads_per_s": total / dt,
+            "counts_exact": sum(doc.values()) == total}
 
 
 def bench_distill(fastq_path: str) -> dict:
@@ -246,9 +265,11 @@ def bench_distill(fastq_path: str) -> dict:
     from barcoder_tpu.pipeline.distill import distill_reads
 
     out = os.path.join(tempfile.mkdtemp(prefix="bench_distill_"), "out.reads.zst")
-    t0 = time.time()
-    distill_reads([fastq_path], [out])
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        distill_reads([fastq_path], [out])
+        dt = min(dt, time.time() - t0)
     n_reads = 1_000_000
     size = os.path.getsize(out)
     os.remove(out)
@@ -276,9 +297,11 @@ def bench_distill_random() -> dict:
             fh.write(f"@r\n{decode(row)}\n+\n{q}\n")
         path = fh.name
     out = os.path.join(tempfile.mkdtemp(prefix="bench_distill_rnd_"), "out.reads.zst")
-    t0 = time.time()
-    distill_reads([path], [out], chunk_size=2**18)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        distill_reads([path], [out], chunk_size=2**18)
+        dt = min(dt, time.time() - t0)
     size = os.path.getsize(out)
     os.remove(out)
     os.remove(path)
@@ -286,27 +309,51 @@ def bench_distill_random() -> dict:
             "output_bytes": size, "spill_runs": n_reads // 2**18 + 1}
 
 
+ATTACH_SOFT_S = 150  # pathological-attach detector: a quiet chip attaches
+# in ~20 s; r3 paid 1030 s when a prior client's session was still tearing
+# down server-side. Exiting early + one backoff retry spends ~5 min of the
+# watchdog budget instead of 17, leaving the retried attempt >40 min of
+# the 3300 s budget — the full measurement itself runs ~6-8 min warm.
+
+
 def main() -> int:
     """Watchdog wrapper: run the real benchmark in a subprocess so a wedged
     accelerator (observed: the tunneled dev chip can hang in d2h after an
     earlier client was killed) cannot hang the driver — on timeout/failure a
-    reduced CPU-backend measurement is reported instead, flagged in detail."""
+    reduced CPU-backend measurement is reported instead, flagged in detail.
+
+    A pathological session attach (warmup matmul > ATTACH_SOFT_S; the
+    server serializes session teardown of recently-exited clients) makes
+    the inner process exit early; one backoff-and-retry follows, recorded
+    as ``attach_retries`` in the result (VERDICT r3 item 6)."""
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--inner"],
-            # attach alone can cost 20+ min if another TPU process exited
-            # recently (see CLAUDE.md); compiles are cache-hits after the
-            # first round, so the budget is mostly attach headroom
-            capture_output=True, text=True, timeout=3300,
-        )
+    deadline = time.time() + 3300
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--inner",
+                 f"--attach-retries={attempt}"],
+                # attach alone can cost 20+ min if another TPU process exited
+                # recently (see CLAUDE.md); compiles are cache-hits after the
+                # first round, so the budget is mostly attach headroom
+                capture_output=True, text=True,
+                timeout=max(120, deadline - time.time()),
+            )
+        except subprocess.TimeoutExpired:
+            break
+        attach_timeout = False
         for line in (proc.stdout or "").splitlines():
             if line.startswith("{"):
+                payload = json.loads(line)
+                if payload.get("attach_timeout"):
+                    attach_timeout = True
+                    break
                 print(line)
                 return 0
-    except subprocess.TimeoutExpired:
-        pass
+        if not attach_timeout:
+            break  # real failure — no point retrying
+        time.sleep(120)  # give the server time to finish session teardown
     return cpu_fallback()
 
 
@@ -332,7 +379,7 @@ def cpu_fallback() -> int:
     dt = time.time() - t0
     pairs = len(spacers) * n * 2
     rate = pairs / dt
-    counting, fastq_path = bench_counting()
+    counting, fastq_path, _barcodes = bench_counting()
     distill = bench_distill(fastq_path)
     os.remove(fastq_path)
     print(json.dumps({
@@ -353,6 +400,10 @@ def cpu_fallback() -> int:
 
 
 def inner_main() -> int:
+    attach_retries = 0
+    for a in sys.argv:
+        if a.startswith("--attach-retries="):
+            attach_retries = int(a.split("=", 1)[1])
     import jax
 
     from barcoder_tpu.utils.profiling import compile_stats
@@ -367,12 +418,28 @@ def inner_main() -> int:
     # the tunneled dev chip charges a fixed ~20 s session-attach cost to the
     # FIRST dispatched program, whatever it is (an 8x8 matmul pays the same)
     # — measure it separately so first_call_s isolates the framework's own
-    # cold-start (compiles/cache loads/prep), not the link setup
+    # cold-start (compiles/cache loads/prep), not the link setup. A
+    # pathological attach (> ATTACH_SOFT_S) aborts so the outer watchdog
+    # can back off and retry instead of burning its whole budget.
+    import os
+    import threading
+
     import jax.numpy as jnp
 
-    t0 = time.time()
-    np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
-    attach_s = time.time() - t0
+    attach_box: dict = {}
+
+    def _warmup():
+        t0 = time.time()
+        np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+        attach_box["attach_s"] = time.time() - t0
+
+    th = threading.Thread(target=_warmup, daemon=True)
+    th.start()
+    th.join(timeout=ATTACH_SOFT_S)
+    if "attach_s" not in attach_box:
+        print(json.dumps({"attach_timeout": True}), flush=True)
+        os._exit(7)  # the warmup thread is wedged in d2h; hard-exit
+    attach_s = attach_box["attach_s"]
 
     pre = cs.snapshot()
     t0 = time.time()
@@ -389,7 +456,12 @@ def inner_main() -> int:
 
     kernel = bench_kernel_phase(contig, spacers)
     sharded_1dev = bench_sharded_1dev(contig, spacers)
-    counting, fastq_path = bench_counting()
+    counting, fastq_path, barcodes = bench_counting()
+    counting_device = (
+        bench_counting_device(barcodes, fastq_path)
+        if platform in ("tpu", "axon")
+        else {"skipped": "accelerator engine is benched on TPU only"}
+    )
     distill = bench_distill(fastq_path)
     distill_random = bench_distill_random()
     import os
@@ -421,10 +493,13 @@ def inner_main() -> int:
             "kernel": kernel,
             "sharded_1dev": sharded_1dev,
             "counting": counting,
+            "counting_device": counting_device,
             "distill": distill,
             "distill_random": distill_random,
             "design": design,
             "cn32": cn32,
+            "loadavg": list(os.getloadavg()),
+            "attach_retries": attach_retries,
         },
     }
     print(json.dumps(result))

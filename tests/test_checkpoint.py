@@ -97,6 +97,7 @@ def test_pending_queue_is_bounded(read_files):
     # discover the config via a tiny run, then drive a DeviceCounter by hand
     _, _, _, info = run_count(set(barcodes), f1, f2, chunk_size=1024)
     vc = hc.DeviceCounter(info["config"])
+    vc._DISPATCH_ROWS = 64  # flush every _tally so the queue actually fills
     rng = np.random.default_rng(0)
     max_seen = 0
     bc_len = info["config"].bc_len
