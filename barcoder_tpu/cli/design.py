@@ -102,9 +102,6 @@ def main(argv=None) -> int:
             f"attributes[/bold red]: {e}"
         )
         return 1
-    except ValueError as e:
-        console.log(f"[bold red]Invalid input[/bold red]: {e}")
-        return 1
     console.log(f"Found {len(tr.table):,} guides")
     final.to_csv(sys.stdout, sep="\t", index=False, na_rep="None")
     return 0

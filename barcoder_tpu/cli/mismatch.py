@@ -129,12 +129,6 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
         return 1
-    except KeyError as e:
-        console.log(f"[bold red]Input is missing a required column[/bold red]: {e}")
-        return 1
-    except ValueError as e:
-        console.log(f"[bold red]Invalid input[/bold red]: {e}")
-        return 1
 
 
 if __name__ == "__main__":

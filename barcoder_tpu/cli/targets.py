@@ -194,9 +194,6 @@ def main(argv=None) -> int:
             f"attributes[/bold red]: {e}"
         )
         return 1
-    except ValueError as e:
-        console.log(f"[bold red]Invalid input[/bold red]: {e}")
-        return 1
 
     console.log(summary_table(args, result))
     return 0

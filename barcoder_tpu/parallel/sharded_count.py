@@ -49,12 +49,17 @@ class ShardedCounter(DeviceCounter):
     engine, d2h is one packbits'd matched bit per read (sharded) plus the
     psum-merged count vector (replicated).
 
-    On a process-spanning mesh (parallel.multihost) each HOST feeds its own
-    reads (put_process_local) in lockstep — same number of padded rows per
-    call on every process — and the psum leaves every host holding the
-    identical GLOBAL documented-count vector (the reference's end-of-run
-    Counter merge, heuristicount.py:734-737, happens on-device instead);
-    the undocumented tally stays host-local to each process's own reads."""
+    On a process-spanning mesh (parallel.multihost) every host feeds the
+    IDENTICAL chunk stream (plain SPMD: same argv, same files on each
+    host) and process_matrices slices each chunk into equal-width per-host
+    row windows internally — so no external driver can double-count, and
+    the collective shapes stay in lockstep by construction. The psum
+    leaves every host holding the identical GLOBAL documented-count
+    vector (the reference's end-of-run Counter merge,
+    heuristicount.py:734-737, happens on-device instead) and the same
+    global total_reads; the undocumented tally stays host-local to each
+    process's own row window (union over hosts = the single-process
+    tally)."""
 
     def __init__(self, cfg: CountConfig, mesh: Mesh | None = None):
         super().__init__(cfg)
@@ -71,6 +76,33 @@ class ShardedCounter(DeviceCounter):
             self._bc_oh = put_global(
                 np.asarray(self._bc_oh), NamedSharding(self._mesh, P_())
             )
+
+    def process_matrices(self, m1, m2) -> None:
+        k = jax.process_count()
+        if k > 1:
+            n = m1.shape[0] if m1 is not None else (
+                m2.shape[0] if m2 is not None else 0
+            )
+            per = -(-n // k)  # equal-width windows keep every process's
+            # dispatch geometry identical (lockstep collectives)
+            lo = jax.process_index() * per
+
+            def cut(m):
+                if m is None:
+                    return None
+                sl = m[lo : lo + per]
+                if len(sl) < per:
+                    # all-N pad rows: the no-N filter makes them ineligible
+                    # everywhere, so they can neither count nor reach undoc
+                    pad = np.full((per - len(sl), m.shape[1]), ord("N"), m.dtype)
+                    sl = np.concatenate([sl, pad])
+                return sl
+
+            m1, m2 = cut(m1), cut(m2)
+            # super() adds this host's `per` rows; top up so every host
+            # reports the GLOBAL read total
+            self.total_reads += n - per
+        super().process_matrices(m1, m2)
 
     def _match_fn(self):
         if getattr(self, "_match_jit", None) is not None:

@@ -812,6 +812,7 @@ class DeviceCounter(VectorCounter):
         self._match_jit = None
         self._pending = []
         self._acc = None  # device count accumulator since the last drain
+        self._acc_rows = 0  # rows tallied into _acc (int32 overflow guard)
         self._buf: list = []  # [(cores, eligible)] awaiting one dispatch
         self._buf_rows = 0
 
@@ -891,7 +892,21 @@ class DeviceCounter(VectorCounter):
         mbits, self._acc = self._match_fn()(
             jnp.asarray(codes_p), jnp.asarray(elig_p), self._bc_oh, self._acc
         )
+        # int32 accumulator guard: one barcode absorbing > 2^31 matches
+        # would wrap, so spill into the int64 host array every ~1G rows
+        # (one extra fetch per billion reads — noise)
+        self._acc_rows += n_pad
+        if self._acc_rows >= (1 << 30):
+            self._fetch_acc()
         return n, mbits
+
+    def _fetch_acc(self) -> None:
+        if self._acc is not None:
+            self.doc_counts += np.asarray(self._acc)[: self.B].astype(
+                self.doc_counts.dtype
+            )
+            self._acc = None
+        self._acc_rows = 0
 
     def _tally(self, keys, cores, eligible) -> None:
         """Same contract as VectorCounter._tally, but the key matching runs
@@ -943,13 +958,9 @@ class DeviceCounter(VectorCounter):
         for entry in self._pending:
             self._drain_entry(entry)
         self._pending = []
-        if self._acc is not None:
-            # ONE count-vector fetch per drain; accumulation restarts so a
-            # mid-stream drain (checkpoint save) composes additively
-            self.doc_counts += np.asarray(self._acc)[: self.B].astype(
-                self.doc_counts.dtype
-            )
-            self._acc = None
+        # ONE count-vector fetch per drain; accumulation restarts so a
+        # mid-stream drain (checkpoint save) composes additively
+        self._fetch_acc()
 
     def results(self):
         self.drain()

@@ -55,9 +55,23 @@ def main() -> None:
                 h.strand.tolist(), h.mismatches.tolist())
         )
 
-    # ShardedCounter over the global mesh: THIS process feeds its own half
-    # of the reads (put_process_local); the psum-merged documented counts
-    # must equal the whole-read-set truth on every host
+    # 2-D (library, genome) mesh with the LIBRARY axis crossing the process
+    # boundary: each host holds different spacer rows (the TP analog over
+    # DCN), genome tiles within each library row
+    from barcoder_tpu.parallel.mesh import make_mesh_2d
+
+    h = sharded_scan(
+        spacers, contig, 2, pam="NGG", mesh=make_mesh_2d(2), P=256
+    )
+    res["hits_2d"] = sorted(
+        zip(h.spacer_idx.tolist(), h.pos.tolist(),
+            h.strand.tolist(), h.mismatches.tolist())
+    )
+
+    # ShardedCounter over the global mesh: every process feeds the SAME
+    # full chunk stream (plain SPMD — identical argv on each host); the
+    # engine slices equal per-host row windows internally and the psum
+    # leaves every host the whole-read-set documented counts
     from barcoder_tpu.parallel.sharded_count import ShardedCounter, make_read_mesh
     from barcoder_tpu.pipeline.heuristic_count import CountConfig
     from tests.test_heuristic_count import (
@@ -65,17 +79,17 @@ def main() -> None:
     )
 
     barcodes = make_barcodes(n=10, seed=2)
-    reads1, _, _truth = make_reads(barcodes, n_reads=800, seed=2)
+    # 777 is odd on purpose: the equal-width window padding path runs
+    reads1, _, _truth = make_reads(barcodes, n_reads=777, seed=2)
     cfg = CountConfig(
         barcodes=set(barcodes), bc_len=20,
         L_fwd=L_FLANK, R_fwd=R_FLANK, L_rev=None, R_rev=None,
         L_fwd_start=len(PREFIX), L_rev_start=None, need_swap=False,
     )
-    half = len(reads1) // nproc
-    local = reads1[pid * half : (pid + 1) * half]
     sc = ShardedCounter(cfg, mesh=make_read_mesh())
-    sc.process_chunk((local, None))
+    sc.process_chunk((reads1, None))
     doc, undoc = sc.results()
+    res["total_reads"] = sc.total_reads
     res["counts"] = sorted(doc.items())
     res["undoc_local"] = sorted(undoc.items())
 

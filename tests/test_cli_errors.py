@@ -74,9 +74,16 @@ def test_mismatch_missing_parameters(tmp_path, capsys):
 
 
 def test_mismatch_missing_spacers_file(tmp_path, capsys):
+    # hermetic minimal parameters file (same schema as the reference's
+    # mismatch_parameters.csv) so the spacers file is the FIRST miss
+    params = tmp_path / "params.csv"
+    params.write_text(
+        "feature,weight,Std error\nintercept,-0.06,0.03\nGC_content,0.5,0.03\n"
+        + "".join(f"{i},0.7,0.03\n" for i in range(20))
+    )
     rc = mismatch_cli.main(
         ["mismatches", "--spacers_file", str(tmp_path / "nope.tsv"),
-         "--parameters_file", "/root/reference/mismatch_parameters.csv"]
+         "--parameters_file", str(params)]
     )
     assert rc == 1
     assert "nope.tsv" in capsys.readouterr().err

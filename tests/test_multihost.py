@@ -83,10 +83,19 @@ def test_scan_matches_single_process(worker_results):
     for i, s in enumerate(spacers):
         plant_guide(rec, s, 700 + 1500 * i, pam="TGG", strand="F" if i % 2 else "R")
     contig = contig_from_record(rec)
+    from barcoder_tpu.parallel.mesh import make_mesh_2d
+
     mesh = make_mesh(8)
-    for site_mode in ("auto", "never"):
+    cases = [
+        ("hits_auto", dict(mesh=mesh, site_mode="auto", v=1)),
+        ("hits_never", dict(mesh=mesh, site_mode="never", v=1)),
+        # library axis crossing the process boundary in the workers
+        ("hits_2d", dict(mesh=make_mesh_2d(2), site_mode="auto", v=2)),
+    ]
+    for key, kw in cases:
         h = sharded_scan(
-            spacers, contig, 1, pam="NGG", mesh=mesh, P=256, site_mode=site_mode
+            spacers, contig, kw["v"], pam="NGG", mesh=kw["mesh"], P=256,
+            site_mode=kw["site_mode"],
         )
         expect = sorted(
             zip(h.spacer_idx.tolist(), h.pos.tolist(),
@@ -94,8 +103,8 @@ def test_scan_matches_single_process(worker_results):
         )
         assert len(expect) >= 5
         for r in worker_results:
-            got = [tuple(t) for t in r[f"hits_{site_mode}"]]
-            assert got == expect, f"process {r['process_index']} ({site_mode})"
+            got = [tuple(t) for t in r[key]]
+            assert got == expect, f"process {r['process_index']} ({key})"
 
 
 @pytest.mark.slow
@@ -107,7 +116,7 @@ def test_counts_match_single_process(worker_results):
     )
 
     barcodes = make_barcodes(n=10, seed=2)
-    reads1, _, _ = make_reads(barcodes, n_reads=800, seed=2)
+    reads1, _, _ = make_reads(barcodes, n_reads=777, seed=2)
     cfg = CountConfig(
         barcodes=set(barcodes), bc_len=20,
         L_fwd=L_FLANK, R_fwd=R_FLANK, L_rev=None, R_rev=None,
@@ -117,8 +126,11 @@ def test_counts_match_single_process(worker_results):
     vc.process_chunk((reads1, None))
     doc, undoc = vc.results()
     # every host holds the identical GLOBAL psum-merged documented counts
+    # and reports the GLOBAL read total (no double counting: both workers
+    # fed the identical full stream)
     for r in worker_results:
         assert Counter(dict(r["counts"])) == doc, f"process {r['process_index']}"
+        assert r["total_reads"] == len(reads1)
     # undocumented reads resolve host-locally; the union over hosts is the
     # single-process undoc tally
     merged = Counter()
