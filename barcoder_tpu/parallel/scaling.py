@@ -176,6 +176,109 @@ def measure_scaling(
     return out
 
 
+def measure_multihost(
+    n_bp: int,
+    n_spacers: int,
+    n_processes: int,
+    devices_per_process: int = 4,
+    P: int = 2048,
+    repeats: int = 3,
+    force_cpu: bool = True,
+) -> dict:
+    """Multi-HOST mechanics/efficiency harness (the DCN half of SURVEY §7
+    step 6): spawns ``n_processes`` real worker processes joined by
+    ``jax.distributed`` over a localhost coordinator, times the unchanged
+    flagship sharded scan over the process-spanning global mesh, and
+    checks every process observed the identical hit set. On one machine
+    with fake CPU devices the wall numbers only validate mechanics (all
+    "hosts" share one socket — flagged in the report); on a real pod the
+    same harness reports cross-host scaling."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_process}"
+    )
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    d = tempfile.mkdtemp(prefix="scaling_mh_")
+    procs, outs = [], []
+    for pid in range(n_processes):
+        out = os.path.join(d, f"p{pid}.json")
+        outs.append(out)
+        cmd = [
+            sys.executable, "-m", "barcoder_tpu.parallel.scaling",
+            "--mh-worker", str(pid), str(n_processes), str(port), out,
+            str(n_bp), str(n_spacers), "--P", str(P),
+            "--repeats", str(repeats),
+        ] + (["--cpu"] if force_cpu else [])
+        procs.append(subprocess.Popen(cmd, env=env, cwd=repo))
+    for p in procs:
+        if p.wait(timeout=900) != 0:
+            for q in procs:
+                q.kill()
+            raise RuntimeError(f"multihost worker failed (rc={p.returncode})")
+    results = [_json.load(open(o)) for o in outs]
+    hit_sets = {r["hits_digest"] for r in results}
+    return {
+        "processes": n_processes,
+        "devices_per_process": devices_per_process,
+        "global_devices": results[0]["global_devices"],
+        "genome_bp": n_bp,
+        "spacers": n_spacers,
+        "per_process_seconds": [r["seconds"] for r in results],
+        "hits": results[0]["hits"],
+        "hit_sets_identical": len(hit_sets) == 1,
+        "note": (
+            "all processes share one socket — wall times validate DCN "
+            "mechanics only" if force_cpu else "real multi-host mesh"
+        ),
+    }
+
+
+def _mh_worker(pid, nproc, port, out_path, n_bp, n_spacers, P, repeats) -> int:
+    """One scaling worker: join the cluster, scan over the global mesh."""
+    import hashlib
+    import json as _json
+
+    from . import multihost
+
+    # join the cluster BEFORE anything touches the XLA backend — importing
+    # ops.pallas_scan initializes it via the compilation-cache probe
+    multihost.initialize(f"localhost:{port}", nproc, pid)
+    from .mesh import make_mesh
+    from .sharded_scan import sharded_scan
+    contig, spacers = _make_workload(n_bp, n_spacers, 20)
+    mesh = make_mesh()
+    dt, hits = _best_of(
+        lambda: sharded_scan(spacers, contig, 1, pam="NGG", mesh=mesh, P=P),
+        repeats,
+    )
+    tup = repr(sorted(zip(
+        hits.spacer_idx.tolist(), hits.pos.tolist(),
+        hits.strand.tolist(), hits.mismatches.tolist(),
+    ))).encode()
+    with open(out_path, "w") as fh:
+        _json.dump({
+            "process": pid,
+            "global_devices": jax.device_count(),
+            "seconds": dt,
+            "hits": len(hits),
+            "hits_digest": hashlib.blake2b(tup, digest_size=12).hexdigest(),
+        }, fh)
+    return 0
+
+
 def main(argv=None) -> int:
     import sys
 
@@ -189,6 +292,45 @@ def main(argv=None) -> int:
         # --xla_force_host_platform_device_count=N)
         jax.config.update("jax_platforms", "cpu")
         args.remove("--cpu")
+    repeats = 3
+    if "--repeats" in args:
+        i = args.index("--repeats")
+        repeats = int(args[i + 1])
+        del args[i : i + 2]
+    if "--mh-worker" in args:
+        i = args.index("--mh-worker")
+        pid, nproc, port, out_path = args[i + 1 : i + 5]
+        del args[i : i + 5]
+        p_w = 2048
+        if "--P" in args:
+            j = args.index("--P")
+            p_w = int(args[j + 1])
+            del args[j : j + 2]
+        n_bp_w = int(args[0]) if args else 1 << 21
+        n_sp_w = int(args[1]) if len(args) > 1 else 1024
+        return _mh_worker(int(pid), int(nproc), port, out_path,
+                          n_bp_w, n_sp_w, p_w, repeats)
+    if "--processes" in args:
+        i = args.index("--processes")
+        nproc = int(args[i + 1])
+        del args[i : i + 2]
+        dpp = 4
+        if "--devices-per-process" in args:
+            i = args.index("--devices-per-process")
+            dpp = int(args[i + 1])
+            del args[i : i + 2]
+        p_m = 2048
+        if "--P" in args:
+            i = args.index("--P")
+            p_m = int(args[i + 1])
+            del args[i : i + 2]
+        n_bp_m = int(args[0]) if args else 1 << 21
+        n_sp_m = int(args[1]) if len(args) > 1 else 1024
+        print(json.dumps(measure_multihost(
+            n_bp_m, n_sp_m, nproc, devices_per_process=dpp, P=p_m,
+            repeats=repeats,
+        ), indent=2))
+        return 0
     if "--engine" in args:
         i = args.index("--engine")
         engine = args[i + 1]

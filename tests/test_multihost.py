@@ -137,3 +137,33 @@ def test_counts_match_single_process(worker_results):
     for r in worker_results:
         merged.update(dict(r["undoc_local"]))
     assert merged == undoc
+
+
+@pytest.mark.slow
+def test_paired_counts_match_single_process(worker_results):
+    from barcoder_tpu.pipeline.heuristic_count import (
+        CountConfig, VectorCounter, rev_comp,
+    )
+
+    from .test_heuristic_count import (
+        L_FLANK, PREFIX, R_FLANK, make_barcodes, make_reads,
+    )
+
+    barcodes = make_barcodes(n=10, seed=2)
+    reads1, reads2, _ = make_reads(barcodes, n_reads=501, seed=3)
+    cfg = CountConfig(
+        barcodes=set(barcodes), bc_len=20,
+        L_fwd=L_FLANK, R_fwd=R_FLANK,
+        L_rev=rev_comp(R_FLANK), R_rev=rev_comp(PREFIX + L_FLANK)[:10],
+        L_fwd_start=len(PREFIX), L_rev_start=8, need_swap=False,
+    )
+    vc = VectorCounter(cfg)
+    vc.process_chunk((reads1, reads2))
+    doc, undoc = vc.results()
+    assert sum(doc.values()) > 400  # the paired geometry actually matches
+    for r in worker_results:
+        assert Counter(dict(r["counts_paired"])) == doc
+    merged = Counter()
+    for r in worker_results:
+        merged.update(dict(r["undoc_paired_local"]))
+    assert merged == undoc

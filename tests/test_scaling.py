@@ -20,3 +20,19 @@ def test_measure_scaling_mechanics():
     # the flagship path returns real hits (the planted workload guarantees
     # every spacer hits its own site at v=1 NGG-permissively >= 0 hits)
     assert all("hits" in p for p in r["flagship"])
+
+
+@pytest.mark.slow
+def test_measure_multihost_mechanics():
+    """The multi-HOST scaling harness (SURVEY §7 step 6's efficiency
+    harness over DCN): 2 real processes x 2 fake devices, identical hit
+    sets across hosts."""
+    from barcoder_tpu.parallel.scaling import measure_multihost
+
+    r = measure_multihost(
+        n_bp=1 << 16, n_spacers=64, n_processes=2, devices_per_process=2,
+        P=256, repeats=1,
+    )
+    assert r["global_devices"] == 4
+    assert r["hit_sets_identical"] is True
+    assert len(r["per_process_seconds"]) == 2
