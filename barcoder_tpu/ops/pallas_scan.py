@@ -722,6 +722,15 @@ _SCAN_DEV_CACHE = _DeviceScanCache()
 _QPREP_CACHE = _DeviceScanCache()  # content-keyed _QPrep (library device prep)
 
 
+# ONE-slot cache for design-scale _QPreps (S_pad >= the site-mode
+# threshold): those pin hundreds of MB of HBM each, so the LRU-of-8
+# _QPREP_CACHE must not hold them (ADVICE r3) — but evicting them entirely
+# makes every repeat design run re-ship and re-prepare a ~600k-row library
+# (~1 s/scan). A single slot (cleared before each insert) caps the exposure
+# at one large library while keeping the repeat-design path warm.
+_BIG_QPREP_SLOT: dict = {}
+
+
 def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
     """int8 codes 0..7 → uint8 nibble pairs (even index = low nibble).
 
@@ -1878,16 +1887,19 @@ def pallas_scan_contigs(
         _content_digest(q_f), q_f.shape, str(q_f.dtype),
         max_mismatches, pam, pam_direction, P, sub_width,
     )
-    prep = _QPREP_CACHE.get(qp_key)
+    prep = _QPREP_CACHE.get(qp_key) or _BIG_QPREP_SLOT.get(qp_key)
     if prep is None:
         prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
-        # the cache exists for steady-state serving libraries (a few MB of
+        # the LRU exists for steady-state serving libraries (a few MB of
         # HBM each); a design-scale prep pins hundreds of MB (q_dev fwd/rev
         # + q_all at S_pad x K bf16), and MAX=8 of those OOMs a long-lived
-        # process scanning several distinct large libraries — don't retain
-        # those past the call
+        # process scanning several distinct large libraries — those go to
+        # the one-slot _BIG_QPREP_SLOT instead
         if prep.S_pad < _SITE_MODE_MIN_SPACERS:
             _QPREP_CACHE.put(qp_key, prep)
+        else:
+            _BIG_QPREP_SLOT.clear()
+            _BIG_QPREP_SLOT[qp_key] = prep
     # contigs run sequentially (shared prep amortizes the library shipping
     # and one-hot builds): overlapping one contig's phase-1 dispatches with
     # another's collect measured PATHOLOGICAL on tunneled dev links (first
