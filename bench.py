@@ -202,6 +202,37 @@ def bench_sharded_1dev(contig, spacers) -> dict:
     }
 
 
+def bench_serving(contig) -> dict:
+    """Steady-state SERVING throughput: 8 DISTINCT 9,984-spacer libraries
+    scanned back-to-back against the (site-table-cached) genome — the
+    production pattern (many libraries, one genome) the per-library device
+    caches were built for. Each new library pays only its own prep (codes
+    ship + device one-hot build), ~13 ms over the repeat-scan floor."""
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+
+    n = contig.length
+    seq = contig.seq
+
+    def lib(seed, S=N_SPACERS, length=L):
+        r = np.random.default_rng(seed)
+        step = n // (S + 1)
+        pos = 0
+        out = []
+        while len(out) < S:
+            pos = (pos + step + int(r.integers(0, 7))) % (n - length - 3)
+            out.append(seq[pos : pos + length])
+        return out
+
+    pallas_scan(lib(99), contig, V, pam=PAM, P=P)  # warm the engine shape
+    libs = [lib(100 + i) for i in range(8)]
+    t0 = time.time()
+    hits = sum(len(pallas_scan(q, contig, V, pam=PAM, P=P)) for q in libs)
+    dt = time.time() - t0
+    pairs = 8 * N_SPACERS * n * 2
+    return {"libraries": 8, "total_s": dt, "s_per_library": dt / 8,
+            "hits": hits, "pairs_per_s": pairs / dt}
+
+
 def bench_counting() -> tuple[dict, str, list]:
     """Secondary metric (BASELINE config 4): barcodes matched/s on a
     1M-read simulated FASTQ against a 10k-barcode library (host engine).
@@ -461,6 +492,7 @@ def inner_main() -> int:
         total_s = min(total_s, time.time() - t0)
 
     kernel = bench_kernel_phase(contig, spacers)
+    serving = bench_serving(contig)
     sharded_1dev = bench_sharded_1dev(contig, spacers)
     counting, fastq_path, barcodes = bench_counting()
     counting_device = (
@@ -497,6 +529,7 @@ def inner_main() -> int:
             "first_call_compiles": first_call_compiles,
             "process_compiles": cs.snapshot(),
             "kernel": kernel,
+            "serving": serving,
             "sharded_1dev": sharded_1dev,
             "counting": counting,
             "counting_device": counting_device,
