@@ -68,6 +68,20 @@ def main() -> None:
             h.strand.tolist(), h.mismatches.tolist())
     )
 
+    # the FULL targets pipeline (scan + locus join + postprocess) through
+    # the sharded backend on the process-spanning mesh: plain SPMD — every
+    # host computes the identical final table
+    from barcoder_tpu.core.genome import Genome
+    from barcoder_tpu.pipeline.targets import run_targets
+    from barcoder_tpu.seqio.library import BarcodeLibrary
+
+    lib = BarcodeLibrary.from_list(spacers)
+    tr = run_targets(lib, Genome(contigs=[contig]), "NGG", 1, backend="sharded")
+    res["targets_tsv_digest"] = __import__("hashlib").blake2b(
+        tr.table.to_csv(sep="\t", index=False, na_rep="None").encode(),
+        digest_size=12,
+    ).hexdigest()
+
     # ShardedCounter over the global mesh: every process feeds the SAME
     # full chunk stream (plain SPMD — identical argv on each host); the
     # engine slices equal per-host row windows internally and the psum

@@ -106,6 +106,24 @@ def test_scan_matches_single_process(worker_results):
             got = [tuple(t) for t in r[key]]
             assert got == expect, f"process {r['process_index']} ({key})"
 
+    # the full targets pipeline over the process-spanning mesh: every host
+    # computed the identical final table, equal to this process's own
+    import hashlib
+
+    from barcoder_tpu.core.genome import Genome
+    from barcoder_tpu.pipeline.targets import run_targets
+    from barcoder_tpu.seqio.library import BarcodeLibrary
+
+    lib = BarcodeLibrary.from_list(spacers)
+    tr = run_targets(lib, Genome(contigs=[contig]), "NGG", 1, backend="sharded")
+    digest = hashlib.blake2b(
+        tr.table.to_csv(sep="\t", index=False, na_rep="None").encode(),
+        digest_size=12,
+    ).hexdigest()
+    assert len(tr.table) >= 5
+    for r in worker_results:
+        assert r["targets_tsv_digest"] == digest
+
 
 @pytest.mark.slow
 def test_counts_match_single_process(worker_results):
