@@ -1889,6 +1889,11 @@ def pallas_scan_contigs(
     )
     prep = _QPREP_CACHE.get(qp_key) or _BIG_QPREP_SLOT.get(qp_key)
     if prep is None:
+        # release the previous big prep BEFORE building a new one — clearing
+        # after construction would pin TWO design-scale preps in HBM during
+        # the swap (S_pad >= threshold implies the bs=512 bucket)
+        if _geom_bucket(S, 512) >= _SITE_MODE_MIN_SPACERS:
+            _BIG_QPREP_SLOT.clear()
         prep = _QPrep(q_f, max_mismatches, pam, pam_direction, P, sub_width)
         # the LRU exists for steady-state serving libraries (a few MB of
         # HBM each); a design-scale prep pins hundreds of MB (q_dev fwd/rev
@@ -1898,7 +1903,6 @@ def pallas_scan_contigs(
         if prep.S_pad < _SITE_MODE_MIN_SPACERS:
             _QPREP_CACHE.put(qp_key, prep)
         else:
-            _BIG_QPREP_SLOT.clear()
             _BIG_QPREP_SLOT[qp_key] = prep
     # contigs run sequentially (shared prep amortizes the library shipping
     # and one-hot builds): overlapping one contig's phase-1 dispatches with

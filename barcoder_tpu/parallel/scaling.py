@@ -205,9 +205,13 @@ def measure_multihost(
         port = s.getsockname()[1]
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={devices_per_process}"
-    )
+    if force_cpu:
+        # fake devices only make sense on the CPU path; APPEND so a
+        # launcher's own XLA flags survive
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={devices_per_process}"
+        ).strip()
     env["PYTHONPATH"] = repo + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
@@ -222,12 +226,22 @@ def measure_multihost(
             str(n_bp), str(n_spacers), "--P", str(P),
             "--repeats", str(repeats),
         ] + (["--cpu"] if force_cpu else [])
-        procs.append(subprocess.Popen(cmd, env=env, cwd=repo))
-    for p in procs:
-        if p.wait(timeout=900) != 0:
-            for q in procs:
-                q.kill()
-            raise RuntimeError(f"multihost worker failed (rc={p.returncode})")
+        # capture worker output: Gloo rank banners must not pollute the
+        # harness's own JSON stdout
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=repo,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ))
+    try:
+        for p in procs:
+            if p.wait(timeout=900) != 0:
+                raise RuntimeError(
+                    f"multihost worker failed (rc={p.returncode})"
+                )
+    except BaseException:
+        for q in procs:
+            q.kill()
+        raise
     results = [_json.load(open(o)) for o in outs]
     hit_sets = {r["hits_digest"] for r in results}
     return {
@@ -314,6 +328,14 @@ def main(argv=None) -> int:
         i = args.index("--processes")
         nproc = int(args[i + 1])
         del args[i : i + 2]
+        # default: fake CPU devices (mechanics validation on one machine);
+        # --real-devices launches workers on whatever accelerators each
+        # process sees — the pod path that yields the actual efficiency
+        # number
+        force_cpu = True
+        if "--real-devices" in args:
+            force_cpu = False
+            args.remove("--real-devices")
         dpp = 4
         if "--devices-per-process" in args:
             i = args.index("--devices-per-process")
@@ -328,7 +350,7 @@ def main(argv=None) -> int:
         n_sp_m = int(args[1]) if len(args) > 1 else 1024
         print(json.dumps(measure_multihost(
             n_bp_m, n_sp_m, nproc, devices_per_process=dpp, P=p_m,
-            repeats=repeats,
+            repeats=repeats, force_cpu=force_cpu,
         ), indent=2))
         return 0
     if "--engine" in args:

@@ -106,19 +106,16 @@ def main() -> None:
     res["total_reads"] = sc.total_reads
 
     # paired-end: revcomp-consistency + both flank sides run through the
-    # same per-host row slicing
-    reads1p, reads2p, _t = make_reads(barcodes, n_reads=501, seed=3)
-    from barcoder_tpu.pipeline.heuristic_count import rev_comp
+    # same per-host row slicing; undocumented barcodes planted so the
+    # per-host undoc-window union is NOT vacuous
+    from tests.genomes import random_seq as _rs
+    from tests.test_heuristic_count import paired_cfg
 
-    # read2 = revcomp(read1) = rc(TAIL)[8] + rc(R_FLANK)[7] + rc(bc)[20]
-    #         + rc(PREFIX+L_FLANK)[12]
-    cfg_p = CountConfig(
-        barcodes=set(barcodes), bc_len=20,
-        L_fwd=L_FLANK, R_fwd=R_FLANK,
-        L_rev=rev_comp(R_FLANK), R_rev=rev_comp(PREFIX + L_FLANK)[:10],
-        L_fwd_start=len(PREFIX), L_rev_start=8, need_swap=False,
+    undoc_bc = [_rs(20, np.random.default_rng(77))]
+    reads1p, reads2p, _t = make_reads(
+        barcodes, n_reads=501, seed=3, undocumented=undoc_bc
     )
-    scp = ShardedCounter(cfg_p, mesh=make_read_mesh())
+    scp = ShardedCounter(paired_cfg(barcodes), mesh=make_read_mesh())
     scp.process_chunk((reads1p, reads2p))
     doc_p, undoc_p = scp.results()
     res["counts_paired"] = sorted(doc_p.items())

@@ -473,3 +473,16 @@ class TestShardedEngine:
         doc_v, undoc_v = vc.results()
         assert doc_s == doc_v == truth
         assert undoc_s == undoc_v
+
+
+def paired_cfg(barcodes, bc_len=20):
+    """The paired-end CountConfig matching make_reads' amplicon geometry:
+    read2 = revcomp(read1) = rc(TAIL)[8] + rc(R_FLANK)[7] + rc(bc)[bc_len]
+    + rc(PREFIX + L_FLANK)[12]. Shared by the multi-host worker and its
+    expected-value computation so the two cannot drift."""
+    return CountConfig(
+        barcodes=set(barcodes), bc_len=bc_len,
+        L_fwd=L_FLANK, R_fwd=R_FLANK,
+        L_rev=rev_comp(R_FLANK), R_rev=rev_comp(PREFIX + L_FLANK)[:10],
+        L_fwd_start=len(PREFIX), L_rev_start=len(TAIL), need_swap=False,
+    )

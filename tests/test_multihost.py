@@ -159,26 +159,21 @@ def test_counts_match_single_process(worker_results):
 
 @pytest.mark.slow
 def test_paired_counts_match_single_process(worker_results):
-    from barcoder_tpu.pipeline.heuristic_count import (
-        CountConfig, VectorCounter, rev_comp,
-    )
+    from barcoder_tpu.pipeline.heuristic_count import VectorCounter
 
-    from .test_heuristic_count import (
-        L_FLANK, PREFIX, R_FLANK, make_barcodes, make_reads,
-    )
+    from .genomes import random_seq
+    from .test_heuristic_count import make_barcodes, make_reads, paired_cfg
 
     barcodes = make_barcodes(n=10, seed=2)
-    reads1, reads2, _ = make_reads(barcodes, n_reads=501, seed=3)
-    cfg = CountConfig(
-        barcodes=set(barcodes), bc_len=20,
-        L_fwd=L_FLANK, R_fwd=R_FLANK,
-        L_rev=rev_comp(R_FLANK), R_rev=rev_comp(PREFIX + L_FLANK)[:10],
-        L_fwd_start=len(PREFIX), L_rev_start=8, need_swap=False,
+    undoc_bc = [random_seq(20, np.random.default_rng(77))]
+    reads1, reads2, _ = make_reads(
+        barcodes, n_reads=501, seed=3, undocumented=undoc_bc
     )
-    vc = VectorCounter(cfg)
+    vc = VectorCounter(paired_cfg(barcodes))
     vc.process_chunk((reads1, reads2))
     doc, undoc = vc.results()
     assert sum(doc.values()) > 400  # the paired geometry actually matches
+    assert sum(undoc.values()) > 10  # undoc slicing path is NOT vacuous
     for r in worker_results:
         assert Counter(dict(r["counts_paired"])) == doc
     merged = Counter()
