@@ -70,3 +70,56 @@ def test_random_config_agreement(seed):
         # the planted guide must be found when its PAM matches the pattern
         g_idx = len(spacers) - 1
         assert any(t[0] == g_idx and t[3] == 0 for t in b)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(6))
+def test_random_config_agreement_sharded(seed):
+    """The same fuzz walk through the MULTI-DEVICE engine (8-fake-device
+    mesh, random P/sub_width, both site modes) — boundary halos, site
+    sharding, capacity retries, and packed-hit decode under random
+    geometry must agree with the oracle exactly."""
+    import jax
+
+    from barcoder_tpu.parallel.mesh import make_mesh
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan
+
+    assert len(jax.devices()) >= 8
+    rng = np.random.default_rng(7000 + seed)
+    L = int(rng.choice([20, 24, 32]))
+    v = int(rng.integers(0, 3))
+    pam = PAMS[int(rng.integers(0, len(PAMS)))]
+    direction = "downstream" if rng.integers(0, 2) else "upstream"
+    topology = "circular" if rng.integers(0, 2) else "linear"
+    n = int(rng.integers(4000, 9000))
+    P = int(rng.choice([128, 256, 512]))
+    sub_width = int(rng.choice([64, 128]))
+    site_mode = "auto" if rng.integers(0, 2) else "never"
+
+    rec = make_record(n=n, topology=topology, seed=seed)
+    spacers = [random_seq(L, rng) for _ in range(3)]
+    body = rec.seq
+    for _ in range(3):
+        p = int(rng.integers(0, n - L))
+        w = body[p : p + L]
+        if "N" in w:
+            continue
+        spacers.append(_mutate(w, v, rng) if v else w)
+        spacers.append(_mutate(w, min(v + 1, L), rng))
+    g = random_seq(L, rng)
+    concrete = (pam or "N").replace("N", "A")
+    plant_guide(rec, g, int(rng.integers(50, n - 2 * L - 8)), pam=concrete,
+                strand="F", pam_direction=direction)
+    spacers.append(g)
+
+    contig = contig_from_record(rec)
+    a = tuples(oracle_scan(spacers, contig, v, pam=pam, pam_direction=direction))
+    b = tuples(sharded_scan(
+        spacers, contig, v, pam=pam, pam_direction=direction,
+        mesh=make_mesh(8), P=P, sub_width=sub_width, site_mode=site_mode,
+    ))
+    assert a == b, (
+        f"seed={seed} L={L} v={v} pam={pam!r} dir={direction} topo={topology} "
+        f"P={P} sub={sub_width} mode={site_mode}: "
+        f"only_oracle={sorted(a - b)[:5]} only_sharded={sorted(b - a)[:5]}"
+    )
