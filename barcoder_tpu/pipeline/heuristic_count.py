@@ -1064,6 +1064,14 @@ def run_count(
             vc = ShardedCounter(cfg)
         else:
             vc = DeviceCounter(cfg) if engine == "device" else VectorCounter(cfg)
+        if checkpoint_path:
+            import jax
+
+            if jax.process_count() > 1:
+                # multi-host SPMD: every host runs this driver with the same
+                # argv — per-host checkpoint files (undoc is host-local)
+                # instead of N processes clobbering one path
+                checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
         ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
         skip_chunks = ckpt.restore(vc) if ckpt else 0
         f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)

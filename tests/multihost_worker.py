@@ -123,6 +123,38 @@ def main() -> None:
     res["counts"] = sorted(doc.items())
     res["undoc_local"] = sorted(undoc.items())
 
+    # the FULL run_count driver (sampling + reader + chunk loop) with the
+    # sharded engine: plain SPMD over the same FASTQ file — every host must
+    # report the global counts/read total
+    import os
+    import tempfile
+
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    fq_dir = os.environ.get("MH_WORKER_TMP") or tempfile.gettempdir()
+    fq = os.path.join(fq_dir, "mh_run_count.fastq")
+    if pid == 0:  # one writer; content is deterministic either way
+        pre, tail = "ACGTG", "TCCATGGA"
+        with open(fq + ".tmp", "w") as fh:
+            r = np.random.default_rng(6)
+            for i in r.integers(0, len(barcodes), size=1500):
+                rd = pre + L_FLANK + barcodes[i] + R_FLANK + tail
+                fh.write(f"@r\n{rd}\n+\n{'I' * len(rd)}\n")
+        os.replace(fq + ".tmp", fq)
+    else:
+        import time
+
+        for _ in range(200):
+            if os.path.exists(fq):
+                break
+            time.sleep(0.1)
+    doc_rc, undoc_rc, total_rc, _info = run_count(
+        set(barcodes), fq, engine="sharded"
+    )
+    res["run_count"] = sorted(doc_rc.items())
+    res["run_count_total"] = total_rc
+    res["run_count_undoc_local"] = sorted(undoc_rc.items())
+
     with open(out_path, "w") as fh:
         json.dump(res, fh)
 

@@ -43,6 +43,7 @@ def worker_results(tmp_path_factory):
     env["PYTHONPATH"] = REPO + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
+    env["MH_WORKER_TMP"] = str(d)
     procs, outs = [], []
     for pid in range(2):
         out = d / f"res{pid}.json"
@@ -154,6 +155,33 @@ def test_counts_match_single_process(worker_results):
     merged = Counter()
     for r in worker_results:
         merged.update(dict(r["undoc_local"]))
+    assert merged == undoc
+
+
+@pytest.mark.slow
+def test_run_count_driver_matches_single_process(worker_results, tmp_path):
+    """The FULL run_count driver (sampling + reader + chunk loop) with the
+    sharded engine over the process-spanning mesh: global counts and read
+    totals identical on every host and to a single-process run."""
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    from .test_heuristic_count import L_FLANK, R_FLANK, make_barcodes
+
+    barcodes = make_barcodes(n=10, seed=2)
+    pre, tail = "ACGTG", "TCCATGGA"
+    fq = tmp_path / "rc.fastq"
+    with open(fq, "w") as fh:
+        r = np.random.default_rng(6)
+        for i in r.integers(0, len(barcodes), size=1500):
+            rd = pre + L_FLANK + barcodes[i] + R_FLANK + tail
+            fh.write(f"@r\n{rd}\n+\n{'I' * len(rd)}\n")
+    doc, undoc, total, _ = run_count(set(barcodes), str(fq), engine="vector")
+    for r2 in worker_results:
+        assert Counter(dict(r2["run_count"])) == doc
+        assert r2["run_count_total"] == total
+    merged = Counter()
+    for r2 in worker_results:
+        merged.update(dict(r2["run_count_undoc_local"]))
     assert merged == undoc
 
 
