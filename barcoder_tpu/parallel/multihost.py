@@ -26,6 +26,11 @@ Processes must make the same jitted calls in the same order (single-
 controller SPMD, one controller per host) — the engines here already do:
 every retry/caps decision in ``sharded_scan`` is computed from a fully
 replicated header, so all hosts branch identically.
+
+CPU-mesh caveat: XLA's Gloo collective backend prints ``[Gloo] Rank ...``
+banners directly to stdout (C++ iostream) when ranks first connect —
+consumers of a CLI's stdout on the CPU stand-in should drop those lines.
+Real TPU pods ride ICI/DCN and keep stdout clean.
 """
 
 from __future__ import annotations

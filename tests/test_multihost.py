@@ -159,6 +159,67 @@ def test_counts_match_single_process(worker_results):
 
 
 @pytest.mark.slow
+def test_targets_cli_multihost_env(tmp_path):
+    """The DOCUMENTED user flow: two `python -m barcoder_tpu targets ...`
+    processes with identical argv, joined only by the
+    BARCODER_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env vars
+    (cli/main._join_cluster). Both hosts must exit 0 with identical TSV on
+    stdout, equal to a plain single-process run."""
+    from barcoder_tpu.seqio.genbank import write_genbank
+
+    from .genomes import make_record, plant_guide, random_seq
+
+    rng = np.random.default_rng(3)
+    rec = make_record(n=6000, topology="circular", seed=3, n_genes=5)
+    guides = [random_seq(20, rng) for _ in range(4)]
+    for i, g in enumerate(guides):
+        plant_guide(rec, g, 600 + 1200 * i, pam="TGG")
+    write_genbank([rec], tmp_path / "g.gb")
+    with open(tmp_path / "lib.fasta", "w") as fh:
+        for i, g in enumerate(guides):
+            fh.write(f">g{i}\n{g}\n")
+    argv = [sys.executable, "-m", "barcoder_tpu", "targets",
+            str(tmp_path / "lib.fasta"), str(tmp_path / "g.gb"), "NGG", "1",
+            "--backend", "sharded"]
+    base_env = dict(os.environ, BARCODER_TPU_PLATFORM="cpu")
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   BARCODER_TPU_COORDINATOR=f"localhost:{port}",
+                   BARCODER_TPU_NUM_PROCESSES="2",
+                   BARCODER_TPU_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            argv, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        # XLA's Gloo CPU-collective backend prints rank banners straight to
+        # stdout (C++ iostream, unscopable from Python); real TPU pods ride
+        # ICI/DCN and keep stdout clean — strip the CPU-stand-in noise
+        # ... and its unbuffered writes can split a banner across lines, so
+        # filter by content, not prefix
+        outs.append("".join(
+            l for l in stdout.splitlines(keepends=True)
+            if "[Gloo]" not in l and "peer ranks" not in l
+        ))
+    single = subprocess.run(argv, env=base_env, cwd=REPO, timeout=420,
+                            capture_output=True, text=True)
+    assert single.returncode == 0, single.stderr[-3000:]
+    assert outs[0] == outs[1] == single.stdout
+    assert all(g in outs[0] for g in guides)
+
+
+@pytest.mark.slow
 def test_run_count_driver_matches_single_process(worker_results, tmp_path):
     """The FULL run_count driver (sampling + reader + chunk loop) with the
     sharded engine over the process-spanning mesh: global counts and read
