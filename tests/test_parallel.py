@@ -188,3 +188,38 @@ def test_caps_memo_skips_retry_on_repeat_scans(mesh8_module=None):
     b = tuples(sharded_scan([g], contig, 0, **kw))
     assert ss.LAST_TIMINGS["attempts"] == 1, "memo must pre-size the repeat scan"
     assert a == b == tuples(oracle_scan([g], contig, 0, pam="NAA"))
+
+
+class TestShardedScanMany:
+    def test_matches_individual_scans(self, mesh8):
+        """Batched serving (dispatch-all-then-collect) returns exactly the
+        per-library sharded_scan results, in input order."""
+        from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
+
+        rng = np.random.default_rng(9)
+        rec = make_record(n=9000, topology="circular", seed=9)
+        libs = []
+        for k in range(5):
+            spacers = [random_seq(20, rng) for _ in range(4)]
+            plant_guide(rec, spacers[0], 500 + 1100 * k, pam="TGG")
+            libs.append(spacers)
+        contig = contig_from_record(rec)
+        many = sharded_scan_many(
+            libs, contig, 1, pam="NGG", mesh=mesh8, P=256, max_pending=2
+        )
+        assert len(many) == len(libs)
+        total = 0
+        for spacers, hits in zip(libs, many):
+            solo = tuples(sharded_scan(
+                spacers, contig, 1, pam="NGG", mesh=mesh8, P=256
+            ))
+            assert tuples(hits) == solo
+            total += len(solo)
+        assert total >= 5
+
+    def test_requires_pam(self, mesh8):
+        from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
+
+        rec = make_record(n=2000, seed=1)
+        with pytest.raises(ValueError):
+            sharded_scan_many([["A" * 20]], contig_from_record(rec), 0, pam="")
