@@ -284,26 +284,59 @@ def _sharded_engine(
     return jax.jit(fn)
 
 
+def _entry_bytes(v) -> int:
+    """Best-effort device/host byte estimate of one cache entry (jax or
+    numpy arrays, possibly nested in tuples)."""
+    if hasattr(v, "nbytes"):
+        try:
+            return int(v.nbytes)
+        except Exception:  # pragma: no cover - exotic array type
+            return 0
+    if isinstance(v, (tuple, list)):
+        return sum(_entry_bytes(x) for x in v)
+    return 0
+
+
 class _ShardDevCache(dict):
-    """Tiny LRU of device-resident sharded inputs keyed by content digest +
+    """LRU of device-resident sharded inputs keyed by content digest +
     geometry — repeat scans of one genome/library over one mesh skip the
     host build and the h2d ship entirely (the measured dominant cost of a
-    warm sharded call)."""
+    warm sharded call). Hits refresh recency (a FIFO thrashed 100% on the
+    8-library serving set, r4 review), and eviction is bounded BOTH by
+    entry count and by estimated bytes so a few design-scale libraries
+    can't pin multiple GB of HBM."""
 
     MAX = 8
+    MAX_BYTES = 1 << 30
+
+    def __init__(self, max_entries: int = 8):
+        super().__init__()
+        self.MAX = max_entries
+        self._bytes: dict = {}
 
     def get_or_put(self, key, build):
         v = super().get(key)
         if v is None:
             v = build()
             self[key] = v
-            while len(self) > self.MAX:
-                del self[next(iter(self))]
+            self._bytes[key] = _entry_bytes(v)
+            while len(self) > self.MAX or (
+                len(self) > 1 and sum(self._bytes.values()) > self.MAX_BYTES
+            ):
+                old = next(iter(self))
+                del self[old]
+                self._bytes.pop(old, None)
+        else:
+            # LRU touch: move to the recent end
+            del self[key]
+            self[key] = v
         return v
 
 
 _GENOME_SHARD_CACHE = _ShardDevCache()
-_Q_SHARD_CACHE = _ShardDevCache()
+# sized for a SERVING SET of libraries (8+ distinct q one-hots in rotation
+# plus the small scalars), not just one
+_Q_SHARD_CACHE = _ShardDevCache(max_entries=32)
 
 
 def _host_onehot(q_codes: np.ndarray, K: int, L: int, fold: bool, bias_col: int):
@@ -612,10 +645,14 @@ class _SiteScanRun:
         self.use_pallas, self.interpret = use_pallas, interpret
         self._t1 = _time.time()
         self._attempts = 0
+        self._dispatch_s = 0.0  # engine build + enqueue time, all attempts
         self.fut = self._dispatch()
 
     def _dispatch(self):
+        import time as _time
+
         self._attempts += 1
+        _ta = _time.time()
         eng = _sharded_site_engine(
             self.mesh, n_lib=self.n_lib, n_gen=self.n_gen, Bs=self.Bs,
             P=self.P, P2=self.P2, L=self.L, L_pad=self.L_pad, K=self.K,
@@ -626,7 +663,9 @@ class _SiteScanRun:
             k=self.k_top, use_pallas=self.use_pallas,
             interpret=self.interpret,
         )
-        return eng(self.codes_dev, self.n_sites_v, self.q_dev, self.thresh_v)
+        fut = eng(self.codes_dev, self.n_sites_v, self.q_dev, self.thresh_v)
+        self._dispatch_s += _time.time() - _ta
+        return fut
 
     def collect(self) -> Hits:
         import time as _time
@@ -638,7 +677,8 @@ class _SiteScanRun:
             packed = np.asarray(self.fut)
             _t3 = _time.time()
             LAST_TIMINGS.update(
-                host_prep_s=self._t1 - self._t0, dispatch_s=0.0,
+                host_prep_s=self._t1 - self._t0,
+                dispatch_s=self._dispatch_s,
                 fetch_s=_t3 - _ta, attempts=self._attempts,
                 payload_ints=int(packed.size),
             )
@@ -1008,10 +1048,17 @@ def sharded_scan_many(
         mesh = make_mesh()
     if use_pallas is None:
         use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
+    libraries = list(libraries)  # allow a generator of libraries
     runs: list = [None] * len(libraries)
     results: list = [None] * len(libraries)
     pending: list[int] = []
     for i, spacers in enumerate(libraries):
+        # drain BEFORE dispatching so in-flight scans never exceed
+        # max_pending (construction dispatches)
+        if len(pending) >= max_pending:
+            j = pending.pop(0)
+            results[j] = runs[j].collect()
+            runs[j] = None
         q_f = (
             spacer_matrix(list(spacers))
             if not isinstance(spacers, np.ndarray)
@@ -1022,10 +1069,6 @@ def sharded_scan_many(
             sub_width, pair_cap, hit_cap, use_pallas, interpret,
         )
         pending.append(i)
-        if len(pending) > max_pending:
-            j = pending.pop(0)
-            results[j] = runs[j].collect()
-            runs[j] = None
     for j in pending:
         results[j] = runs[j].collect()
     return results
