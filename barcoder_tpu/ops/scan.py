@@ -107,6 +107,50 @@ def scan_contig(
     raise ValueError(f"unknown scan backend {b!r}")
 
 
+def scan_contigs(
+    spacers,
+    contigs: list[Contig],
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    backend: Backend = "auto",
+) -> dict[str, Hits]:
+    """Batched multi-contig scan; returns {contig_id: Hits}. Multi-replicon
+    genomes pipeline their per-contig device work where the backend
+    supports it: the pallas path shares one spacer prep across contigs
+    (pallas_scan_contigs), the sharded path dispatches every contig's
+    fused program before any fetch (sharded_scan_contigs)."""
+    b = resolve_backend(backend)
+    if b in ("pallas", "pallas-interpret"):
+        from .pallas_scan import pallas_scan_contigs
+
+        return pallas_scan_contigs(
+            spacers, contigs, max_mismatches, pam, pam_direction,
+            interpret=(b == "pallas-interpret"),
+        )
+    if b == "sharded" and len(contigs) > 1:
+        from .pallas_scan import MAX_PAM
+
+        if len(pam) <= MAX_PAM:
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded_scan import sharded_scan_contigs
+
+            mesh = make_mesh()
+            tile_p = (
+                16384
+                if mesh.devices.ravel()[0].platform in ("tpu", "axon")
+                else 2048
+            )
+            return sharded_scan_contigs(
+                spacers, contigs, max_mismatches, pam, pam_direction,
+                mesh=mesh, P=tile_p,
+            )
+    return {
+        c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
+        for c in contigs
+    }
+
+
 def scan_genome(
     spacers,
     genome: Genome,
@@ -115,19 +159,7 @@ def scan_genome(
     pam_direction: str = "downstream",
     backend: Backend = "auto",
 ) -> dict[str, Hits]:
-    """Scan every contig; returns {contig_id: Hits}.
-
-    On the pallas backend all contigs share one spacer prep and their
-    phase-1 dispatches pipeline (multi-replicon genomes cost one pass)."""
-    b = resolve_backend(backend)
-    if b in ("pallas", "pallas-interpret"):
-        from .pallas_scan import pallas_scan_contigs
-
-        return pallas_scan_contigs(
-            spacers, genome.contigs, max_mismatches, pam, pam_direction,
-            interpret=(b == "pallas-interpret"),
-        )
-    return {
-        c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
-        for c in genome.contigs
-    }
+    """Scan every contig; returns {contig_id: Hits} (see scan_contigs)."""
+    return scan_contigs(
+        spacers, genome.contigs, max_mismatches, pam, pam_direction, backend
+    )

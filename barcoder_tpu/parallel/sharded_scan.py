@@ -1074,6 +1074,62 @@ def sharded_scan_many(
     return results
 
 
+def sharded_scan_contigs(
+    spacers,
+    contigs,
+    max_mismatches: int,
+    pam: str = "",
+    pam_direction: str = "downstream",
+    mesh=None,
+    P: int = 2048,
+    sub_width: int = 512,
+    pair_cap: int = 256,
+    hit_cap: int = 1 << 12,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+    site_mode: str = "auto",
+    max_pending: int = 4,
+) -> dict:
+    """Multi-contig sharded scan with every contig's fused program
+    dispatched before any result is fetched — a multi-replicon genome
+    (e.g. the 5-contig Zymomonas set) overlaps its per-contig link round
+    trips instead of paying them serially (the multi-contig analog of
+    sharded_scan_many; PAM site path only — dense/no-PAM contigs fall
+    back to sequential sharded_scan)."""
+    if mesh is None:
+        mesh = make_mesh()
+    if use_pallas is None:
+        use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
+    q_f = (
+        spacer_matrix(list(spacers))
+        if not isinstance(spacers, np.ndarray)
+        else spacers
+    )
+    if not (q_f.shape[0] and bool(pam) and site_mode != "never"):
+        return {
+            c.id: sharded_scan(
+                q_f, c, max_mismatches, pam, pam_direction, mesh=mesh, P=P,
+                sub_width=sub_width, pair_cap=pair_cap, hit_cap=hit_cap,
+                use_pallas=use_pallas, interpret=interpret,
+                site_mode=site_mode,
+            )
+            for c in contigs
+        }
+    results: dict = {}
+    pending: list = []
+    for c in contigs:
+        if len(pending) >= max_pending:
+            cid, run = pending.pop(0)
+            results[cid] = run.collect()
+        pending.append((c.id, _SiteScanRun(
+            q_f, c, max_mismatches, pam, pam_direction, mesh, P, sub_width,
+            pair_cap, hit_cap, use_pallas, interpret,
+        )))
+    for cid, run in pending:
+        results[cid] = run.collect()
+    return results
+
+
 # ---------------------------------------------------------------------------
 # Older phase-1-only sharded block-max API (kept for A/B comparison in
 # parallel.scaling — the max-reduce kernel generation the flagship path

@@ -35,7 +35,7 @@ from ..core.encode import COMP_ASCII, DECODE_ASCII
 from ..core.genome import Contig, Genome
 from ..core.pam import pam_is_trivial
 from ..ops.prep import build_scan_array, revcomp_matrix, spacer_matrix
-from ..ops.scan import scan_contig
+from ..ops.scan import scan_contigs
 from ..ops.types import STRAND_R, Hits
 from ..seqio.library import BarcodeLibrary
 
@@ -432,11 +432,18 @@ def run_targets(
         q_r = revcomp_matrix(q_f)
         seen = np.zeros(len(seqs), dtype=bool)
         contig_hits: list[tuple] = []
-        for contig in genome.contigs:
-            if contig.length < L and not contig.circular:
-                continue
-            with phases.phase("scan"):
-                hits = scan_contig(seqs, contig, mismatches, pam, pam_direction, backend)
+        eligible = [
+            c for c in genome.contigs if not (c.length < L and not c.circular)
+        ]
+        # one batched call per length group: multi-replicon genomes share
+        # the spacer prep and pipeline per-contig device work (ops.scan
+        # .scan_contigs) instead of paying each contig's round trips serially
+        with phases.phase("scan"):
+            hits_by_id = scan_contigs(
+                seqs, eligible, mismatches, pam, pam_direction, backend
+            )
+        for contig in eligible:
+            hits = hits_by_id[contig.id]
             phases.count("spacer_positions", 2 * len(seqs) * contig.length)
             phases.count("hits", len(hits))
             contig_hits.append((contig, hits))
