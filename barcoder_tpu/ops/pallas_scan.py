@@ -1852,8 +1852,9 @@ def pallas_scan_contigs(
     interpret: bool = False,
     sub_width: int = 512,
     site_mode: str = "auto",
-) -> dict[str, Hits]:
-    """Scan many contigs against one library with the spacer prep shared
+) -> list[Hits]:
+    """Scan many contigs against one library (results in INPUT ORDER —
+    robust to duplicate contig ids) with the spacer prep shared
     and every contig's phase 1 dispatched before any result is fetched —
     multi-replicon genomes (e.g. the bundled 4-plasmid Zymomonas set) cost
     one pipeline instead of N sequential scans.
@@ -1871,14 +1872,14 @@ def pallas_scan_contigs(
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
     if S == 0:
-        return {c.id: Hits() for c in contigs}
+        return [Hits() for _ in contigs]
     if len(pam) > MAX_PAM:
         from .ref_scan import jax_scan
 
-        return {
-            c.id: jax_scan(spacers, c, max_mismatches, pam, pam_direction)
+        return [
+            jax_scan(spacers, c, max_mismatches, pam, pam_direction)
             for c in contigs
-        }
+        ]
     # library prep (one-hot device blocks, PAM specs) is immutable after
     # construction and was rebuilt + re-shipped (~200 KB h2d + dispatches)
     # on EVERY scan; steady-state serving re-scans the same library, so
@@ -1911,7 +1912,7 @@ def pallas_scan_contigs(
     # pipelining could be re-enabled).
     from .prep import enumerate_sites
 
-    results: dict[str, Hits] = {}
+    results: list[Hits] = []
     for c in contigs:
         site_tab = site_key = art_key = None
         if bool(pam) and site_mode != "never":
@@ -1961,11 +1962,11 @@ def pallas_scan_contigs(
                 site_tab = _SiteTable(P, L, positions, strands, codes)
                 _SITE_DEV_CACHE.put(site_key, site_tab)
             if site_tab.n_sites == 0:
-                results[c.id] = Hits()
+                results.append(Hits())
                 continue
-            results[c.id] = _SiteScanJob(prep, c, site_tab, interpret).collect()
+            results.append(_SiteScanJob(prep, c, site_tab, interpret).collect())
         else:
-            results[c.id] = _ScanJob(prep, c, interpret).collect()
+            results.append(_ScanJob(prep, c, interpret).collect())
     return results
 
 
@@ -1994,4 +1995,4 @@ def pallas_scan(
     return pallas_scan_contigs(
         spacers, [contig], max_mismatches, pam, pam_direction,
         P=P, interpret=interpret, sub_width=sub_width, site_mode=site_mode,
-    )[contig.id]
+    )[0]

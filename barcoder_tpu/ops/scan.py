@@ -114,10 +114,11 @@ def scan_contigs(
     pam: str = "",
     pam_direction: str = "downstream",
     backend: Backend = "auto",
-) -> dict[str, Hits]:
-    """Batched multi-contig scan; returns {contig_id: Hits}. Multi-replicon
-    genomes pipeline their per-contig device work where the backend
-    supports it: the pallas path shares one spacer prep across contigs
+) -> list[Hits]:
+    """Batched multi-contig scan; returns Hits in INPUT ORDER (robust to
+    duplicate contig ids, unlike an id-keyed dict). Multi-replicon genomes
+    pipeline their per-contig device work where the backend supports it:
+    the pallas path shares one spacer prep across contigs
     (pallas_scan_contigs), the sharded path dispatches every contig's
     fused program before any fetch (sharded_scan_contigs)."""
     b = resolve_backend(backend)
@@ -145,10 +146,10 @@ def scan_contigs(
                 spacers, contigs, max_mismatches, pam, pam_direction,
                 mesh=mesh, P=tile_p,
             )
-    return {
-        c.id: scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
+    return [
+        scan_contig(spacers, c, max_mismatches, pam, pam_direction, backend)
         for c in contigs
-    }
+    ]
 
 
 def scan_genome(
@@ -159,7 +160,16 @@ def scan_genome(
     pam_direction: str = "downstream",
     backend: Backend = "auto",
 ) -> dict[str, Hits]:
-    """Scan every contig; returns {contig_id: Hits} (see scan_contigs)."""
-    return scan_contigs(
+    """Scan every contig; returns {contig_id: Hits} (see scan_contigs).
+    Raises on duplicate contig ids — the dict form cannot represent them
+    (use scan_contigs directly for positional results)."""
+    ids = [c.id for c in genome.contigs]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "scan_genome requires unique contig ids; use scan_contigs for "
+            f"positional results (got duplicates among {ids})"
+        )
+    hits = scan_contigs(
         spacers, genome.contigs, max_mismatches, pam, pam_direction, backend
     )
+    return dict(zip(ids, hits))

@@ -1089,13 +1089,14 @@ def sharded_scan_contigs(
     interpret: bool = False,
     site_mode: str = "auto",
     max_pending: int = 4,
-) -> dict:
+) -> list[Hits]:
     """Multi-contig sharded scan with every contig's fused program
     dispatched before any result is fetched — a multi-replicon genome
     (e.g. the 5-contig Zymomonas set) overlaps its per-contig link round
     trips instead of paying them serially (the multi-contig analog of
     sharded_scan_many; PAM site path only — dense/no-PAM contigs fall
-    back to sequential sharded_scan)."""
+    back to sequential sharded_scan). Results in INPUT ORDER, robust to
+    duplicate contig ids."""
     if mesh is None:
         mesh = make_mesh()
     if use_pallas is None:
@@ -1106,27 +1107,27 @@ def sharded_scan_contigs(
         else spacers
     )
     if not (q_f.shape[0] and bool(pam) and site_mode != "never"):
-        return {
-            c.id: sharded_scan(
+        return [
+            sharded_scan(
                 q_f, c, max_mismatches, pam, pam_direction, mesh=mesh, P=P,
                 sub_width=sub_width, pair_cap=pair_cap, hit_cap=hit_cap,
                 use_pallas=use_pallas, interpret=interpret,
                 site_mode=site_mode,
             )
             for c in contigs
-        }
-    results: dict = {}
+        ]
+    results: list = [None] * len(contigs)
     pending: list = []
-    for c in contigs:
+    for i, c in enumerate(contigs):
         if len(pending) >= max_pending:
-            cid, run = pending.pop(0)
-            results[cid] = run.collect()
-        pending.append((c.id, _SiteScanRun(
+            j, run = pending.pop(0)
+            results[j] = run.collect()
+        pending.append((i, _SiteScanRun(
             q_f, c, max_mismatches, pam, pam_direction, mesh, P, sub_width,
             pair_cap, hit_cap, use_pallas, interpret,
         )))
-    for cid, run in pending:
-        results[cid] = run.collect()
+    for j, run in pending:
+        results[j] = run.collect()
     return results
 
 

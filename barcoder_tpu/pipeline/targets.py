@@ -439,11 +439,10 @@ def run_targets(
         # the spacer prep and pipeline per-contig device work (ops.scan
         # .scan_contigs) instead of paying each contig's round trips serially
         with phases.phase("scan"):
-            hits_by_id = scan_contigs(
+            hits_list = scan_contigs(
                 seqs, eligible, mismatches, pam, pam_direction, backend
             )
-        for contig in eligible:
-            hits = hits_by_id[contig.id]
+        for contig, hits in zip(eligible, hits_list):
             phases.count("spacer_positions", 2 * len(seqs) * contig.length)
             phases.count("hits", len(hits))
             contig_hits.append((contig, hits))

@@ -180,5 +180,5 @@ def test_site_mode_multi_contig():
     contigs = [contig_from_record(r) for r in recs]
     got = pallas_scan_contigs([g], contigs, 1, pam="NGG", interpret=True,
                               P=512, site_mode="always")
-    for c in contigs:
-        assert tuples(got[c.id]) == tuples(oracle_scan([g], c, 1, pam="NGG")), c.id
+    for c, h in zip(contigs, got):
+        assert tuples(h) == tuples(oracle_scan([g], c, 1, pam="NGG")), c.id

@@ -309,3 +309,59 @@ def test_sharded_backend_full_pipeline_matches_jax():
         a.sort_values(list(a.columns)).reset_index(drop=True),
         b.sort_values(list(b.columns)).reset_index(drop=True),
     )
+
+
+@pytest.mark.slow
+def test_sharded_backend_multicontig_matches_jax():
+    """A MULTI-replicon genome through the sharded backend's batched
+    per-contig dispatch path (ops.scan.scan_contigs ->
+    sharded_scan_contigs: every contig's fused program dispatched before
+    any fetch) must match the XLA backend byte-for-byte."""
+    from barcoder_tpu.core.genome import Genome
+
+    rng = np.random.default_rng(31)
+    recs = []
+    guides = []
+    for k in range(3):
+        rec = make_record(n=6000 + 700 * k, topology="circular",
+                          seed=31 + k, n_genes=4, rec_id=f"CTG{k}")
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 800 + 400 * k, pam="TGG")
+        guides.append(g)
+        recs.append(rec)
+    genome = genome_from_records(recs)
+    assert len(genome.contigs) == 3
+    lib = BarcodeLibrary.from_list(guides + [random_seq(20, rng)])
+    a = run_targets(lib, genome, "NGG", 1, backend="jax").table
+    b = run_targets(lib, genome, "NGG", 1, backend="sharded").table
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True),
+    )
+    # every planted guide present on its own contig
+    for k, g in enumerate(guides):
+        assert (b[b["spacer"] == g]["chr"] == f"CTG{k}").any()
+
+
+@pytest.mark.slow
+def test_duplicate_contig_ids_scan_positionally():
+    """Contigs with DUPLICATE ids (malformed but possible FASTA input) must
+    each report their own hits — the batched scan path is positional, not
+    id-keyed (the collision this test's first draft caught in review)."""
+    from barcoder_tpu.core.genome import Genome
+
+    rng = np.random.default_rng(33)
+    recs, guides = [], []
+    for k in range(2):
+        rec = make_record(n=5000, topology="circular", seed=33 + k,
+                          n_genes=3, rec_id="DUP.1")
+        g = random_seq(20, rng)
+        plant_guide(rec, g, 900 + 300 * k, pam="TGG")
+        guides.append(g)
+        recs.append(rec)
+    genome = genome_from_records(recs)
+    lib = BarcodeLibrary.from_list(guides)
+    for backend in ("jax", "sharded"):
+        t = run_targets(lib, genome, "NGG", 0, backend=backend).table
+        for g in guides:
+            assert (t["spacer"] == g).any(), (backend, g)
