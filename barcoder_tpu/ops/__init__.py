@@ -1,2 +1,2 @@
 from .types import Hits, STRAND_F, STRAND_R
-from .scan import scan_contig, scan_genome, resolve_backend
+from .scan import scan_contig, scan_contigs, scan_genome, resolve_backend

@@ -1854,10 +1854,13 @@ def pallas_scan_contigs(
     site_mode: str = "auto",
 ) -> list[Hits]:
     """Scan many contigs against one library (results in INPUT ORDER —
-    robust to duplicate contig ids) with the spacer prep shared
-    and every contig's phase 1 dispatched before any result is fetched —
-    multi-replicon genomes (e.g. the bundled 4-plasmid Zymomonas set) cost
-    one pipeline instead of N sequential scans.
+    robust to duplicate contig ids) with the spacer prep BUILT AND SHIPPED
+    ONCE and shared across contigs — multi-replicon genomes (e.g. the
+    bundled 4-plasmid Zymomonas set) pay one library prep instead of N.
+    Contigs themselves run sequentially (see the comment below: overlapping
+    one contig's dispatches with another's collect measured pathological on
+    tunneled dev links; parallel.sharded_scan.sharded_scan_contigs provides
+    a windowed dispatch-ahead variant for the sharded engine).
 
     site_mode: "auto" switches a PAM scan to the site-compacted matrix
     engine (_SiteScanJob) for design-scale libraries

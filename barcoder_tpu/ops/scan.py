@@ -56,6 +56,19 @@ def resolve_backend(backend: Backend = "auto") -> str:
     return "pallas"
 
 
+def _sharded_mesh():
+    """(mesh, tile P) for the sharded backend — ONE place for the
+    platform-dependent tile heuristic (MXU wants wide tiles; CPU-mesh
+    tests want small blocks)."""
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    tile_p = (
+        16384 if mesh.devices.ravel()[0].platform in ("tpu", "axon") else 2048
+    )
+    return mesh, tile_p
+
+
 def scan_contig(
     spacers,
     contig: Contig,
@@ -89,13 +102,9 @@ def scan_contig(
             from .ref_scan import jax_scan
 
             return jax_scan(spacers, contig, max_mismatches, pam, pam_direction)
-        from ..parallel.mesh import make_mesh
         from ..parallel.sharded_scan import sharded_scan
 
-        mesh = make_mesh()
-        tile_p = (
-            16384 if mesh.devices.ravel()[0].platform in ("tpu", "axon") else 2048
-        )
+        mesh, tile_p = _sharded_mesh()
         return sharded_scan(
             spacers, contig, max_mismatches, pam, pam_direction,
             mesh=mesh, P=tile_p,
@@ -133,15 +142,9 @@ def scan_contigs(
         from .pallas_scan import MAX_PAM
 
         if len(pam) <= MAX_PAM:
-            from ..parallel.mesh import make_mesh
             from ..parallel.sharded_scan import sharded_scan_contigs
 
-            mesh = make_mesh()
-            tile_p = (
-                16384
-                if mesh.devices.ravel()[0].platform in ("tpu", "axon")
-                else 2048
-            )
+            mesh, tile_p = _sharded_mesh()
             return sharded_scan_contigs(
                 spacers, contigs, max_mismatches, pam, pam_direction,
                 mesh=mesh, P=tile_p,

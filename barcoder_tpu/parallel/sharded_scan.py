@@ -1017,6 +1017,24 @@ def sharded_scan(
     return Hits.concat(out).sorted()
 
 
+def _windowed_collect(makers, max_pending: int) -> list:
+    """Run dispatch/collect jobs with at most ``max_pending`` in flight:
+    the oldest job is drained BEFORE the next is constructed (construction
+    dispatches), so in-flight device work never exceeds the window.
+    Results in input order. Shared by sharded_scan_many (libraries) and
+    sharded_scan_contigs (contigs)."""
+    results: list = [None] * len(makers)
+    pending: list = []
+    for i, make in enumerate(makers):
+        if len(pending) >= max_pending:
+            j, run = pending.pop(0)
+            results[j] = run.collect()
+        pending.append((i, make()))
+    for j, run in pending:
+        results[j] = run.collect()
+    return results
+
+
 def sharded_scan_many(
     libraries,
     contig: Contig,
@@ -1049,29 +1067,21 @@ def sharded_scan_many(
     if use_pallas is None:
         use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
     libraries = list(libraries)  # allow a generator of libraries
-    runs: list = [None] * len(libraries)
-    results: list = [None] * len(libraries)
-    pending: list[int] = []
-    for i, spacers in enumerate(libraries):
-        # drain BEFORE dispatching so in-flight scans never exceed
-        # max_pending (construction dispatches)
-        if len(pending) >= max_pending:
-            j = pending.pop(0)
-            results[j] = runs[j].collect()
-            runs[j] = None
+
+    def make(spacers):
         q_f = (
             spacer_matrix(list(spacers))
             if not isinstance(spacers, np.ndarray)
             else spacers
         )
-        runs[i] = _SiteScanRun(
+        return _SiteScanRun(
             q_f, contig, max_mismatches, pam, pam_direction, mesh, P,
             sub_width, pair_cap, hit_cap, use_pallas, interpret,
         )
-        pending.append(i)
-    for j in pending:
-        results[j] = runs[j].collect()
-    return results
+
+    return _windowed_collect(
+        [functools.partial(make, sp) for sp in libraries], max_pending
+    )
 
 
 def sharded_scan_contigs(
@@ -1116,19 +1126,15 @@ def sharded_scan_contigs(
             )
             for c in contigs
         ]
-    results: list = [None] * len(contigs)
-    pending: list = []
-    for i, c in enumerate(contigs):
-        if len(pending) >= max_pending:
-            j, run = pending.pop(0)
-            results[j] = run.collect()
-        pending.append((i, _SiteScanRun(
+    def make(c):
+        return _SiteScanRun(
             q_f, c, max_mismatches, pam, pam_direction, mesh, P, sub_width,
             pair_cap, hit_cap, use_pallas, interpret,
-        )))
-    for j, run in pending:
-        results[j] = run.collect()
-    return results
+        )
+
+    return _windowed_collect(
+        [functools.partial(make, c) for c in contigs], max_pending
+    )
 
 
 # ---------------------------------------------------------------------------

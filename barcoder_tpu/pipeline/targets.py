@@ -439,8 +439,12 @@ def run_targets(
         # the spacer prep and pipeline per-contig device work (ops.scan
         # .scan_contigs) instead of paying each contig's round trips serially
         with phases.phase("scan"):
-            hits_list = scan_contigs(
-                seqs, eligible, mismatches, pam, pam_direction, backend
+            hits_list = (
+                scan_contigs(
+                    seqs, eligible, mismatches, pam, pam_direction, backend
+                )
+                if eligible  # an empty group must not build library prep
+                else []
             )
         for contig, hits in zip(eligible, hits_list):
             phases.count("spacer_positions", 2 * len(seqs) * contig.length)
@@ -522,7 +526,12 @@ def postprocess(
 
     results = results.copy()
     if len(results):
-        # vectorized targets.py:624-630 (row-apply cost ~2.6 s at 125k rows)
+        # vectorized targets.py:624-630 (row-apply cost ~2.6 s at 125k rows).
+        # NOTE: build_rows already folds origin-wrapping hits to a NEGATIVE
+        # tar_start, so for pipeline frames wrap is always False here and
+        # min_tar == tar_start regardless of the id-keyed length map — the
+        # map is only load-bearing for reference-style external frames
+        # (tar_start > tar_end wraps), which cannot carry duplicate ids
         wrap = results["tar_start"] > results["tar_end"]
         chrlen = results["chr"].map(seq_lens).astype("float64")
         results["min_tar"] = np.where(

@@ -317,8 +317,6 @@ def test_sharded_backend_multicontig_matches_jax():
     per-contig dispatch path (ops.scan.scan_contigs ->
     sharded_scan_contigs: every contig's fused program dispatched before
     any fetch) must match the XLA backend byte-for-byte."""
-    from barcoder_tpu.core.genome import Genome
-
     rng = np.random.default_rng(31)
     recs = []
     guides = []
@@ -348,8 +346,6 @@ def test_duplicate_contig_ids_scan_positionally():
     """Contigs with DUPLICATE ids (malformed but possible FASTA input) must
     each report their own hits — the batched scan path is positional, not
     id-keyed (the collision this test's first draft caught in review)."""
-    from barcoder_tpu.core.genome import Genome
-
     rng = np.random.default_rng(33)
     recs, guides = [], []
     for k in range(2):
