@@ -173,6 +173,38 @@ def bench_cn32() -> dict:
             "pairs_per_s": pairs / dt}
 
 
+def bench_cn32_real() -> dict:
+    """The reference's OWN complete flagship workload end-to-end: the
+    CN-32-zmo library vs the 4-contig Zymomonas SnapGene set, full pipeline
+    (scan + locus join + aggregate to the 9.6k-row table), both backends.
+    Gated on the reference data being present."""
+    import os
+
+    ref_lib = "/root/reference/Example_Libraries/CN-32-zmo.tsv"
+    ref_gen = "/root/reference/GCA_003054575.1"
+    if not (os.path.exists(ref_lib) and os.path.isdir(ref_gen)):
+        return {"skipped": "reference data not present"}
+    from barcoder_tpu.core.genome import Genome
+    from barcoder_tpu.pipeline.targets import run_targets
+    from barcoder_tpu.seqio.library import BarcodeLibrary
+
+    lib = BarcodeLibrary.load(ref_lib, column="spacer")
+    genome = Genome.load(ref_gen)
+    out = {"contigs": len(genome.contigs), "spacers": len(lib.barcodes)}
+    for backend in ("pallas", "sharded"):
+        run_targets(lib, genome, "NGNC", 0, backend=backend)  # warm
+        best = float("inf")
+        rows = 0
+        for _ in range(3):
+            t0 = time.time()
+            r = run_targets(lib, genome, "NGNC", 0, backend=backend)
+            best = min(best, time.time() - t0)
+            rows = len(r.table)
+        out[f"{backend}_warm_s"] = best
+        out["rows"] = rows
+    return out
+
+
 def bench_sharded_1dev(contig, spacers) -> dict:
     """The multi-chip engine on a 1-device mesh vs the same workload
     (VERDICT r2 item 1: per-device efficiency of the sharded path). After
@@ -527,6 +559,7 @@ def inner_main() -> int:
     os.remove(fastq_path)
     design = bench_design_scale()
     cn32 = bench_cn32()
+    cn32_real = bench_cn32_real()
 
     pairs = len(spacers) * contig.length * 2  # both strands
     rate = pairs / total_s
@@ -557,6 +590,7 @@ def inner_main() -> int:
             "distill_random": distill_random,
             "design": design,
             "cn32": cn32,
+            "cn32_real": cn32_real,
             "loadavg": list(os.getloadavg()),
             "attach_retries": attach_retries,
         },
