@@ -43,17 +43,14 @@ def resolve_backend(backend: Backend = "auto") -> str:
         return env
     if not _tpu_available():
         return "jax"
-    # multi-chip hosts: the sharded engine uses every device (genome axis
-    # over the mesh) and is at least as fast per device as the single-chip
-    # engine (BASELINE r3: 1.53x at v=1, 1.06x at v=3 on one device;
-    # golden-validated on real hardware). Single-chip keeps the
-    # phase-chained engine with cross-contig pipelining.
-    try:
-        if len(jax.devices()) > 1:
-            return "sharded"
-    except Exception:  # pragma: no cover
-        pass
-    return "pallas"
+    # the sharded engine is the default on ANY TPU topology (r4): one fused
+    # shard_map program + one packed fetch beats the phase-chained
+    # single-chip path at every measured shape — bench scan 1.53x (v=1) /
+    # 1.06x (v=3), design-scale 3.1x (0.129 vs 0.395 s at 125k x 1 Mb),
+    # CN-32 full pipeline 2.9x (0.171 vs 0.503 s) — and is golden-validated
+    # on real hardware. The phase-chained pallas engine stays available as
+    # `--backend pallas` (bench.py's headline isolates it directly).
+    return "sharded"
 
 
 def _sharded_mesh():

@@ -227,8 +227,9 @@ def test_sharded_backend_dispatch_matches_oracle():
 
 
 def test_auto_backend_prefers_sharded_on_multichip(monkeypatch):
-    """auto = jax without a TPU; pallas on one TPU chip; sharded when a
-    multi-device TPU mesh is available."""
+    """auto = jax without a TPU; the sharded engine on ANY TPU topology
+    (r4: it beats the phase-chained single-chip path at every measured
+    shape, even on one device)."""
     from barcoder_tpu.ops import scan as scan_mod
 
     class _Dev:
@@ -239,7 +240,7 @@ def test_auto_backend_prefers_sharded_on_multichip(monkeypatch):
     monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("cpu")])
     assert scan_mod.resolve_backend("auto") == "jax"
     monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("tpu")])
-    assert scan_mod.resolve_backend("auto") == "pallas"
+    assert scan_mod.resolve_backend("auto") == "sharded"
     monkeypatch.setattr(scan_mod.jax, "devices", lambda: [_Dev("tpu")] * 4)
     assert scan_mod.resolve_backend("auto") == "sharded"
     monkeypatch.setenv("BARCODER_TPU_BACKEND", "oracle")
