@@ -96,12 +96,9 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
         return 1
-    except KeyError as e:
-        console.log(
-            "[bold red]All of the proposed barcodes are missing some key "
-            f"attributes[/bold red]: {e}"
-        )
-        return 1
+    # no KeyError catch: the reference's design driver (design_guides.py)
+    # has none, and design has no user-supplied library whose attribute
+    # access could raise one — an internal KeyError should traceback
     console.log(f"Found {len(tr.table):,} guides")
     final.to_csv(sys.stdout, sep="\t", index=False, na_rep="None")
     return 0

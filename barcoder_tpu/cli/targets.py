@@ -145,7 +145,18 @@ def main(argv=None) -> int:
     # aligner the honest adaptation names the missing file instead.
     try:
         console.log("Loading barcode library...")
-        library = BarcodeLibrary.load(args.sgrna_file, column=args.library_column)
+        try:
+            library = BarcodeLibrary.load(args.sgrna_file, column=args.library_column)
+        except KeyError as e:
+            # the reference's KeyError catch (targets.py:708-712) exists for
+            # its pandas library-attribute access; scope ours to the library
+            # load so an internal KeyError bug in the scan/postprocess paths
+            # tracebacks instead of masquerading as a user-input problem
+            console.log(
+                "[bold red]All of the proposed barcodes are missing some key "
+                f"attributes[/bold red]: {e}"
+            )
+            return 1
 
         console.log("Loading genome and annotations...")
         genome = Genome.load(args.genome_file)
@@ -187,12 +198,6 @@ def main(argv=None) -> int:
         return 1
     except BarcodeLibraryError as e:
         console.log(f"[bold red]Trouble loading the barcode library[/bold red]: {e}")
-        return 1
-    except KeyError as e:
-        console.log(
-            "[bold red]All of the proposed barcodes are missing some key "
-            f"attributes[/bold red]: {e}"
-        )
         return 1
 
     console.log(summary_table(args, result))

@@ -73,9 +73,24 @@ class Contig:
         # the device caches and disk-artifact keys digest ``codes`` by
         # content, memoized per array object (ops.pallas_scan._content_digest)
         # — freeze it so in-place mutation is an error rather than a silent
-        # stale-cache hazard (setting writeable=False is always permitted)
+        # stale-cache hazard. When the array is a VIEW of (or shares) a
+        # still-writable base, freezing the view is not enough (mutation
+        # through the base would silently stale the digest) and flipping
+        # the caller's flag in place is a visible side effect — take a
+        # frozen private copy instead (ADVICE r4).
+        # An OWNING array is frozen in place (documented side effect on the
+        # caller's object; a copy would double peak memory at chromosome
+        # scale); a view is copied because freezing it cannot stop
+        # mutation through its base.
         if isinstance(self.codes, np.ndarray):
-            self.codes.flags.writeable = False
+            arr = self.codes
+            if arr.base is not None:
+                bflags = getattr(arr.base, "flags", None)
+                if arr.flags.writeable or (bflags is not None and bflags.writeable):
+                    arr = arr.copy()
+            if arr.flags.writeable:
+                arr.flags.writeable = False
+            self.codes = arr
 
     @property
     def circular(self) -> bool:

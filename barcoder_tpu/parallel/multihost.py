@@ -125,6 +125,43 @@ def put_process_local(local_rows: np.ndarray, sharding):
     return jax.make_array_from_process_local_data(sharding, local_rows)
 
 
+def allgather_bytes(data: bytes) -> list[bytes]:
+    """All-gather one variable-length byte string per process; every
+    process returns the same K-element list, in process order. Two
+    collectives (length exchange, then padded payload) over the global
+    device set — DCN traffic, used only for small host-side state like
+    the counting CLI's undocumented-barcode tally merge. Single-process
+    reduces to ``[data]``."""
+    if jax.process_count() == 1:
+        return [data]
+    from jax.experimental import multihost_utils
+
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.int64(len(data)))
+    ).reshape(-1)
+    mx = max(int(lens.max()), 1)
+    buf = np.zeros(mx, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    allbuf = np.asarray(multihost_utils.process_allgather(buf))
+    return [allbuf[i, : int(lens[i])].tobytes() for i in range(len(lens))]
+
+
+def agree_int(value: int) -> tuple[int, bool]:
+    """All-gather one int per process; returns ``(value, True)`` when every
+    process reported the same value, else ``(min over processes, False)``.
+    The cross-host checkpoint-resume agreement primitive: all processes
+    see the identical gathered vector, so every process takes the same
+    branch."""
+    if jax.process_count() == 1:
+        return value, True
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(
+        multihost_utils.process_allgather(np.int64(value))
+    ).reshape(-1)
+    return int(vals.min()), bool((vals == vals[0]).all())
+
+
 def fetch_local_rows(arr) -> np.ndarray:
     """This process's addressable rows of a leading-axis row-sharded global
     array, concatenated in global row order (the inverse of

@@ -69,6 +69,10 @@ class ShardedCounter(DeviceCounter):
             1 for d in self._mesh.devices.ravel()
             if d.process_index == jax.process_index()
         )
+        self._owned_mode = False  # chunk-ownership feed (feed_owned)
+        self._owned_rows = None  # per-owner rows buffered since last flush
+        self._pad_min = 0  # lockstep dispatch pad floor during flush_owned
+        self.owned_reads = 0  # rows this host parsed+processed itself
         if jax.process_count() > 1:
             # replicate the barcode table onto this process's mesh devices
             # (a bare jnp array is single-device and can't feed a
@@ -103,6 +107,68 @@ class ShardedCounter(DeviceCounter):
             # reports the GLOBAL read total
             self.total_reads += n - per
         super().process_matrices(m1, m2)
+
+    # ----- chunk-ownership feed (multi-host input sharding) -----
+    #
+    # process_matrices above replicates parsing: every host parses the full
+    # stream and keeps 1/K of the rows. The owned feed divides the input
+    # instead — chunk i belongs to host i mod K, each host parses ONLY its
+    # own chunks (seqio.fast_reader.iter_owned_matrix_chunks skips the
+    # rest at newline-scan speed), and lockstep is preserved because every
+    # host still *scans* every chunk and therefore derives the identical
+    # dispatch schedule from the shared (chunk_idx, n_records) stream.
+    # The multi-host generalization of the reference fork pool dividing
+    # chunks across workers (heuristicount.py:720-722).
+
+    def feed_owned(self, chunk_idx: int, n_records: int, m1, m2) -> None:
+        """Feed one chunk of the shared stream, in chunk order, from every
+        host. ``m1``/``m2`` are non-None only on the owning host
+        (``chunk_idx % K == process_index``); other hosts pass the record
+        count alone. Rows buffer per-host and flush in lockstep once the
+        busiest host's buffer reaches ``_DISPATCH_ROWS`` (a shared
+        decision: all hosts see the same per-chunk record counts)."""
+        K = jax.process_count()
+        if not self._owned_mode:
+            self._owned_mode = True
+            self._owned_rows = np.zeros(K, np.int64)
+        owner = chunk_idx % K
+        self._owned_rows[owner] += n_records
+        if m1 is not None or m2 is not None:
+            self.owned_reads += n_records
+            # VectorCounter windowing (flank checks, revcomp consistency)
+            # on this host's own rows; _tally buffers without flushing
+            from ..pipeline.heuristic_count import VectorCounter
+
+            VectorCounter.process_matrices(self, m1, m2)
+        else:
+            self.total_reads += n_records
+        if int(self._owned_rows.max()) >= self._DISPATCH_ROWS:
+            self.flush_owned()
+
+    def flush_owned(self) -> None:
+        """Dispatch every host's buffered owned rows as ONE lockstep
+        program: all hosts pad to the bucket of the busiest host's row
+        count (derived from the shared scan, so identical everywhere) —
+        a host with no owned rows in this window dispatches an
+        all-ineligible batch to keep the collective schedule aligned."""
+        if not self._owned_mode or int(self._owned_rows.max()) == 0:
+            return
+        if not self._buf:
+            # zero-row batch so _flush_buf still dispatches
+            self._buf.append(
+                (np.zeros((0, self.bc_len), np.uint8), np.zeros(0, bool))
+            )
+        self._pad_min = int(self._owned_rows.max())
+        try:
+            self._flush_buf()
+        finally:
+            self._pad_min = 0
+            self._owned_rows[:] = 0
+
+    def drain(self) -> None:
+        if self._owned_mode:
+            self.flush_owned()  # all hosts drain at the same stream point
+        super().drain()
 
     def _match_fn(self):
         if getattr(self, "_match_jit", None) is not None:
@@ -157,15 +223,29 @@ class ShardedCounter(DeviceCounter):
             NamedSharding(self._mesh, P_()),
         )
 
+    def _tally(self, keys, cores, eligible) -> None:
+        if self._owned_mode:
+            # owned mode: buffer only — flush decisions are made in
+            # feed_owned/flush_owned from shared knowledge, never from
+            # this host's local row count (which may differ at the tail)
+            if len(self.bc_list) == 0:
+                return
+            self._buf.append((cores, np.asarray(eligible, bool)))
+            self._buf_rows += len(cores)
+            return
+        super()._tally(keys, cores, eligible)
+
     def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
         n = core_codes.shape[0]
         # this process pads to ITS addressable quantum; the global row count
         # is the sum over processes (put_process_local, process order)
         quantum = self._n_local_dev * self._READ_SLICE
         # geometric quantum buckets: a tail batch reuses the full batch's
-        # executable (see DeviceCounter._device_match_async)
+        # executable (see DeviceCounter._device_match_async); _pad_min
+        # (owned mode) lifts every host to the busiest host's bucket so
+        # the collective geometry stays identical
         n_pad = quantum
-        while n_pad < n:
+        while n_pad < max(n, self._pad_min):
             n_pad *= 2
         packed, has_n = _pack_cores_u32(core_codes)
         codes_p = np.zeros((n_pad, 2), np.uint32)  # 2-bit packed cores
@@ -180,6 +260,14 @@ class ShardedCounter(DeviceCounter):
         mbits, self._acc = self._match_fn()(
             codes_d, elig_d, self._bc_oh, self._acc
         )
+        # int32 accumulator guard, mirroring DeviceCounter: the psum'd acc
+        # absorbs n_pad rows PER PROCESS per dispatch; spill to the int64
+        # host array before any barcode can reach 2^31. Lockstep-safe —
+        # every host dispatches identical n_pad, so all hosts spill at
+        # the same dispatch (the fetch itself is host-local, no collective)
+        self._acc_rows += n_pad * jax.process_count()
+        if self._acc_rows >= (1 << 30):
+            self._fetch_acc()
         # (n, matched-bits) + threaded accumulator: the DeviceCounter
         # drain contract
         return n, mbits

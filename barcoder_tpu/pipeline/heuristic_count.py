@@ -713,6 +713,13 @@ class VectorCounter:
         device futures are in flight would record an advanced chunk_no with
         stale counts, and a resume would silently drop those chunks."""
 
+    def reset(self) -> None:
+        """Zero all accumulated state (the discard-restored-checkpoint
+        path of the multi-host resume agreement)."""
+        self.doc_counts[:] = 0
+        self.undoc.clear()
+        self.total_reads = 0
+
 
 def _codes_to_strings(codes: np.ndarray):
     lut = np.frombuffer(b"ACGTN", dtype=np.uint8)
@@ -966,8 +973,56 @@ class DeviceCounter(VectorCounter):
         self.drain()
         return super().results()
 
+    def reset(self) -> None:
+        super().reset()
+        self._acc = None
+        self._acc_rows = 0
+        self._buf = []
+        self._buf_rows = 0
+        self._pending = []
+
     def _try_native_single_end(self, mat, start, Lf, Rf) -> bool:
         return False  # keep the whole hot loop on the device path
+
+
+def discover_config(barcodes, file1, file2, is_paired, log=None):
+    """Phases (a)–(c): sample reads, vote orientation/offset, discover and
+    cross-check flanks; returns ``(SampleResult, CountConfig)`` — the
+    deterministic discovery stage run_count performs before counting
+    (exposed so multi-host checkpoint tooling can rebuild the identical
+    config without re-running the count)."""
+    bc_len = len(next(iter(barcodes)))
+    sample = sample_reads(file1, file2, barcodes, is_paired, log=log)
+
+    if sample.sample1 is not None:
+        L_fwd, R_fwd = find_flanks(sample.sample1, sample.bc_start1, bc_len)
+        L_fwd_start = sample.bc_start1 - len(L_fwd) if L_fwd else 0
+    else:
+        L_fwd = R_fwd = None
+        L_fwd_start = None
+    if sample.sample2 is not None and sample.sample2:
+        L_rev, R_rev = find_flanks(sample.sample2, sample.bc_start2, bc_len)
+        L_rev_start = sample.bc_start2 - len(L_rev) if L_rev else 0
+    else:
+        L_rev = R_rev = None
+        L_rev_start = None
+
+    errors = check_flank_complementarity(L_fwd, R_fwd, L_rev, R_rev)
+    if errors:
+        raise ValueError("A critical error occurred: " + ", ".join(errors))
+
+    cfg = CountConfig(
+        barcodes=barcodes,
+        bc_len=bc_len,
+        L_fwd=L_fwd,
+        R_fwd=R_fwd,
+        L_rev=L_rev,
+        R_rev=R_rev,
+        L_fwd_start=L_fwd_start,
+        L_rev_start=L_rev_start,
+        need_swap=sample.need_swap,
+    )
+    return sample, cfg
 
 
 def run_count(
@@ -1001,36 +1056,7 @@ def run_count(
     bc_len = lens.pop()
     is_paired = bool(file2)
 
-    sample = sample_reads(file1, file2, barcodes, is_paired, log=log)
-
-    if sample.sample1 is not None:
-        L_fwd, R_fwd = find_flanks(sample.sample1, sample.bc_start1, bc_len)
-        L_fwd_start = sample.bc_start1 - len(L_fwd) if L_fwd else 0
-    else:
-        L_fwd = R_fwd = None
-        L_fwd_start = None
-    if sample.sample2 is not None and sample.sample2:
-        L_rev, R_rev = find_flanks(sample.sample2, sample.bc_start2, bc_len)
-        L_rev_start = sample.bc_start2 - len(L_rev) if L_rev else 0
-    else:
-        L_rev = R_rev = None
-        L_rev_start = None
-
-    errors = check_flank_complementarity(L_fwd, R_fwd, L_rev, R_rev)
-    if errors:
-        raise ValueError("A critical error occurred: " + ", ".join(errors))
-
-    cfg = CountConfig(
-        barcodes=barcodes,
-        bc_len=bc_len,
-        L_fwd=L_fwd,
-        R_fwd=R_fwd,
-        L_rev=L_rev,
-        R_rev=R_rev,
-        L_fwd_start=L_fwd_start,
-        L_rev_start=L_rev_start,
-        need_swap=sample.need_swap,
-    )
+    sample, cfg = discover_config(barcodes, file1, file2, is_paired, log=log)
 
     if bc_len > 32 and engine not in ("auto", "reference"):
         # the array engines 2-bit-pack barcode cores into uint64 keys
@@ -1040,6 +1066,17 @@ def run_count(
                 f"(got {bc_len}); using the per-read engine"
             )
         engine = "reference"
+    if engine == "auto" and bc_len <= 32:
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-host SPMD run: the sharded engine divides both the
+            # device matching AND (via chunk ownership below) the host
+            # parse work across hosts; the other engines would replicate
+            # the whole count on every host
+            keys = _pack_strings(sorted(barcodes))
+            if not (keys == _KEY_SENTINEL).any():
+                engine = "sharded"
     use_vector = engine in ("vector", "device", "sharded") or (
         engine == "auto" and bc_len <= 32
     )
@@ -1074,9 +1111,54 @@ def run_count(
                 checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
         ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
         skip_chunks = ckpt.restore(vc) if ckpt else 0
+        use_owned = False
+        if engine == "sharded":
+            import jax
+
+            use_owned = jax.process_count() > 1
+        if use_owned and ckpt is not None:
+            # cross-host resume agreement: a crash between hosts' saves can
+            # leave per-host checkpoints at different chunk_no; resuming
+            # from mismatched points would double-count on the later host
+            # and desync the lockstep collectives. All hosts gather their
+            # restored chunk_no and either resume from the common value or
+            # discard everything and restart from 0 — the gathered vector
+            # is identical everywhere, so every host takes the same branch.
+            from ..parallel.multihost import agree_int
+
+            common, all_equal = agree_int(skip_chunks)
+            if not all_equal:
+                if log:
+                    log.warn(
+                        "Checkpoint resume points disagree across hosts "
+                        f"(this host: chunk {skip_chunks}); discarding "
+                        "checkpoints and recounting from the start"
+                    )
+                vc.reset()
+                skip_chunks = 0
         f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
         chunk_no = 0
-        if f_a is None:
+        if use_owned:
+            from ..seqio.fast_reader import iter_owned_matrix_chunks
+
+            K, h = jax.process_count(), jax.process_index()
+            swapped_single = f_a is None
+            first, second = (f_b, None) if swapped_single else (f_a, f_b)
+            for chunk_idx, nrec, r1, r2 in iter_owned_matrix_chunks(
+                first, second, chunk_size, owner=h, num_owners=K,
+                start_chunk=skip_chunks,
+            ):
+                chunk_no = chunk_idx + 1
+                if chunk_no <= skip_chunks:
+                    continue
+                m1 = r1[0] if r1 is not None else None
+                m2 = r2[0] if r2 is not None else None
+                if swapped_single:
+                    m1, m2 = None, m1
+                vc.feed_owned(chunk_idx, nrec, m1, m2)
+                if ckpt and chunk_no % checkpoint_every == 0:
+                    ckpt.save(vc, chunk_no)
+        elif f_a is None:
             # swapped single-end: the lone file is the reverse-orientation one
             for r1, _ in iter_matrix_chunks(f_b, None, chunk_size):
                 chunk_no += 1
@@ -1097,6 +1179,23 @@ def run_count(
             ckpt.finalize()
         doc, undoc = vc.results()
         total_reads = vc.total_reads
+        if engine == "sharded":
+            import jax
+
+            if jax.process_count() > 1:
+                # documented counts are already global (psum); the
+                # undocumented tally is host-local to each host's own rows
+                # — gather and merge so every host returns the identical
+                # collated result (the reference's end-of-run Counter
+                # merge, heuristicount.py:726-877, across DCN)
+                import pickle
+
+                from ..parallel.multihost import allgather_bytes
+
+                merged: Counter = Counter()
+                for blob in allgather_bytes(pickle.dumps(dict(undoc))):
+                    merged.update(pickle.loads(blob))
+                undoc = merged
     else:
         for chunk in iter_read_chunks(file1, file2 if is_paired else None, chunk_size):
             counts, nreads = count_chunk_reference(chunk, cfg)
@@ -1112,4 +1211,8 @@ def run_count(
         if use_vector
         else "reference",
     }
+    if use_vector:
+        # rows this host parsed itself (chunk-ownership proof: under
+        # multi-host the per-host values are disjoint and sum to the total)
+        info["owned_reads"] = getattr(vc, "owned_reads", None)
     return doc, undoc, total_reads, info

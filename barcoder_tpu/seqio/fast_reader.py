@@ -48,6 +48,43 @@ class MatrixStream:
 
     def next_records(self, n: int):
         """Up to n records as (matrix, lengths); None at end of stream."""
+        chunk_take = self._cut_records(n)
+        if chunk_take is None:
+            return None
+        chunk, take = chunk_take
+
+        # row width = longest sequence line in the chunk
+        carr = np.frombuffer(chunk, dtype=np.uint8)
+        cnl = np.nonzero(carr == 10)[0]
+        starts = np.concatenate(([0], cnl + 1))
+        ends = np.concatenate((cnl, [len(carr)]))
+        line_lens = ends - starts[: len(ends)]
+        if self.fmt == "fastq":
+            seq_lens = line_lens[1::4]
+        else:
+            seq_lens = line_lens
+        width = int(seq_lens.max()) if len(seq_lens) else 1
+        width = max(width, 1)
+        if self.fmt == "fastq":
+            mat, lens = native_bridge.parse_fastq_buffer(chunk, width, take)
+        else:
+            mat, lens = native_bridge.parse_reads_buffer(chunk, width, take)
+        return mat, lens
+
+    def skip_records(self, n: int):
+        """Consume up to n records WITHOUT parsing them into a matrix;
+        returns the record count (None at end of stream). The multi-host
+        chunk-ownership reader uses this so a host scans (memchr-speed
+        newline walk) the chunks it does not own instead of paying the
+        full matrix parse for rows it would discard."""
+        chunk_take = self._cut_records(n)
+        if chunk_take is None:
+            return None
+        return chunk_take[1]
+
+    def _cut_records(self, n: int):
+        """Consume up to n records; returns (raw chunk bytes, record
+        count) or None at end of stream."""
         self._fill(n)
         if not self.buf:
             return None
@@ -80,24 +117,65 @@ class MatrixStream:
             cut = int(nl[take * lpr - 1]) + 1
             self._nl -= take * lpr
         chunk, self.buf = self.buf[:cut], self.buf[cut:]
+        return chunk, take
 
-        # row width = longest sequence line in the chunk
-        carr = np.frombuffer(chunk, dtype=np.uint8)
-        cnl = np.nonzero(carr == 10)[0]
-        starts = np.concatenate(([0], cnl + 1))
-        ends = np.concatenate((cnl, [len(carr)]))
-        line_lens = ends - starts[: len(ends)]
-        if self.fmt == "fastq":
-            seq_lens = line_lens[1::4]
-        else:
-            seq_lens = line_lens
-        width = int(seq_lens.max()) if len(seq_lens) else 1
-        width = max(width, 1)
-        if self.fmt == "fastq":
-            mat, lens = native_bridge.parse_fastq_buffer(chunk, width, take)
-        else:
-            mat, lens = native_bridge.parse_reads_buffer(chunk, width, take)
-        return mat, lens
+
+def iter_owned_matrix_chunks(
+    file1: str,
+    file2: str | None = None,
+    chunk_size: int = 2**16,
+    owner: int = 0,
+    num_owners: int = 1,
+    start_chunk: int = 0,
+):
+    """Chunk-ownership reader for multi-host counting: yields
+    ``(chunk_idx, n_records, r1, r2)`` for EVERY chunk of the stream, but
+    parses matrices only for chunks this process owns
+    (``chunk_idx % num_owners == owner``); unowned chunks (and chunks below
+    ``start_chunk`` — the checkpoint-resume skip) yield
+    ``(chunk_idx, n, None, None)`` after a cheap byte-level skip.
+
+    Every process scans the same files with the same geometry, so all
+    processes observe the identical ``(chunk_idx, n_records)`` stream —
+    the shared knowledge the lockstep sharded-counting dispatch schedule
+    is derived from. This is the multi-host generalization of the
+    reference's fork pool DIVIDING parse work across workers
+    (heuristicount.py:720-722) instead of replicating it: N hosts each
+    pay 1/N of the matrix-parse cost.
+    """
+    s1 = MatrixStream(file1)
+    s2 = MatrixStream(file2) if file2 else None
+    try:
+        chunk_idx = 0
+        while True:
+            mine = chunk_idx >= start_chunk and chunk_idx % num_owners == owner
+            if mine:
+                r1 = s1.next_records(chunk_size)
+                if r1 is None:
+                    break
+                n1 = len(r1[1])
+            else:
+                n1 = s1.skip_records(chunk_size)
+                if n1 is None:
+                    break
+                r1 = None
+            r2 = None
+            if s2 is not None:
+                if mine:
+                    r2 = s2.next_records(n1)
+                    n2 = None if r2 is None else len(r2[1])
+                else:
+                    n2 = s2.skip_records(n1)
+                if n2 != n1:
+                    raise ValueError(
+                        "Length of reads1 and reads2 must be the same for paired-end data."
+                    )
+            yield chunk_idx, n1, r1, r2
+            chunk_idx += 1
+    finally:
+        s1.close()
+        if s2:
+            s2.close()
 
 
 def iter_matrix_chunks(file1: str, file2: str | None = None, chunk_size: int = 2**16):

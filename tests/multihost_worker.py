@@ -124,22 +124,19 @@ def main() -> None:
     res["undoc_local"] = sorted(undoc.items())
 
     # the FULL run_count driver (sampling + reader + chunk loop) with the
-    # sharded engine: plain SPMD over the same FASTQ file — every host must
-    # report the global counts/read total
+    # sharded engine over CHUNK OWNERSHIP: each host parses only its own
+    # chunks (i mod K), dispatches stay lockstep from the shared scan, and
+    # every host must report the identical GLOBAL doc+undoc counts
     import os
     import tempfile
 
     from barcoder_tpu.pipeline.heuristic_count import run_count
+    from tests.test_heuristic_count import write_run_count_fastq
 
     fq_dir = os.environ.get("MH_WORKER_TMP") or tempfile.gettempdir()
     fq = os.path.join(fq_dir, "mh_run_count.fastq")
     if pid == 0:  # one writer; content is deterministic either way
-        pre, tail = "ACGTG", "TCCATGGA"
-        with open(fq + ".tmp", "w") as fh:
-            r = np.random.default_rng(6)
-            for i in r.integers(0, len(barcodes), size=1500):
-                rd = pre + L_FLANK + barcodes[i] + R_FLANK + tail
-                fh.write(f"@r\n{rd}\n+\n{'I' * len(rd)}\n")
+        write_run_count_fastq(fq + ".tmp", barcodes)
         os.replace(fq + ".tmp", fq)
     else:
         import time
@@ -148,12 +145,63 @@ def main() -> None:
             if os.path.exists(fq):
                 break
             time.sleep(0.1)
-    doc_rc, undoc_rc, total_rc, _info = run_count(
-        set(barcodes), fq, engine="sharded"
+    # engine="auto" must select sharded under multi-process; chunk_size=256
+    # gives 6 chunks so both hosts own several
+    doc_rc, undoc_rc, total_rc, info_rc = run_count(
+        set(barcodes), fq, engine="auto", chunk_size=256
     )
     res["run_count"] = sorted(doc_rc.items())
     res["run_count_total"] = total_rc
-    res["run_count_undoc_local"] = sorted(undoc_rc.items())
+    res["run_count_undoc"] = sorted(undoc_rc.items())
+    res["run_count_engine"] = info_rc["engine"]
+    res["run_count_owned_reads"] = info_rc["owned_reads"]
+
+    # ---- multi-host checkpoint/resume (ADVICE r4 medium) ----
+    from barcoder_tpu.pipeline.heuristic_count import (
+        _CheckpointState, discover_config,
+    )
+
+    bset = set(barcodes)
+    _sample, cfg = discover_config(bset, fq, None, False)
+
+    # (a) DISAGREEING per-host resume points (a crash between hosts'
+    # saves): every host must detect the mismatch, discard, and recount
+    # from scratch — results identical to the checkpoint-free run
+    ck_a = os.path.join(fq_dir, f"mh_ck_a.npz.p{pid}")
+    bad = ShardedCounter(cfg, mesh=make_read_mesh())
+    _CheckpointState(ck_a, cfg).save(bad, 4 if pid == 0 else 8)
+    doc_a, undoc_a, total_a, _ = run_count(
+        bset, fq, engine="sharded", chunk_size=256,
+        checkpoint_path=os.path.join(fq_dir, "mh_ck_a.npz"),
+    )
+    res["ckpt_disagree_matches"] = (
+        sorted(doc_a.items()) == res["run_count"]
+        and sorted(undoc_a.items()) == res["run_count_undoc"]
+        and total_a == total_rc
+    )
+
+    # (b) AGREEING genuine partial state: both hosts count chunks 1..4 via
+    # the owned feed, save at the same chunk_no, then run_count must
+    # resume at chunk 5 and land on the full-run result
+    from barcoder_tpu.seqio.fast_reader import iter_owned_matrix_chunks
+
+    part = ShardedCounter(cfg, mesh=make_read_mesh())
+    for chunk_idx, nrec, r1, _r2 in iter_owned_matrix_chunks(
+        fq, None, 256, owner=pid, num_owners=nproc
+    ):
+        if chunk_idx >= 4:
+            break
+        part.feed_owned(chunk_idx, nrec, r1[0] if r1 else None, None)
+    ck_b = os.path.join(fq_dir, "mh_ck_b.npz")
+    _CheckpointState(ck_b + f".p{pid}", cfg).save(part, 4)
+    doc_b, undoc_b, total_b, _ = run_count(
+        bset, fq, engine="sharded", chunk_size=256, checkpoint_path=ck_b,
+    )
+    res["ckpt_resume_matches"] = (
+        sorted(doc_b.items()) == res["run_count"]
+        and sorted(undoc_b.items()) == res["run_count_undoc"]
+        and total_b == total_rc
+    )
 
     with open(out_path, "w") as fh:
         json.dump(res, fh)

@@ -69,6 +69,22 @@ def write_reads(path, reads):
     write_fastq([(f"r{i}", r) for i, r in enumerate(reads)], path, quality=35)
 
 
+def write_run_count_fastq(path, barcodes, n=1500, undoc_every=97):
+    """The deterministic multi-chunk FASTQ shared by the multi-host worker
+    and its parent asserts (tests/multihost_worker.py): mostly documented
+    reads plus a fixed undocumented barcode every ``undoc_every`` rows so
+    the cross-host undoc merge path is not vacuous."""
+    pre, tail = "ACGTG", "TCCATGGA"
+    undoc_bc = "ACACGTGTACACGTGTACAC"
+    assert undoc_bc not in set(barcodes)
+    rng = np.random.default_rng(6)
+    with open(path, "w") as fh:
+        for j, i in enumerate(rng.integers(0, len(barcodes), size=n)):
+            bc = undoc_bc if j % undoc_every == 0 else barcodes[i]
+            rd = pre + L_FLANK + bc + R_FLANK + tail
+            fh.write(f"@r\n{rd}\n+\n{'I' * len(rd)}\n")
+
+
 class TestHelpers:
     def test_rev_comp(self):
         assert rev_comp("ACGTN") == "NACGT"

@@ -220,30 +220,97 @@ def test_targets_cli_multihost_env(tmp_path):
 
 
 @pytest.mark.slow
-def test_run_count_driver_matches_single_process(worker_results, tmp_path):
-    """The FULL run_count driver (sampling + reader + chunk loop) with the
-    sharded engine over the process-spanning mesh: global counts and read
-    totals identical on every host and to a single-process run."""
-    from barcoder_tpu.pipeline.heuristic_count import run_count
-
-    from .test_heuristic_count import L_FLANK, R_FLANK, make_barcodes
+def test_count_cli_multihost_env(tmp_path):
+    """The `count` twin of the targets CLI flow (VERDICT r4 item 2): two
+    `python -m barcoder_tpu count ...` processes with identical argv,
+    joined only by the env vars, must print byte-identical stdout
+    (including every documented barcode line) equal to a single-process
+    run — the host-local undocumented tallies are gathered inside
+    run_count so the collated output is global on every host."""
+    from .test_heuristic_count import make_barcodes, write_run_count_fastq
 
     barcodes = make_barcodes(n=10, seed=2)
-    pre, tail = "ACGTG", "TCCATGGA"
+    fq = tmp_path / "reads.fastq"
+    write_run_count_fastq(fq, barcodes)
+    with open(tmp_path / "bc.fasta", "w") as fh:
+        for i, b in enumerate(barcodes):
+            fh.write(f">b{i}\n{b}\n")
+    argv = [sys.executable, "-m", "barcoder_tpu", "count",
+            str(tmp_path / "bc.fasta"), str(fq)]
+    base_env = dict(os.environ, BARCODER_TPU_PLATFORM="cpu")
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(base_env,
+                   BARCODER_TPU_COORDINATOR=f"localhost:{port}",
+                   BARCODER_TPU_NUM_PROCESSES="2",
+                   BARCODER_TPU_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            argv, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-3000:]
+        # drop the Gloo CPU-collective stdout banners (see the targets twin)
+        outs.append("".join(
+            l for l in stdout.splitlines(keepends=True)
+            if "[Gloo]" not in l and "peer ranks" not in l
+        ))
+    single = subprocess.run(argv, env=base_env, cwd=REPO, timeout=420,
+                            capture_output=True, text=True)
+    assert single.returncode == 0, single.stderr[-3000:]
+    assert outs[0] == outs[1] == single.stdout
+    assert all(b in outs[0] for b in barcodes)
+
+
+@pytest.mark.slow
+def test_run_count_driver_matches_single_process(worker_results, tmp_path):
+    """The FULL run_count driver (sampling + reader + chunk loop) with the
+    sharded engine over CHUNK OWNERSHIP (VERDICT r4 item 1): each host
+    parses a disjoint chunk subset that sums to the whole stream, engine
+    'auto' selects sharded under multi-process, and every host reports the
+    identical GLOBAL doc AND undoc counts (undoc gathered over DCN)."""
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    from .test_heuristic_count import make_barcodes, write_run_count_fastq
+
+    barcodes = make_barcodes(n=10, seed=2)
     fq = tmp_path / "rc.fastq"
-    with open(fq, "w") as fh:
-        r = np.random.default_rng(6)
-        for i in r.integers(0, len(barcodes), size=1500):
-            rd = pre + L_FLANK + barcodes[i] + R_FLANK + tail
-            fh.write(f"@r\n{rd}\n+\n{'I' * len(rd)}\n")
-    doc, undoc, total, _ = run_count(set(barcodes), str(fq), engine="vector")
+    write_run_count_fastq(fq, barcodes)
+    doc, undoc, total, _ = run_count(
+        set(barcodes), str(fq), engine="vector", chunk_size=256
+    )
+    assert sum(undoc.values()) > 0  # the undoc merge path is not vacuous
     for r2 in worker_results:
+        assert r2["run_count_engine"] == "sharded"  # auto picked sharded
         assert Counter(dict(r2["run_count"])) == doc
         assert r2["run_count_total"] == total
-    merged = Counter()
-    for r2 in worker_results:
-        merged.update(dict(r2["run_count_undoc_local"]))
-    assert merged == undoc
+        # merged undoc identical on EVERY host (not a per-host partial)
+        assert Counter(dict(r2["run_count_undoc"])) == undoc
+    # input sharding proof: hosts parsed disjoint, non-trivial chunk
+    # subsets covering the full stream exactly once
+    owned = [r2["run_count_owned_reads"] for r2 in worker_results]
+    assert all(o > 0 for o in owned)
+    assert sum(owned) == total
+
+
+@pytest.mark.slow
+def test_multihost_checkpoint_agreement(worker_results):
+    """ADVICE r4 (medium): per-host checkpoints at DIFFERENT chunk_no must
+    be discarded in agreement (no double counting, no collective desync);
+    checkpoints at the SAME chunk_no with genuine partial state must
+    resume and land on the full-run result."""
+    for r in worker_results:
+        assert r["ckpt_disagree_matches"], f"process {r['process_index']}"
+        assert r["ckpt_resume_matches"], f"process {r['process_index']}"
 
 
 @pytest.mark.slow
