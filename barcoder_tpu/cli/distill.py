@@ -30,10 +30,21 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     log = Logger()
-    outputs = distill_reads(
-        args.files, chunk_size=args.chunk_size, log=log,
-        checkpoint_dir=args.checkpoint,
-    )
+    # top-level user-input error contract (reference targets.py:703-712
+    # applied to the distill driver): friendly message + exit 1, never a
+    # raw traceback on a missing/corrupt input
+    try:
+        outputs = distill_reads(
+            args.files, chunk_size=args.chunk_size, log=log,
+            checkpoint_dir=args.checkpoint,
+        )
+    except FileNotFoundError as e:
+        log.error(f"File not found: {e.filename or e}")
+        return 1
+    except (OSError, ValueError) as e:
+        # bad gzip/zstd stream, malformed FASTQ, mismatched pair lengths
+        log.error(f"Could not distill reads: {e}")
+        return 1
     log.info(f"Finished: {', '.join(outputs)}")
     return 0
 

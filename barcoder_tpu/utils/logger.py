@@ -9,6 +9,13 @@ from __future__ import annotations
 import json
 import locale
 import logging
+import re
+
+# a number standing alone between whitespace (or string edges): plain,
+# decimal, or exponent form
+_NUM_TOKEN = re.compile(
+    r"(?<!\S)[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?(?!\S)"
+)
 
 from rich.console import Console
 from rich.highlighter import JSONHighlighter
@@ -65,34 +72,29 @@ class Logger:
         logging.addLevelName(SUBPROC, "SUBPROC")
         logging.addLevelName(HELP, "HELP")
 
+    def _locale_number(self, num):
+        """One number → its locale rendering (babel when available, else
+        Python grouping)."""
+        if _HAVE_BABEL and self.user_locale:
+            try:
+                return format_decimal(num, locale=self.user_locale)
+            except Exception:
+                pass
+        return f"{num:,}" if isinstance(num, int) else f"{num:,g}"
+
     def format_numbers(self, message):
-        """Locale-format every numeric token of a message
-        (reference: Logger.py:39-60)."""
+        """Locale-format every standalone numeric token of a message.
+
+        Behavioral contract only from the reference (Logger.py:39-60: any
+        whitespace-delimited token that reads as a number gets grouped
+        digits); implemented as a single regex substitution over the raw
+        string, which also preserves the original whitespace."""
         if isinstance(message, str):
-            lines = message.splitlines()
-            for i, line in enumerate(lines):
-                words = line.split()
-                for j, word in enumerate(words):
-                    try:
-                        num = float(word)
-                    except ValueError:
-                        continue
-                    if _HAVE_BABEL and self.user_locale:
-                        try:
-                            words[j] = format_decimal(num, locale=self.user_locale)
-                            continue
-                        except Exception:
-                            pass
-                    words[j] = f"{num:,g}"
-                lines[i] = " ".join(words)
-            return "\n".join(lines)
+            return _NUM_TOKEN.sub(
+                lambda m: str(self._locale_number(float(m.group()))), message
+            )
         if isinstance(message, int):
-            if _HAVE_BABEL and self.user_locale:
-                try:
-                    return format_decimal(message, locale=self.user_locale)
-                except Exception:
-                    pass
-            return f"{message:,}"
+            return str(self._locale_number(message))
         return message
 
     def info(self, message):

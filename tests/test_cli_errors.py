@@ -89,6 +89,25 @@ def test_mismatch_missing_spacers_file(tmp_path, capsys):
     assert "nope.tsv" in capsys.readouterr().err
 
 
+def test_distill_missing_file(tmp_path, capsys):
+    from barcoder_tpu.cli import distill as distill_cli
+
+    rc = distill_cli.main([str(tmp_path / "nope.fastq")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "nope.fastq" in err and "Traceback" not in err
+
+
+def test_distill_bad_gzip(tmp_path, capsys):
+    bad = tmp_path / "corrupt.fastq.gz"
+    bad.write_bytes(b"\x1f\x8bthis is not a gzip stream")
+    from barcoder_tpu.cli import distill as distill_cli
+
+    rc = distill_cli.main([str(bad)])
+    assert rc == 1
+    assert "Traceback" not in capsys.readouterr().err
+
+
 @pytest.mark.slow
 def test_design_sgrna_out_roundtrip(small_case, tmp_path, capsys):
     """--sgrna-out persists the enumerated candidate library as FASTA

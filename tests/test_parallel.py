@@ -223,3 +223,46 @@ class TestShardedScanMany:
         rec = make_record(n=2000, seed=1)
         with pytest.raises(ValueError):
             sharded_scan_many([["A" * 20]], contig_from_record(rec), 0, pam="")
+
+    def test_serving_cache_eviction(self, mesh8, monkeypatch):
+        """Pin of the r4 serving-cache thrash bug (VERDICT r4 item 4):
+        with MORE distinct libraries than the device-input cache budget,
+        (a) results stay exact through evictions, and (b) a warm pass over
+        a working set that FITS is all hits — zero re-built/re-shipped
+        one-hots, which the old FIFO failed (100% thrash on the serving
+        set, re-shipping ~21 MB per 'warm' pass)."""
+        import barcoder_tpu.parallel.sharded_scan as ss
+
+        small = ss._ShardDevCache(max_entries=4)
+        monkeypatch.setattr(ss, "_Q_SHARD_CACHE", small)
+
+        rng = np.random.default_rng(21)
+        rec = make_record(n=9000, topology="circular", seed=21)
+        libs = []
+        for k in range(8):  # 2x the patched cache budget
+            spacers = [random_seq(20, rng) for _ in range(3)]
+            plant_guide(rec, spacers[0], 400 + 1000 * k, pam="TGG")
+            libs.append(spacers)
+        contig = contig_from_record(rec)
+        kw = dict(mesh=mesh8, P=256)
+
+        pass1 = ss.sharded_scan_many(libs, contig, 1, pam="NGG", **kw)
+        st1 = small.stats()
+        assert st1["evictions"] > 0  # budget genuinely exceeded
+        assert st1["entries"] <= 4
+        # exactness through evictions: every library equals its solo scan
+        for spacers, hits in zip(libs, pass1):
+            assert tuples(hits) == tuples(
+                ss.sharded_scan(spacers, contig, 1, pam="NGG", **kw)
+            )
+        assert sum(len(tuples(h)) for h in pass1) >= 8
+
+        # a working set that fits (the 2 most recent libraries) must be
+        # fully warm: no misses, no bytes shipped
+        small.reset_stats()
+        pass3 = ss.sharded_scan_many(libs[-2:], contig, 1, pam="NGG", **kw)
+        st3 = small.stats()
+        assert st3["misses"] == 0 and st3["bytes_built"] == 0, st3
+        assert st3["hits"] > 0
+        for h, ref in zip(pass3, pass1[-2:]):
+            assert tuples(h) == tuples(ref)
