@@ -26,6 +26,22 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", platform)
 
 
+def _shield_stdout() -> None:
+    """XLA's Gloo CPU-collective backend prints ``[Gloo] Rank ...`` banners
+    straight to fd 1 from C++ (unbuffered, unscopable from Python), which
+    can interleave mid-line with the CLI's machine-readable stdout on the
+    CPU stand-in — observed as split banner fragments corrupting TSV lines
+    under load. Re-point fd 1 at stderr so every native write lands there,
+    and hand Python a private dup of the ORIGINAL stdout: the data contract
+    (clean TSV/JSON on the process's stdout) is preserved exactly. Real TPU
+    pods ride ICI/DCN and never print these banners, but the shield is
+    harmless there too."""
+    sys.stdout.flush()
+    real = os.dup(1)
+    os.dup2(2, 1)  # native fd-1 writers (Gloo) now reach stderr
+    sys.stdout = os.fdopen(real, "w", buffering=1)
+
+
 def _join_cluster() -> None:
     """Multi-host runs set BARCODER_TPU_COORDINATOR / _NUM_PROCESSES /
     _PROCESS_ID (one CLI process per host); joining must happen before the
@@ -36,7 +52,8 @@ def _join_cluster() -> None:
     ):
         from ..parallel import multihost
 
-        multihost.initialize()
+        if multihost.initialize():
+            _shield_stdout()
 
 
 def main(argv=None) -> int:

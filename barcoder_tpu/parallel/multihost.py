@@ -28,9 +28,13 @@ every retry/caps decision in ``sharded_scan`` is computed from a fully
 replicated header, so all hosts branch identically.
 
 CPU-mesh caveat: XLA's Gloo collective backend prints ``[Gloo] Rank ...``
-banners directly to stdout (C++ iostream) when ranks first connect —
-consumers of a CLI's stdout on the CPU stand-in should drop those lines.
-Real TPU pods ride ICI/DCN and keep stdout clean.
+banners directly to fd 1 (C++ iostream) when ranks first connect, and the
+unbuffered native writes can interleave mid-line with Python's stdout. The
+CLI shields against this by re-pointing fd 1 at stderr and keeping a
+private dup of the original stdout for data (cli.main._shield_stdout), so
+CLI stdout stays byte-clean even on the CPU stand-in. Real TPU pods ride
+ICI/DCN and never print these banners. Library users embedding multi-host
+engines with machine-read stdout should apply the same shield.
 """
 
 from __future__ import annotations

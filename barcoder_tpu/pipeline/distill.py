@@ -127,8 +127,11 @@ class _Run:
     HEADER = struct.Struct("<QQ")
 
     @staticmethod
-    def write(arrays: list[np.ndarray], tmpdir: str, run_id: int) -> "_Run":
-        path = os.path.join(tmpdir, f"run{run_id}.zst")
+    def write(
+        arrays: list[np.ndarray], tmpdir: str, run_id: int,
+        name: str | None = None,
+    ) -> "_Run":
+        path = os.path.join(tmpdir, name or f"run{run_id}.zst")
         n = len(arrays[0])
         widths = [a.dtype.itemsize for a in arrays]
         with _zstd_writer(path) as fh:
@@ -324,7 +327,15 @@ def distill_reads(
 
     checkpoint_dir enables crash-safe resume: every sorted chunk is spilled
     there as a durable zstd run and a rerun continues from the last one
-    (see _DistillCheckpoint)."""
+    (see _DistillCheckpoint).
+
+    Multi-host (``jax.process_count() > 1`` after the CLI's cluster join):
+    with a checkpoint_dir on a SHARED filesystem, the sort+compress phase —
+    the measured bound — is divided across hosts by chunk ownership
+    (chunk i → host i mod K; unowned chunks skip at newline-scan speed) and
+    host 0 runs the final k-way merge (see _distill_multihost). Without a
+    checkpoint_dir, host 0 distills alone while the others wait — identical
+    output either way, never a write race."""
     if zstd is None:
         raise RuntimeError("zstandard module unavailable")
     if not filenames:
@@ -332,6 +343,46 @@ def distill_reads(
     info = log.info if log else (lambda *_: None)
     outputs = output_filenames or [get_output_filename(fn) for fn in filenames]
 
+    import sys as _sys
+
+    if "jax" in _sys.modules:  # only probe a runtime someone already started
+        import jax
+
+        if jax.process_count() > 1:
+            return _distill_multihost(
+                filenames, outputs, chunk_size, checkpoint_dir, info
+            )
+
+    return _distill_local(filenames, outputs, chunk_size, checkpoint_dir, info)
+
+
+def _merge_to_outputs(runs: list[_Run], outputs: list[str]) -> None:
+    """Stream the k-way merge of sorted runs into the per-file output
+    writers (no runs → empty outputs, still created)."""
+    writers = [_zstd_writer(out) for out in outputs]
+    try:
+        if runs:
+            for batch, widths in _merge_runs(runs):
+                n = len(batch)
+                mat = batch.view(np.uint8).reshape(n, sum(widths))
+                col = 0
+                for fh, w in zip(writers, widths):
+                    _write_seq_array(fh, np.ascontiguousarray(
+                        mat[:, col : col + w]).view(f"S{w}").ravel())
+                    col += w
+    finally:
+        for fh in writers:
+            fh.close()
+
+
+def _distill_local(
+    filenames: list[str],
+    outputs: list[str],
+    chunk_size: int,
+    checkpoint_dir: str | None,
+    info,
+) -> list[str]:
+    """The single-process distill body."""
     if checkpoint_dir:
         return _distill_checkpointed(
             filenames, outputs, chunk_size, checkpoint_dir, info
@@ -356,19 +407,7 @@ def distill_reads(
                 in_memory.append(arrays)
 
         if spilling:  # external k-way merge of sorted byte-matrix runs
-            writers = [_zstd_writer(out) for out in outputs]
-            try:
-                for batch, widths in _merge_runs(runs):
-                    n = len(batch)
-                    mat = batch.view(np.uint8).reshape(n, sum(widths))
-                    col = 0
-                    for fh, w in zip(writers, widths):
-                        _write_seq_array(fh, np.ascontiguousarray(
-                            mat[:, col : col + w]).view(f"S{w}").ravel())
-                        col += w
-            finally:
-                for fh in writers:
-                    fh.close()
+            _merge_to_outputs(runs, outputs)
         else:
             writers = [_zstd_writer(out) for out in outputs]
             try:
@@ -424,22 +463,160 @@ def _distill_checkpointed(
         ckpt.input_exhausted = True
         ckpt.save()
 
-    writers = [_zstd_writer(out) for out in outputs]
-    try:
-        if ckpt.runs:
-            for batch, widths in _merge_runs(ckpt.runs):
-                n = len(batch)
-                mat = batch.view(np.uint8).reshape(n, sum(widths))
-                col = 0
-                for fh, w in zip(writers, widths):
-                    _write_seq_array(
-                        fh,
-                        np.ascontiguousarray(mat[:, col : col + w]).view(f"S{w}").ravel(),
-                    )
-                    col += w
-    finally:
-        for fh in writers:
-            fh.close()
+    _merge_to_outputs(ckpt.runs, outputs)
     ckpt.cleanup()
+    info(f"wrote {', '.join(outputs)}")
+    return outputs
+
+
+def _iter_tuple_chunks_owned(
+    filenames: list[str], chunk_size: int, owner: int, num_owners: int,
+    done_chunks=frozenset(),
+):
+    """Chunk-ownership variant of :func:`_iter_tuple_chunks` for multi-host
+    distill: yields ``(chunk_no, cols)`` for EVERY chunk of the zipped
+    stream, but parses only chunks this host owns
+    (``chunk_no % num_owners == owner``) and has not already spilled
+    (``done_chunks``); other chunks yield ``cols=None`` after a cheap
+    byte-level skip. Stop conditions replicate the zip-to-shortest
+    semantics so every host observes the identical chunk schedule."""
+    from ..seqio.fast_reader import MatrixStream
+
+    streams = [MatrixStream(fn) for fn in filenames]
+    try:
+        chunk_no = 0
+        while True:
+            mine = (
+                chunk_no % num_owners == owner and chunk_no not in done_chunks
+            )
+            if mine:
+                batches = [s.next_records(chunk_size) for s in streams]
+                if any(b is None for b in batches):
+                    break
+                counts = [len(b[0]) for b in batches]
+            else:
+                counts = [s.skip_records(chunk_size) for s in streams]
+                if any(c is None for c in counts):
+                    break
+            n = min(counts)
+            if n == 0:
+                break
+            if mine:
+                cols = []
+                for mat, _lens in batches:
+                    mat = np.ascontiguousarray(mat[:n])
+                    w = max(mat.shape[1], 1)
+                    cols.append(mat.view(f"S{w}").ravel())
+                yield chunk_no, cols
+            else:
+                yield chunk_no, None
+            chunk_no += 1
+            if any(c > n for c in counts):
+                break  # a shorter file ended mid-chunk: zip semantics
+    finally:
+        for s in streams:
+            s.close()
+
+
+def _distill_multihost(
+    filenames: list[str],
+    outputs: list[str],
+    chunk_size: int,
+    checkpoint_dir: str | None,
+    info,
+) -> list[str]:
+    """Multi-host distill (the distributed generalization of the
+    reference's sorter pool, distillreads.py:350-433): the expensive
+    phase — read + lexsort + zstd run compression — is divided by chunk
+    ownership (chunk i → host i mod K) with each host spilling durable
+    runs named by chunk number into the SHARED ``checkpoint_dir``; after
+    an all-gather of the per-host run manifests (which doubles as the
+    completion barrier), host 0 alone streams the k-way merge into the
+    outputs. Per-host manifests give independent crash resume — hosts
+    never need lockstep, only the two barriers.
+
+    Without a checkpoint_dir there is no agreed shared spill area, so
+    host 0 distills alone while the others wait at the barrier (identical
+    outputs, no write race)."""
+    import jax
+
+    from ..parallel.multihost import allgather_bytes
+
+    K, h = jax.process_count(), jax.process_index()
+    if not checkpoint_dir:
+        info("multi-host distill without a checkpoint dir: host 0 distills alone")
+        if h == 0:
+            _distill_local(filenames, outputs, chunk_size, None, info)
+        allgather_bytes(b"done")  # outputs complete before any host returns
+        return outputs
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    fp = _DistillCheckpoint.make_fingerprint(filenames, outputs, chunk_size)
+    manifest = os.path.join(checkpoint_dir, f"manifest.p{h}.json")
+    done: dict[int, list] = {}
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                st = json.load(fh)
+            if st.get("fingerprint") == fp and all(
+                os.path.exists(os.path.join(checkpoint_dir, r[1]))
+                for r in st["runs"]
+            ):
+                done = {int(r[0]): r for r in st["runs"]}
+                if done:
+                    info(
+                        f"host {h}: resuming multi-host distill, "
+                        f"{len(done)} chunk(s) already spilled"
+                    )
+        except (OSError, ValueError):
+            done = {}
+
+    def save_manifest() -> None:
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"fingerprint": fp, "runs": sorted(done.values())}, fh)
+        os.replace(tmp, manifest)
+
+    save_manifest()
+    for chunk_no, cols in _iter_tuple_chunks_owned(
+        filenames, chunk_size, h, K, done_chunks=frozenset(done)
+    ):
+        if cols is None:
+            continue
+        arrays = _sort_chunk(cols)
+        run = _Run.write(arrays, checkpoint_dir, chunk_no, name=f"run{chunk_no}.zst")
+        done[chunk_no] = [chunk_no, os.path.basename(run.path), run.n,
+                          list(run.widths)]
+        save_manifest()
+        info(f"host {h}: spilled chunk {chunk_no} ({run.n:,} sequences)")
+
+    # barrier + manifest exchange: every host learns every run
+    metas: list = []
+    for blob in allgather_bytes(json.dumps(sorted(done.values())).encode()):
+        metas.extend(json.loads(blob))
+    metas.sort(key=lambda r: r[0])
+    nums = [m[0] for m in metas]
+    if nums != list(range(len(nums))):
+        raise RuntimeError(
+            "multi-host distill spill coverage is inconsistent (stale "
+            f"checkpoint dir?): chunk ids {nums}; clear {checkpoint_dir} "
+            "and rerun"
+        )
+    if h == 0:
+        runs = [
+            _Run(os.path.join(checkpoint_dir, name), n, widths)
+            for _no, name, n, widths in metas
+        ]
+        _merge_to_outputs(runs, outputs)
+    allgather_bytes(b"merged")  # outputs complete before any host returns
+    if h == 0:
+        for _no, name, *_rest in metas:
+            p = os.path.join(checkpoint_dir, name)
+            if os.path.exists(p):
+                os.unlink(p)
+        import glob
+
+        for m in glob.glob(os.path.join(checkpoint_dir, "manifest.p*.json")):
+            os.unlink(m)
     info(f"wrote {', '.join(outputs)}")
     return outputs

@@ -16,6 +16,15 @@ def read_zst_lines(path):
         return [line.rstrip("\n") for line in fh]
 
 
+def make_distill_reads(n=1000, width=44, seed=8):
+    """Deterministic paired read lists shared by the multi-host worker and
+    its parent asserts (tests/multihost_worker.py)."""
+    rng = np.random.default_rng(seed)
+    r1 = [random_seq(width, rng) for _ in range(n)]
+    r2 = [random_seq(width, rng) for _ in range(n)]
+    return r1, r2
+
+
 def test_output_filename_mapping():
     assert get_output_filename("a.fastq.gz") == "a.reads.zst"
     assert get_output_filename("a.fastq") == "a.reads.zst"

@@ -203,15 +203,9 @@ def test_targets_cli_multihost_env(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, stderr[-3000:]
-        # XLA's Gloo CPU-collective backend prints rank banners straight to
-        # stdout (C++ iostream, unscopable from Python); real TPU pods ride
-        # ICI/DCN and keep stdout clean — strip the CPU-stand-in noise
-        # ... and its unbuffered writes can split a banner across lines, so
-        # filter by content, not prefix
-        outs.append("".join(
-            l for l in stdout.splitlines(keepends=True)
-            if "[Gloo]" not in l and "peer ranks" not in l
-        ))
+        # cli.main._shield_stdout reroutes the Gloo CPU-collective banners
+        # (native fd-1 writes) to stderr, so stdout must be EXACTLY the TSV
+        outs.append(stdout)
     single = subprocess.run(argv, env=base_env, cwd=REPO, timeout=420,
                             capture_output=True, text=True)
     assert single.returncode == 0, single.stderr[-3000:]
@@ -259,11 +253,8 @@ def test_count_cli_multihost_env(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, stderr[-3000:]
-        # drop the Gloo CPU-collective stdout banners (see the targets twin)
-        outs.append("".join(
-            l for l in stdout.splitlines(keepends=True)
-            if "[Gloo]" not in l and "peer ranks" not in l
-        ))
+        # _shield_stdout keeps Gloo banners off stdout (see the targets twin)
+        outs.append(stdout)
     single = subprocess.run(argv, env=base_env, cwd=REPO, timeout=420,
                             capture_output=True, text=True)
     assert single.returncode == 0, single.stderr[-3000:]
@@ -300,6 +291,28 @@ def test_run_count_driver_matches_single_process(worker_results, tmp_path):
     owned = [r2["run_count_owned_reads"] for r2 in worker_results]
     assert all(o > 0 for o in owned)
     assert sum(owned) == total
+
+
+@pytest.mark.slow
+def test_multihost_distill(worker_results):
+    """Multi-host distill (VERDICT r4 item 7): hosts spill DISJOINT chunk
+    subsets covering the whole stream (the sort+zstd bound divided by K),
+    host 0 merges, and the outputs equal a single-process distill
+    byte-for-byte at the line level."""
+    from .test_distill import make_distill_reads, read_zst_lines
+
+    r1, r2 = make_distill_reads()
+    want = sorted(zip(r1, r2))
+    outs = worker_results[0]["distill_outputs"]
+    assert worker_results[1]["distill_outputs"] == outs
+    got1, got2 = read_zst_lines(outs[0]), read_zst_lines(outs[1])
+    assert got1 == [a for a, _ in want]
+    assert got2 == [b for _, b in want]
+    spilled = [set(r["distill_spilled_chunks"]) for r in worker_results]
+    assert spilled[0] and spilled[1]  # both hosts did real sort work
+    assert spilled[0].isdisjoint(spilled[1])
+    n_chunks = -(-len(r1) // 128)
+    assert spilled[0] | spilled[1] == set(range(n_chunks))
 
 
 @pytest.mark.slow
