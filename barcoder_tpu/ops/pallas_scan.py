@@ -732,38 +732,53 @@ _BIG_QPREP_SLOT: dict = {}
 
 
 def _pack_nibbles(arr: np.ndarray) -> np.ndarray:
-    """int8 codes 0..7 → uint8 nibble pairs (even index = low nibble).
+    """int8 codes 0..7 → uint8 nibble pairs, BLOCK-STRIDED: the array is
+    split into 2 equal half-blocks and byte j packs (half0[j], half1[j]).
 
     Host→device transfer is the dominant end-to-end cost on tunneled links
     (~50 MB/s measured); scan codes need 3 bits (0-5 incl. N and the OOB
-    sentinel), so nibble packing halves the shipped bytes losslessly."""
+    sentinel), so nibble packing halves the shipped bytes losslessly. The
+    block-strided order lets the device unpack be a 1-D CONCAT of shifted
+    planes — an interleaving unpack needs a stack along a size-2 minor
+    axis, whose TPU tiled layout pads 2 → 128 lanes (64x transient HBM:
+    the chromosome-scale OOM, r5)."""
     a = arr.astype(np.uint8)
     if len(a) % 2:
         a = np.concatenate([a, np.zeros(1, np.uint8)])
-    return (a[0::2] | (a[1::2] << 4)).astype(np.uint8)
+    m = a.reshape(2, -1)
+    return (m[0] | (m[1] << 4)).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("total",))
 def _unpack_nibbles(packed, *, total):
-    lo = packed & 0xF
-    hi = packed >> 4
-    return jnp.stack([lo, hi], axis=1).reshape(-1)[:total].astype(jnp.int8)
+    return jnp.concatenate([packed & 0xF, packed >> 4])[:total].astype(jnp.int8)
 
 
 def _pack_2bit(arr: np.ndarray) -> np.ndarray:
-    """int8 codes → uint8 with 4 codes/byte (low crumb first), keeping only
-    the 2 low bits of each code. Callers ship the lost information (N
-    positions, padding, wrap halo) separately / reconstruct it on device —
-    see _build_scan_device. Steady-state h2d on the tunneled link measured
-    ~32 MB/s, so halving the nibble-packed bytes saves ~35 ms on an E.coli
-    scan."""
+    """int8 codes → uint8 with 4 codes/byte, BLOCK-STRIDED (4 equal
+    quarter-blocks; byte j packs (q0[j], q1[j], q2[j], q3[j]) low crumb
+    first), keeping only the 2 low bits of each code. Callers ship the
+    lost information (N positions, padding, wrap halo) separately /
+    reconstruct it on device — see _build_scan_device. Steady-state h2d
+    on the tunneled link measured ~32 MB/s, so halving the nibble-packed
+    bytes saves ~35 ms on an E.coli scan. Block-strided for the same
+    layout reason as _pack_nibbles: the device unpack is a flat concat of
+    4 planes, never a (N, 4) stack (whose 4 → 128 lane padding cost 24 GB
+    at 250 Mb site scale)."""
     a = arr.astype(np.uint8) & 3
     pad = (-len(a)) % 4
     if pad:
         a = np.concatenate([a, np.zeros(pad, np.uint8)])
-    return (a[0::4] | (a[1::4] << 2) | (a[2::4] << 4) | (a[3::4] << 6)).astype(
-        np.uint8
-    )
+    m = a.reshape(4, -1)
+    return (m[0] | (m[1] << 2) | (m[2] << 4) | (m[3] << 6)).astype(np.uint8)
+
+
+def _unpack_2bit_planes(packed, total: int):
+    """Device-side inverse of _pack_2bit: flat int8 codes via a 1-D plane
+    concat (layout-friendly at any scale)."""
+    return jnp.concatenate(
+        [packed & 3, (packed >> 2) & 3, (packed >> 4) & 3, (packed >> 6) & 3]
+    )[:total].astype(jnp.int8)
 
 
 @functools.partial(
@@ -785,9 +800,7 @@ def _build_scan_device(packed, exc_idx, n_real, *, total, pad_code, halo_len,
     n_real is traced (one executable per size bucket); exc_idx is -1-padded
     to a power-of-two bucket. Callers must guarantee n_real >= halo_len
     (tiny contigs fall back to the nibble path)."""
-    b = packed
-    c = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1)
-    codes4 = c.reshape(-1)[:total].astype(jnp.int8)
+    codes4 = _unpack_2bit_planes(packed, total)
     pos = jnp.arange(total, dtype=jnp.int32)
     out = jnp.where(pos < n_real, codes4, jnp.int8(pad_code))
     safe = jnp.clip(exc_idx, 0, total - 1)
@@ -1821,12 +1834,12 @@ def _build_codes_device(packed, exc_idx, n_sites, *, total, cols):
     """2-bit crumbs + sparse exception list → flat int8 codes (the
     row-major (L, cols) site matrix) with genomic-N exceptions restored to
     4 and the padding columns (col >= n_sites, every row) forced to 4. The
-    site-code twin of _build_scan_device."""
-    b = packed
-    c = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=1)
-    out = c.reshape(-1)[:total].astype(jnp.int8)
-    col = jnp.arange(total, dtype=jnp.int32) % cols
-    out = jnp.where(col < n_sites, out, jnp.int8(4))
+    site-code twin of _build_scan_device. The padding-column mask works on
+    the (L, cols) view with a (1, cols) iota — a flat arange(total) % cols
+    would cost 4*total transient bytes (3 GB at 250 Mb scale)."""
+    out = _unpack_2bit_planes(packed, total)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    out = jnp.where(colv < n_sites, out.reshape(-1, cols), jnp.int8(4)).reshape(-1)
     safe = jnp.clip(exc_idx, 0, total - 1)
     cur = out[safe]
     return out.at[safe].set(jnp.where(exc_idx >= 0, jnp.int8(4), cur))

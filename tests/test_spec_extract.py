@@ -132,3 +132,29 @@ def test_dense_repeat_topk_retry():
     assert got == want
     found = {p for _, p, _, _ in got}
     assert sum(p in found for p in positions) >= 12  # later plants can clobber earlier ones
+
+
+def test_strided_pack_roundtrips():
+    """Block-strided 2-bit/nibble packing (r5: the device unpack must be a
+    flat plane concat, never a small-minor-axis stack whose TPU lane
+    padding inflates 32-64x — the 250 Mb site-table OOM class): host pack →
+    device unpack is the identity for every length class."""
+    import numpy as np
+
+    from barcoder_tpu.ops.pallas_scan import (
+        _pack_2bit,
+        _pack_nibbles,
+        _unpack_2bit_planes,
+        _unpack_nibbles,
+    )
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 257, 4096, 10001):
+        codes = rng.integers(0, 4, size=n).astype(np.int8)
+        got = np.asarray(_unpack_2bit_planes(jnp.asarray(_pack_2bit(codes)), n))
+        assert got.tolist() == codes.tolist(), f"2bit n={n}"
+        codes7 = rng.integers(0, 6, size=n).astype(np.int8)
+        got = np.asarray(_unpack_nibbles(jnp.asarray(_pack_nibbles(codes7)), total=n))
+        assert got.tolist() == codes7.tolist(), f"nibble n={n}"
