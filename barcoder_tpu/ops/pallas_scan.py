@@ -1236,9 +1236,12 @@ class _ScanJob:
             # structural sizes, so a fresh process skips host prep entirely.
             from ..utils import artifacts
 
+            # v2 = block-strided _pack_2bit (r5): the pack FORMAT is part
+            # of the key — unversioned keys would silently unpack pre-r5
+            # interleaved artifacts into a scrambled genome
             art_key = (
                 f"{digest.hex()}-{n}-{int(bool(contig.circular))}"
-                f"-{total}-{halo_len}"
+                f"-{total}-{halo_len}-v2"
             )
             art = artifacts.load("scan", art_key)
             if art is not None:

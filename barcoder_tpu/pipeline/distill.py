@@ -62,29 +62,13 @@ def _iter_tuple_chunks(filenames: list[str], chunk_size: int):
     loop, distillreads.py:47-87, was the measured hot spot here too).
     Null padding sorts below every base character, so lexicographic order
     over the padded rows equals Python string order. Like the reference's
-    ``zip(*files)``, iteration stops at the shortest file."""
-    from ..seqio.fast_reader import MatrixStream
+    ``zip(*files)``, iteration stops at the shortest file.
 
-    streams = [MatrixStream(fn) for fn in filenames]
-    try:
-        while True:
-            batches = [s.next_records(chunk_size) for s in streams]
-            if any(b is None for b in batches):
-                break
-            n = min(len(b[0]) for b in batches)
-            if n == 0:
-                break
-            cols = []
-            for mat, _lens in batches:
-                mat = np.ascontiguousarray(mat[:n])
-                w = max(mat.shape[1], 1)
-                cols.append(mat.view(f"S{w}").ravel())
-            yield cols
-            if any(len(b[0]) > n for b in batches):
-                break  # a shorter file ended mid-chunk: zip semantics
-    finally:
-        for s in streams:
-            s.close()
+    Delegates to the ownership iterator with one owner: the chunk schedule
+    must have exactly ONE definition, or the multi-host byte-identical
+    output contract silently breaks when the copies diverge."""
+    for _no, cols in _iter_tuple_chunks_owned(filenames, chunk_size, 0, 1):
+        yield cols
 
 
 def _sort_chunk(cols: list[np.ndarray]) -> list[np.ndarray]:
@@ -558,9 +542,12 @@ def _distill_multihost(
         try:
             with open(manifest) as fh:
                 st = json.load(fh)
+        except (OSError, ValueError):
+            st = None
+        if st is not None:
             if st.get("fingerprint") == fp and all(
                 os.path.exists(os.path.join(checkpoint_dir, r[1]))
-                for r in st["runs"]
+                for r in st.get("runs", [])
             ):
                 done = {int(r[0]): r for r in st["runs"]}
                 if done:
@@ -568,8 +555,16 @@ def _distill_multihost(
                         f"host {h}: resuming multi-host distill, "
                         f"{len(done)} chunk(s) already spilled"
                     )
-        except (OSError, ValueError):
-            done = {}
+            else:
+                # stale manifest (inputs changed): remove the orphaned run
+                # files THIS host's manifest owns — leftovers past the new
+                # chunk count would otherwise accumulate and later trip the
+                # spill-coverage consistency check
+                for r in st.get("runs", []):
+                    p = os.path.join(checkpoint_dir, os.path.basename(r[1]))
+                    if os.path.exists(p):
+                        os.unlink(p)
+                info(f"host {h}: distill checkpoint does not match inputs; starting fresh")
 
     def save_manifest() -> None:
         tmp = manifest + ".tmp"

@@ -1121,12 +1121,15 @@ def run_count(
             # leave per-host checkpoints at different chunk_no; resuming
             # from mismatched points would double-count on the later host
             # and desync the lockstep collectives. All hosts gather their
-            # restored chunk_no and either resume from the common value or
-            # discard everything and restart from 0 — the gathered vector
-            # is identical everywhere, so every host takes the same branch.
+            # restored chunk_no; on ANY mismatch every state is discarded
+            # and counting restarts from 0 — resuming from min() is NOT
+            # possible because a later host's restored counts already
+            # include the chunks past it and cannot be rewound. The
+            # gathered vector is identical everywhere, so every host takes
+            # the same branch.
             from ..parallel.multihost import agree_int
 
-            common, all_equal = agree_int(skip_chunks)
+            _, all_equal = agree_int(skip_chunks)
             if not all_equal:
                 if log:
                     log.warn(

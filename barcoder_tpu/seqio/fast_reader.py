@@ -180,24 +180,13 @@ def iter_owned_matrix_chunks(
 
 def iter_matrix_chunks(file1: str, file2: str | None = None, chunk_size: int = 2**16):
     """Yield ((mat1, lens1), (mat2, lens2) | None) batches of co-indexed
-    records; the final batch may be short."""
-    s1 = MatrixStream(file1)
-    s2 = MatrixStream(file2) if file2 else None
-    try:
-        while True:
-            r1 = s1.next_records(chunk_size)
-            if r1 is None:
-                break
-            if s2 is not None:
-                r2 = s2.next_records(len(r1[0]))
-                if r2 is None or len(r2[0]) != len(r1[0]):
-                    raise ValueError(
-                        "Length of reads1 and reads2 must be the same for paired-end data."
-                    )
-                yield r1, r2
-            else:
-                yield r1, None
-    finally:
-        s1.close()
-        if s2:
-            s2.close()
+    records; the final batch may be short.
+
+    Delegates to the ownership iterator with a single owner so the chunk
+    schedule has exactly ONE definition — multi-host byte-identical output
+    depends on the single- and multi-process paths never cutting chunks
+    differently."""
+    for _idx, _n, r1, r2 in iter_owned_matrix_chunks(
+        file1, file2, chunk_size, owner=0, num_owners=1
+    ):
+        yield r1, r2
