@@ -156,6 +156,37 @@ def main() -> None:
     res["run_count_engine"] = info_rc["engine"]
     res["run_count_owned_reads"] = info_rc["owned_reads"]
 
+    # PAIRED multi-host run_count through the owned path: both mates are
+    # chunk-owned, revcomp-consistency and both flank sides run on the
+    # owning host only
+    from tests.test_heuristic_count import make_reads, write_reads
+
+    reads1mh, reads2mh, _tr = make_reads(
+        barcodes, n_reads=1300, seed=9,
+        undocumented=[_rs(20, np.random.default_rng(55))],
+    )
+    fq1p = os.path.join(fq_dir, "mh_rc_p1.fastq")
+    fq2p = os.path.join(fq_dir, "mh_rc_p2.fastq")
+    if pid == 0:
+        write_reads(fq1p + ".tmp", reads1mh)
+        write_reads(fq2p + ".tmp", reads2mh)
+        os.replace(fq1p + ".tmp", fq1p)
+        os.replace(fq2p + ".tmp", fq2p)
+    else:
+        import time
+
+        for _ in range(200):
+            if os.path.exists(fq1p) and os.path.exists(fq2p):
+                break
+            time.sleep(0.1)
+    doc_p2, undoc_p2, total_p2, info_p2 = run_count(
+        set(barcodes), fq1p, fq2p, engine="sharded", chunk_size=256
+    )
+    res["run_count_paired"] = sorted(doc_p2.items())
+    res["run_count_paired_undoc"] = sorted(undoc_p2.items())
+    res["run_count_paired_total"] = total_p2
+    res["run_count_paired_owned"] = info_p2["owned_reads"]
+
     # ---- multi-host checkpoint/resume (ADVICE r4 medium) ----
     from barcoder_tpu.pipeline.heuristic_count import (
         _CheckpointState, discover_config,

@@ -294,6 +294,36 @@ def test_run_count_driver_matches_single_process(worker_results, tmp_path):
 
 
 @pytest.mark.slow
+def test_paired_run_count_owned(worker_results, tmp_path):
+    """PAIRED run_count through the multi-host owned path: the revcomp
+    consistency check, both flank windows, and the undoc slicing all run
+    on owning hosts only — results must equal a single-process run and
+    the hosts must split the parse work."""
+    from barcoder_tpu.pipeline.heuristic_count import run_count
+
+    from .genomes import random_seq
+    from .test_heuristic_count import make_barcodes, make_reads, write_reads
+
+    barcodes = make_barcodes(n=10, seed=2)
+    reads1, reads2, _t = make_reads(
+        barcodes, n_reads=1300, seed=9,
+        undocumented=[random_seq(20, np.random.default_rng(55))],
+    )
+    f1, f2 = tmp_path / "p1.fastq", tmp_path / "p2.fastq"
+    write_reads(f1, reads1), write_reads(f2, reads2)
+    doc, undoc, total, _ = run_count(
+        set(barcodes), str(f1), str(f2), engine="vector", chunk_size=256
+    )
+    assert sum(undoc.values()) > 0
+    for r in worker_results:
+        assert Counter(dict(r["run_count_paired"])) == doc
+        assert Counter(dict(r["run_count_paired_undoc"])) == undoc
+        assert r["run_count_paired_total"] == total
+    owned = [r["run_count_paired_owned"] for r in worker_results]
+    assert all(o > 0 for o in owned) and sum(owned) == total
+
+
+@pytest.mark.slow
 def test_multihost_distill(worker_results):
     """Multi-host distill (VERDICT r4 item 7): hosts spill DISJOINT chunk
     subsets covering the whole stream (the sort+zstd bound divided by K),
