@@ -365,6 +365,20 @@ _GENOME_SHARD_CACHE = _ShardDevCache()
 _Q_SHARD_CACHE = _ShardDevCache(max_entries=32)
 
 
+def serving_cache_stats(reset: bool = False) -> dict:
+    """Device-input cache observability for production serving: hit /
+    miss / eviction / bytes counters of the genome-side and library-side
+    caches. A warm serving pass over a working set that fits must show
+    misses=0, bytes_built=0 — anything else means one-hots are being
+    re-shipped every pass (the r4 thrash bug class). ``reset=True``
+    zeroes the counters after reading (per-window monitoring)."""
+    out = {"genome": _GENOME_SHARD_CACHE.stats(), "q": _Q_SHARD_CACHE.stats()}
+    if reset:
+        _GENOME_SHARD_CACHE.reset_stats()
+        _Q_SHARD_CACHE.reset_stats()
+    return out
+
+
 def _host_onehot(q_codes: np.ndarray, K: int, L: int, fold: bool, bias_col: int):
     """(rows, K) f32 one-hot with the folded-bias constant-1 column."""
     oh = onehot_rows(q_codes, K)

@@ -323,8 +323,7 @@ def bench_serving(contig) -> dict:
     # link state
     from barcoder_tpu.parallel.mesh import make_mesh
     from barcoder_tpu.parallel.sharded_scan import (
-        _GENOME_SHARD_CACHE,
-        _Q_SHARD_CACHE,
+        serving_cache_stats,
         sharded_scan_many,
     )
 
@@ -334,8 +333,7 @@ def bench_serving(contig) -> dict:
     # warm-pass device-input cache discipline (VERDICT r4 item 4): the r4
     # FIFO thrash re-shipped ~21 MB per "warm" pass; these counters must
     # show all-hit / zero-byte warm serving
-    _Q_SHARD_CACHE.reset_stats()
-    _GENOME_SHARD_CACHE.reset_stats()
+    serving_cache_stats(reset=True)
     dt_p = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -347,8 +345,7 @@ def bench_serving(contig) -> dict:
             "pipelined_s_per_library": dt_p / 8,
             "pipelined_pairs_per_s": pairs / dt_p,
             "pipelined_hits": sum(len(r) for r in rs),
-            "warm_cache": {"q": _Q_SHARD_CACHE.stats(),
-                           "genome": _GENOME_SHARD_CACHE.stats()}}
+            "warm_cache": serving_cache_stats()}
 
 
 def bench_counting() -> tuple[dict, str, list]:

@@ -144,6 +144,43 @@ class TestOwnedIterator:
             ):
                 pass
 
+    @pytest.mark.parametrize("fmt", ["fastq", "fastq.gz", "reads"])
+    def test_formats_and_owner_counts(self, tmp_path, fmt):
+        """Owned iteration reassembles the stream for every supported
+        input format and any owner count, with identical schedules."""
+        import gzip
+
+        rng = np.random.default_rng(fmt.__hash__() & 0xFFFF)
+        reads = _rand_reads(311, rng, lo=20, hi=70)
+        p = tmp_path / f"r.{fmt}"
+        if fmt == "reads":
+            p.write_text("".join(r + "\n" for r in reads))
+        elif fmt == "fastq.gz":
+            with gzip.open(p, "wt") as fh:
+                for i, r in enumerate(reads):
+                    fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+        else:
+            _write_fastq(p, reads)
+        for K in (1, 3):
+            got = {}
+            scheds = []
+            for k in range(K):
+                sched = []
+                for idx, n, r1, _ in iter_owned_matrix_chunks(
+                    str(p), chunk_size=50, owner=k, num_owners=K
+                ):
+                    sched.append((idx, n))
+                    if r1 is not None:
+                        mat, lens = r1
+                        got[idx] = [
+                            mat[i, : lens[i]].tobytes().decode()
+                            for i in range(len(lens))
+                        ]
+                scheds.append(sched)
+            assert all(s == scheds[0] for s in scheds)
+            reassembled = [r for i in sorted(got) for r in got[i]]
+            assert reassembled == reads, (fmt, K)
+
     def test_start_chunk_skips_owned_parse(self, fq):
         path, reads = fq
         rows = []
