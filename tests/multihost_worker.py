@@ -82,6 +82,24 @@ def main() -> None:
         digest_size=12,
     ).hexdigest()
 
+    # batched SERVING over the process-spanning mesh: every library's
+    # fused program dispatched before any fetch, windowed collect — the
+    # dispatch/collect order is identical on every host (input order), so
+    # the pipelining stays lockstep across processes
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
+
+    libs = [[random_seq(20, np.random.default_rng(100 + i)) for _ in range(3)]
+            for i in range(4)]
+    libs[0][0] = spacers[0]  # at least one planted guide in the set
+    many = sharded_scan_many(
+        libs, contig, 1, pam="NGG", mesh=mesh, P=256, max_pending=2
+    )
+    res["serving_many"] = [
+        sorted(zip(hm.spacer_idx.tolist(), hm.pos.tolist(),
+                   hm.strand.tolist(), hm.mismatches.tolist()))
+        for hm in many
+    ]
+
     # ShardedCounter over the global mesh: every process feeds the SAME
     # full chunk stream (plain SPMD — identical argv on each host); the
     # engine slices equal per-host row windows internally and the psum

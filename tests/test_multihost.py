@@ -107,6 +107,29 @@ def test_scan_matches_single_process(worker_results):
             got = [tuple(t) for t in r[key]]
             assert got == expect, f"process {r['process_index']} ({key})"
 
+    # batched serving (sharded_scan_many) over the process-spanning mesh:
+    # per-library results identical on every host and equal to this
+    # process's own 8-device serving pass
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
+
+    libs = [[random_seq(20, np.random.default_rng(100 + i)) for _ in range(3)]
+            for i in range(4)]
+    libs[0][0] = spacers[0]
+    many = sharded_scan_many(
+        libs, contig, 1, pam="NGG", mesh=mesh, P=256, max_pending=2
+    )
+    expect_many = [
+        sorted(zip(hm.spacer_idx.tolist(), hm.pos.tolist(),
+                   hm.strand.tolist(), hm.mismatches.tolist()))
+        for hm in many
+    ]
+    assert sum(len(e) for e in expect_many) >= 1
+    for r in worker_results:
+        got = [[tuple(t) for t in lib_hits] for lib_hits in r["serving_many"]]
+        assert got == [[tuple(t) for t in e] for e in expect_many], (
+            f"process {r['process_index']} serving_many"
+        )
+
     # the full targets pipeline over the process-spanning mesh: every host
     # computed the identical final table, equal to this process's own
     import hashlib
