@@ -174,6 +174,28 @@ def main() -> None:
     res["run_count_engine"] = info_rc["engine"]
     res["run_count_owned_reads"] = info_rc["owned_reads"]
 
+    # mid-stream lockstep flush windows: shrink the dispatch buffer so the
+    # owned feed flushes every ~2 chunks (the production geometry at
+    # millions of reads), plus mid-stream checkpoint saves (drain every 2
+    # chunks) — both must leave the global counts unchanged
+    from barcoder_tpu.parallel.sharded_count import ShardedCounter as _SC
+
+    old_rows = _SC._DISPATCH_ROWS
+    _SC._DISPATCH_ROWS = 512
+    try:
+        doc_f, undoc_f, total_f, _ = run_count(
+            set(barcodes), fq, engine="sharded", chunk_size=256,
+            checkpoint_path=os.path.join(fq_dir, "mh_ck_flush.npz"),
+            checkpoint_every=2,
+        )
+    finally:
+        _SC._DISPATCH_ROWS = old_rows
+    res["flush_windows_match"] = (
+        sorted(doc_f.items()) == res["run_count"]
+        and sorted(undoc_f.items()) == res["run_count_undoc"]
+        and total_f == total_rc
+    )
+
     # PAIRED multi-host run_count through the owned path: both mates are
     # chunk-owned, revcomp-consistency and both flank sides run on the
     # owning host only

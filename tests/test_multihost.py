@@ -380,6 +380,16 @@ def test_multihost_checkpoint_agreement(worker_results):
 
 
 @pytest.mark.slow
+def test_multihost_flush_windows(worker_results):
+    """Mid-stream lockstep flush windows (dispatch buffer smaller than the
+    stream) combined with mid-stream checkpoint drains every 2 chunks:
+    global counts must be unchanged — the production geometry at millions
+    of reads."""
+    for r in worker_results:
+        assert r["flush_windows_match"], f"process {r['process_index']}"
+
+
+@pytest.mark.slow
 def test_paired_counts_match_single_process(worker_results):
     from barcoder_tpu.pipeline.heuristic_count import VectorCounter
 
