@@ -88,8 +88,10 @@ def main() -> None:
     # the pipelining stays lockstep across processes
     from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
 
-    libs = [[random_seq(20, np.random.default_rng(100 + i)) for _ in range(3)]
-            for i in range(4)]
+    libs = []
+    for i in range(4):
+        rng_i = np.random.default_rng(100 + i)
+        libs.append([random_seq(20, rng_i) for _ in range(3)])
     libs[0][0] = spacers[0]  # at least one planted guide in the set
     many = sharded_scan_many(
         libs, contig, 1, pam="NGG", mesh=mesh, P=256, max_pending=2
@@ -175,25 +177,52 @@ def main() -> None:
     res["run_count_owned_reads"] = info_rc["owned_reads"]
 
     # mid-stream lockstep flush windows: shrink the dispatch buffer so the
-    # owned feed flushes every ~2 chunks (the production geometry at
-    # millions of reads), plus mid-stream checkpoint saves (drain every 2
-    # chunks) — both must leave the global counts unchanged
+    # _DISPATCH_ROWS threshold flush in feed_owned actually fires
+    # mid-stream (the production geometry at millions of reads).
+    # Instrument flush_owned to prove the threshold branch ran: with
+    # chunk_size=256, K=2, threshold 512 and NO checkpoint drains, each
+    # owner's buffer reaches 512 after its 2nd owned chunk → exactly two
+    # non-empty threshold flushes before the final drain.
     from barcoder_tpu.parallel.sharded_count import ShardedCounter as _SC
+
+    flush_rows: list = []
+    orig_flush = _SC.flush_owned
+
+    def counting_flush(self):
+        if self._owned_mode and self._owned_rows is not None:
+            m = int(self._owned_rows.max())
+            if m > 0:
+                flush_rows.append(m)
+        return orig_flush(self)
 
     old_rows = _SC._DISPATCH_ROWS
     _SC._DISPATCH_ROWS = 512
+    _SC.flush_owned = counting_flush
     try:
         doc_f, undoc_f, total_f, _ = run_count(
-            set(barcodes), fq, engine="sharded", chunk_size=256,
-            checkpoint_path=os.path.join(fq_dir, "mh_ck_flush.npz"),
-            checkpoint_every=2,
+            set(barcodes), fq, engine="sharded", chunk_size=256
         )
     finally:
         _SC._DISPATCH_ROWS = old_rows
+        _SC.flush_owned = orig_flush
     res["flush_windows_match"] = (
         sorted(doc_f.items()) == res["run_count"]
         and sorted(undoc_f.items()) == res["run_count_undoc"]
         and total_f == total_rc
+    )
+    res["flush_rows"] = flush_rows  # threshold flushes at exactly 512
+
+    # ...and separately, mid-stream CHECKPOINT drains every 2 chunks
+    # (lockstep save/drain interleaving with the owned feed)
+    doc_c, undoc_c, total_c, _ = run_count(
+        set(barcodes), fq, engine="sharded", chunk_size=256,
+        checkpoint_path=os.path.join(fq_dir, "mh_ck_flush.npz"),
+        checkpoint_every=2,
+    )
+    res["ckpt_interleave_match"] = (
+        sorted(doc_c.items()) == res["run_count"]
+        and sorted(undoc_c.items()) == res["run_count_undoc"]
+        and total_c == total_rc
     )
 
     # PAIRED multi-host run_count through the owned path: both mates are

@@ -112,8 +112,10 @@ def test_scan_matches_single_process(worker_results):
     # process's own 8-device serving pass
     from barcoder_tpu.parallel.sharded_scan import sharded_scan_many
 
-    libs = [[random_seq(20, np.random.default_rng(100 + i)) for _ in range(3)]
-            for i in range(4)]
+    libs = []
+    for i in range(4):
+        rng_i = np.random.default_rng(100 + i)
+        libs.append([random_seq(20, rng_i) for _ in range(3)])
     libs[0][0] = spacers[0]
     many = sharded_scan_many(
         libs, contig, 1, pam="NGG", mesh=mesh, P=256, max_pending=2
@@ -381,12 +383,20 @@ def test_multihost_checkpoint_agreement(worker_results):
 
 @pytest.mark.slow
 def test_multihost_flush_windows(worker_results):
-    """Mid-stream lockstep flush windows (dispatch buffer smaller than the
-    stream) combined with mid-stream checkpoint drains every 2 chunks:
-    global counts must be unchanged — the production geometry at millions
-    of reads."""
+    """Mid-stream lockstep flush windows (dispatch buffer smaller than
+    the stream): the feed_owned threshold branch must actually FIRE
+    (instrumented: two non-empty 512-row threshold flushes per host
+    before the final drain) and global counts must be unchanged; the
+    separate checkpoint_every=2 run pins lockstep save/drain
+    interleaving."""
     for r in worker_results:
         assert r["flush_windows_match"], f"process {r['process_index']}"
+        assert r["ckpt_interleave_match"], f"process {r['process_index']}"
+        # the first flush is the mid-stream THRESHOLD flush at exactly
+        # 512 buffered rows (proving feed_owned's trigger branch ran);
+        # the second is the final drain of the remaining tail
+        assert r["flush_rows"][0] == 512, r["flush_rows"]
+        assert len(r["flush_rows"]) == 2, r["flush_rows"]
 
 
 @pytest.mark.slow

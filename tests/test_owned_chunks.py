@@ -149,8 +149,10 @@ class TestOwnedIterator:
         """Owned iteration reassembles the stream for every supported
         input format and any owner count, with identical schedules."""
         import gzip
+        import zlib
 
-        rng = np.random.default_rng(fmt.__hash__() & 0xFFFF)
+        # deterministic per-format seed (str.__hash__ is salted per process)
+        rng = np.random.default_rng(zlib.crc32(fmt.encode()))
         reads = _rand_reads(311, rng, lo=20, hi=70)
         p = tmp_path / f"r.{fmt}"
         if fmt == "reads":
