@@ -266,7 +266,7 @@ class ShardedCounter(DeviceCounter):
         # every host dispatches identical n_pad, so all hosts spill at
         # the same dispatch (the fetch itself is host-local, no collective)
         self._acc_rows += n_pad * jax.process_count()
-        if self._acc_rows >= (1 << 30):
+        if self._acc_rows >= self._ACC_SPILL_ROWS:
             self._fetch_acc()
         # (n, matched-bits) + threaded accumulator: the DeviceCounter
         # drain contract

@@ -788,6 +788,8 @@ class DeviceCounter(VectorCounter):
     _READ_SLICE = 8192  # rows per matmul slice (keeps the (rows, B) score
     # matrix ~300 MB at 10k barcodes)
     _DISPATCH_ROWS = 1 << 18  # reader chunks buffered per dispatched program
+    _ACC_SPILL_ROWS = 1 << 30  # int32 count-accumulator overflow guard:
+    # spill to the int64 host array after this many tallied rows
 
     # compiled matchers shared ACROSS counter instances: run_count builds a
     # fresh counter per call, and a fresh jax.jit object re-traces and
@@ -903,7 +905,7 @@ class DeviceCounter(VectorCounter):
         # would wrap, so spill into the int64 host array every ~1G rows
         # (one extra fetch per billion reads — noise)
         self._acc_rows += n_pad
-        if self._acc_rows >= (1 << 30):
+        if self._acc_rows >= self._ACC_SPILL_ROWS:
             self._fetch_acc()
         return n, mbits
 

@@ -372,6 +372,32 @@ class TestDeviceEngine:
         assert sum(undoc.values()) > 0
         assert all(k.endswith("*") for k in undoc)
 
+    def test_acc_spill_mid_stream(self, tmp_path, monkeypatch):
+        """The int32 accumulator overflow guard (spill to the int64 host
+        array every _ACC_SPILL_ROWS tallied rows): lower the threshold so
+        EVERY dispatch spills mid-stream — counts must still be exact on
+        both accelerator engines (the spill restarts accumulation, so a
+        bug would double- or drop-count whole batches)."""
+        from barcoder_tpu.pipeline.heuristic_count import DeviceCounter, run_count
+        from barcoder_tpu.parallel.sharded_count import ShardedCounter
+
+        monkeypatch.setattr(DeviceCounter, "_ACC_SPILL_ROWS", 1)
+        # small dispatch buffer → several dispatches, EACH spilling, so the
+        # spill composes additively across a real mid-stream sequence
+        monkeypatch.setattr(DeviceCounter, "_DISPATCH_ROWS", 512)
+        assert ShardedCounter._ACC_SPILL_ROWS == 1  # inherited
+
+        barcodes = make_barcodes(n=25, seed=4)
+        reads1, _, truth = make_reads(barcodes, n_reads=2500, seed=4)
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads1)
+        for engine in ("device", "sharded"):
+            doc, undoc, n, _ = run_count(
+                set(barcodes), str(f1), engine=engine, chunk_size=512
+            )
+            assert doc == truth, engine
+            assert n == len(reads1)
+
     def test_n_in_core_agrees(self, tmp_path):
         """An N INSIDE the barcode slot: the reference drops any read
         containing an N outright (heuristicount.py:489-490,524-525), so
