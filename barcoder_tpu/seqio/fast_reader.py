@@ -19,7 +19,13 @@ _SLAB = 8 << 20  # bytes per read() call
 
 
 class MatrixStream:
-    """Stream of (matrix uint8 (n, width), lengths int64) record batches."""
+    """Stream of (matrix uint8 (n, width), lengths int64) record batches.
+
+    Newline positions are found ONCE per byte (a vectorized scan of each
+    freshly-read slab, kept in an incrementally-consumed index array).
+    The previous design re-ran ``np.nonzero`` over the whole remaining
+    buffer on every cut, scanning each byte 2-3x — a top-3 cost of the
+    1M-read counting pipeline and ~2/3 of the multi-host skip path (r5)."""
 
     def __init__(self, path: str):
         self.fmt = detect_reads_format(path)  # 'fastq' or 'reads'
@@ -27,37 +33,51 @@ class MatrixStream:
         self.fh = open_seq_file(path, "rb")
         self.buf = b""
         self.eof = False
-        self._nl = 0  # newlines currently in buf (kept incrementally —
-        # recounting the whole buffer per fill was a top-3 cost at 1M reads)
+        # newline offsets RELATIVE to buf[0], consumed in lockstep with buf
+        self._nl_pos = np.zeros(0, np.int64)
 
     def close(self):
         self.fh.close()
 
+    def _avail(self) -> int:
+        return len(self._nl_pos)
+
     def _fill(self, want_records: int) -> None:
         need_newlines = want_records * self.lines_per_record + 1
+        if self.eof or self._avail() >= need_newlines:
+            return
         parts = [self.buf]
-        while not self.eof and self._nl < need_newlines:
+        new_pos = [self._nl_pos]
+        avail = self._avail()
+        end = len(self.buf)
+        while not self.eof and avail < need_newlines:
             blob = self.fh.read(_SLAB)
             if not blob:
                 self.eof = True
                 break
-            self._nl += blob.count(b"\n")
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            p = np.nonzero(arr == 10)[0] + end  # the ONE scan of these bytes
+            new_pos.append(p)
+            avail += len(p)
             parts.append(blob)
+            end += len(blob)
         if len(parts) > 1:
             self.buf = b"".join(parts)
+        self._nl_pos = (
+            new_pos[0] if len(new_pos) == 1 else np.concatenate(new_pos)
+        )
 
     def next_records(self, n: int):
         """Up to n records as (matrix, lengths); None at end of stream."""
         chunk_take = self._cut_records(n)
         if chunk_take is None:
             return None
-        chunk, take = chunk_take
+        chunk, take, cnl = chunk_take
 
-        # row width = longest sequence line in the chunk
-        carr = np.frombuffer(chunk, dtype=np.uint8)
-        cnl = np.nonzero(carr == 10)[0]
+        # row width = longest sequence line in the chunk (line boundaries
+        # come from the cached newline index — no rescan)
         starts = np.concatenate(([0], cnl + 1))
-        ends = np.concatenate((cnl, [len(carr)]))
+        ends = np.concatenate((cnl, [len(chunk)]))
         line_lens = ends - starts[: len(ends)]
         if self.fmt == "fastq":
             seq_lens = line_lens[1::4]
@@ -74,8 +94,8 @@ class MatrixStream:
     def skip_records(self, n: int):
         """Consume up to n records WITHOUT parsing them into a matrix;
         returns the record count (None at end of stream). The multi-host
-        chunk-ownership reader uses this so a host scans (memchr-speed
-        newline walk) the chunks it does not own instead of paying the
+        chunk-ownership reader uses this so a host scans (one memchr-speed
+        newline pass) the chunks it does not own instead of paying the
         full matrix parse for rows it would discard."""
         chunk_take = self._cut_records(n)
         if chunk_take is None:
@@ -84,22 +104,20 @@ class MatrixStream:
 
     def _cut_records(self, n: int):
         """Consume up to n records; returns (raw chunk bytes, record
-        count) or None at end of stream."""
+        count, chunk-relative newline offsets) or None at end of stream."""
         self._fill(n)
         if not self.buf:
             return None
-        arr = np.frombuffer(self.buf, dtype=np.uint8)
-        nl = np.nonzero(arr == 10)[0]
         lpr = self.lines_per_record
-        n_records = len(nl) // lpr
+        avail = self._avail()
+        n_records = avail // lpr
         tail_complete = False
-        if self.eof and len(nl) % lpr != 0:
-            # final record may lack a trailing newline; treat remainder as a
-            # last line
-            pass
-        if self.eof and len(self.buf) > (nl[-1] + 1 if len(nl) else 0):
+        last_nl_end = (
+            int(self._nl_pos[-1]) + 1 if len(self._nl_pos) else 0
+        )
+        if self.eof and len(self.buf) > last_nl_end:
             # buffer ends without newline: one extra (partial) line
-            total_lines = len(nl) + 1
+            total_lines = avail + 1
             if total_lines % lpr == 0:
                 n_records = total_lines // lpr
                 tail_complete = True
@@ -107,17 +125,21 @@ class MatrixStream:
         if take == 0:
             if self.eof:
                 self.buf = b""
-                self._nl = 0
+                self._nl_pos = np.zeros(0, np.int64)
                 return None
             return None
         if take == n_records and tail_complete:
             cut = len(self.buf)
-            self._nl = 0
+            consumed = avail
         else:
-            cut = int(nl[take * lpr - 1]) + 1
-            self._nl -= take * lpr
+            cut = int(self._nl_pos[take * lpr - 1]) + 1
+            consumed = take * lpr
+        cnl = self._nl_pos[:consumed].copy()
         chunk, self.buf = self.buf[:cut], self.buf[cut:]
-        return chunk, take
+        # rebase the (small) remaining index: int64 offsets are 8x fewer
+        # bytes than the buffer rescans this replaces
+        self._nl_pos = self._nl_pos[consumed:] - cut
+        return chunk, take, cnl
 
 
 def iter_owned_matrix_chunks(
