@@ -71,7 +71,6 @@ class ShardedCounter(DeviceCounter):
         )
         self._owned_mode = False  # chunk-ownership feed (feed_owned)
         self._owned_rows = None  # per-owner rows buffered since last flush
-        self._pad_min = 0  # lockstep dispatch pad floor during flush_owned
         self.owned_reads = 0  # rows this host parsed+processed itself
         if jax.process_count() > 1:
             # replicate the barcode table onto this process's mesh devices
@@ -158,12 +157,10 @@ class ShardedCounter(DeviceCounter):
             self._buf.append(
                 (np.zeros((0, self.bc_len), np.uint8), np.zeros(0, bool))
             )
-        self._pad_min = int(self._owned_rows.max())
-        try:
-            self._flush_buf()
-        finally:
-            self._pad_min = 0
-            self._owned_rows[:] = 0
+        # pad floor rides WITH the batch through the dispatch queue — an
+        # instance attribute would race the worker thread
+        self._flush_buf(pad_min=int(self._owned_rows.max()))
+        self._owned_rows[:] = 0
 
     def drain(self) -> None:
         if self._owned_mode:
@@ -235,17 +232,19 @@ class ShardedCounter(DeviceCounter):
             return
         super()._tally(keys, cores, eligible)
 
-    def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
+    def _device_match_async(
+        self, core_codes: np.ndarray, eligible: np.ndarray, pad_min: int = 0
+    ):
         n = core_codes.shape[0]
         # this process pads to ITS addressable quantum; the global row count
         # is the sum over processes (put_process_local, process order)
         quantum = self._n_local_dev * self._READ_SLICE
         # geometric quantum buckets: a tail batch reuses the full batch's
-        # executable (see DeviceCounter._device_match_async); _pad_min
+        # executable (see DeviceCounter._device_match_async); pad_min
         # (owned mode) lifts every host to the busiest host's bucket so
         # the collective geometry stays identical
         n_pad = quantum
-        while n_pad < max(n, self._pad_min):
+        while n_pad < max(n, pad_min):
             n_pad *= 2
         packed, has_n = _pack_cores_u32(core_codes)
         codes_p = np.zeros((n_pad, 2), np.uint32)  # 2-bit packed cores

@@ -824,6 +824,7 @@ class DeviceCounter(VectorCounter):
         self._acc_rows = 0  # rows tallied into _acc (int32 overflow guard)
         self._buf: list = []  # [(cores, eligible)] awaiting one dispatch
         self._buf_rows = 0
+        self._worker = None  # dispatch thread (started at first flush)
 
     def _match_fn(self):
         """The jitted matcher, built ONCE per geometry — defining it per
@@ -879,17 +880,20 @@ class DeviceCounter(VectorCounter):
     def _zero_acc(self):
         return self._jnp.zeros((int(self._bc_oh.shape[1]),), self._jnp.int32)
 
-    def _device_match_async(self, core_codes: np.ndarray, eligible: np.ndarray):
+    def _device_match_async(
+        self, core_codes: np.ndarray, eligible: np.ndarray, pad_min: int = 0
+    ):
         """Dispatch one batch's matching; returns (n, matched-bits future)
         and threads the donated device count accumulator, so batches
-        pipeline (all fetches happen at drain time)."""
+        pipeline (all fetches happen at drain time). pad_min lifts the
+        pad bucket (the sharded engine's lockstep geometry floor)."""
         jnp = self._jnp
         n = core_codes.shape[0]
         S = self._READ_SLICE
         # geometric row buckets (S, 2S, 4S, ...): a tail batch reuses the
         # full batch's executable instead of compiling its own shape
         n_pad = S
-        while n_pad < n:
+        while n_pad < max(n, pad_min):
             n_pad *= 2
         packed, has_n = _pack_cores_u32(core_codes)
         codes_p = np.zeros((n_pad, 2), np.uint32)
@@ -930,7 +934,17 @@ class DeviceCounter(VectorCounter):
         if self._buf_rows >= self._DISPATCH_ROWS:
             self._flush_buf()
 
-    def _flush_buf(self) -> None:
+    def _flush_buf(self, pad_min: int = 0) -> None:
+        """Hand the buffered rows to the dispatch worker thread.
+
+        Dispatch runs OFF the reader thread because on a tunneled link the
+        h2d upload + dispatch RPC block for ~100 ms per batch while holding
+        no Python state — the HTTP I/O releases the GIL, so a worker thread
+        overlaps it (and the device compute behind it) with reading and
+        windowing the next batches. Measured r5: the device engine was an
+        exactly-serial host-share + link-share sum without this. Order is
+        preserved (one FIFO queue, one worker), which is also what keeps
+        multi-host collective dispatch in lockstep."""
         if not self._buf:
             return
         if len(self._buf) == 1:
@@ -940,17 +954,65 @@ class DeviceCounter(VectorCounter):
             eligible = np.concatenate([e for _, e in self._buf])
         self._buf = []
         self._buf_rows = 0
-        codes = _CODE_LUT[cores]
-        fut = self._device_match_async(codes, eligible)
-        self._pending.append((fut, cores, eligible))
-        # bounded pipelining: each entry retains its batch's cores byte
-        # matrix on the host, so an unbounded queue grows O(total reads);
-        # retiring the oldest keeps RAM flat (~8 x 7 MB at the default
-        # batch rows) while successive dispatches still overlap
-        while len(self._pending) > self._MAX_PENDING:
-            self._drain_entry(self._pending.pop(0))
+        self._ensure_worker()
+        self._submitted += 1
+        self._work_q.put((cores, eligible, pad_min))
 
     _MAX_PENDING = 8
+
+    def _ensure_worker(self) -> None:
+        if self._worker is not None:
+            return
+        import queue
+        import threading
+
+        self._work_q = queue.Queue(maxsize=2)  # backpressure: bounds RAM
+        self._done_cv = threading.Condition()
+        self._submitted = 0
+        self._processed = 0
+        self._worker_err = None
+
+        def loop():
+            while True:
+                item = self._work_q.get()
+                if item is None:
+                    return
+                try:
+                    if self._worker_err is None:
+                        cores, eligible, pad_min = item
+                        codes = _CODE_LUT[cores]
+                        fut = self._device_match_async(codes, eligible, pad_min)
+                        self._pending.append((fut, cores, eligible))
+                        # bounded pipelining: each entry retains its
+                        # batch's cores byte matrix on the host; retiring
+                        # the oldest keeps RAM flat while dispatches
+                        # still overlap
+                        while len(self._pending) > self._MAX_PENDING:
+                            self._drain_entry(self._pending.pop(0))
+                except BaseException as e:  # surfaced at the next drain
+                    self._worker_err = e
+                finally:
+                    with self._done_cv:
+                        self._processed += 1
+                        self._done_cv.notify_all()
+
+        self._worker = threading.Thread(
+            target=loop, name="count-dispatch", daemon=True
+        )
+        self._worker.start()
+
+    def _quiesce(self) -> None:
+        """Wait until the dispatch worker has consumed every submitted
+        batch; re-raise any error it hit. After this the instance state
+        (_pending, _acc, undoc) is main-thread-safe again."""
+        if self._worker is None:
+            return
+        with self._done_cv:
+            while self._processed < self._submitted:
+                self._done_cv.wait()
+        if self._worker_err is not None:
+            err, self._worker_err = self._worker_err, None
+            raise err
 
     def _drain_entry(self, entry) -> None:
         (n, mb_f), cores, eligible = entry
@@ -964,6 +1026,7 @@ class DeviceCounter(VectorCounter):
 
     def drain(self) -> None:
         self._flush_buf()
+        self._quiesce()
         for entry in self._pending:
             self._drain_entry(entry)
         self._pending = []
@@ -976,6 +1039,7 @@ class DeviceCounter(VectorCounter):
         return super().results()
 
     def reset(self) -> None:
+        self._quiesce()
         super().reset()
         self._acc = None
         self._acc_rows = 0
