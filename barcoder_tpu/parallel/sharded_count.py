@@ -158,9 +158,13 @@ class ShardedCounter(DeviceCounter):
                 (np.zeros((0, self.bc_len), np.uint8), np.zeros(0, bool))
             )
         # pad floor rides WITH the batch through the dispatch queue — an
-        # instance attribute would race the worker thread
-        self._flush_buf(pad_min=int(self._owned_rows.max()))
-        self._owned_rows[:] = 0
+        # instance attribute would race the worker thread. _owned_rows
+        # resets even on a failed flush: stale counts would poison the
+        # NEXT flush's pad bucket and desync cross-host geometry
+        try:
+            self._flush_buf(pad_min=int(self._owned_rows.max()))
+        finally:
+            self._owned_rows[:] = 0
 
     def drain(self) -> None:
         if self._owned_mode:

@@ -825,6 +825,7 @@ class DeviceCounter(VectorCounter):
         self._buf: list = []  # [(cores, eligible)] awaiting one dispatch
         self._buf_rows = 0
         self._worker = None  # dispatch thread (started at first flush)
+        self._worker_err = None
 
     def _match_fn(self):
         """The jitted matcher, built ONCE per geometry — defining it per
@@ -955,7 +956,12 @@ class DeviceCounter(VectorCounter):
         self._buf = []
         self._buf_rows = 0
         self._ensure_worker()
-        self._submitted += 1
+        if self._worker_err is not None:
+            # surface a dispatch failure into the reader loop NOW instead
+            # of silently discarding every later batch until end-of-stream
+            err, self._worker_err = self._worker_err, None
+            self._shutdown_worker()
+            raise err
         self._work_q.put((cores, eligible, pad_min))
 
     _MAX_PENDING = 8
@@ -967,17 +973,14 @@ class DeviceCounter(VectorCounter):
         import threading
 
         self._work_q = queue.Queue(maxsize=2)  # backpressure: bounds RAM
-        self._done_cv = threading.Condition()
-        self._submitted = 0
-        self._processed = 0
         self._worker_err = None
 
         def loop():
             while True:
                 item = self._work_q.get()
-                if item is None:
-                    return
                 try:
+                    if item is None:
+                        return
                     if self._worker_err is None:
                         cores, eligible, pad_min = item
                         codes = _CODE_LUT[cores]
@@ -989,27 +992,37 @@ class DeviceCounter(VectorCounter):
                         # still overlap
                         while len(self._pending) > self._MAX_PENDING:
                             self._drain_entry(self._pending.pop(0))
-                except BaseException as e:  # surfaced at the next drain
+                except BaseException as e:  # surfaced at flush or drain
                     self._worker_err = e
                 finally:
-                    with self._done_cv:
-                        self._processed += 1
-                        self._done_cv.notify_all()
+                    # Queue.join()/task_done(): the unfinished-task count
+                    # is maintained atomically by put(), so an interrupted
+                    # put can never desync the quiesce accounting (the
+                    # hand-rolled submitted/processed counters could)
+                    self._work_q.task_done()
 
         self._worker = threading.Thread(
             target=loop, name="count-dispatch", daemon=True
         )
         self._worker.start()
 
-    def _quiesce(self) -> None:
-        """Wait until the dispatch worker has consumed every submitted
-        batch; re-raise any error it hit. After this the instance state
-        (_pending, _acc, undoc) is main-thread-safe again."""
+    def _shutdown_worker(self) -> None:
         if self._worker is None:
             return
-        with self._done_cv:
-            while self._processed < self._submitted:
-                self._done_cv.wait()
+        self._work_q.put(None)
+        self._worker.join()
+        self._worker = None
+
+    def _quiesce(self) -> None:
+        """Wait until the dispatch worker has consumed every submitted
+        batch, then STOP it (restarted lazily at the next flush — a
+        long-lived worker would pin the counter and its device arrays in
+        its closure forever); re-raise any error it hit. After this the
+        instance state (_pending, _acc, undoc) is main-thread-safe."""
+        if self._worker is None:
+            return
+        self._work_q.join()
+        self._shutdown_worker()
         if self._worker_err is not None:
             err, self._worker_err = self._worker_err, None
             raise err

@@ -372,6 +372,47 @@ class TestDeviceEngine:
         assert sum(undoc.values()) > 0
         assert all(k.endswith("*") for k in undoc)
 
+    def test_dispatch_worker_error_surfaces(self, tmp_path, monkeypatch):
+        """A dispatch failure on the worker thread must raise on the
+        caller thread (at the next flush or drain), never hang, and the
+        counter must not silently discard the rest of the stream."""
+        from barcoder_tpu.pipeline.heuristic_count import DeviceCounter
+
+        boom = RuntimeError("injected dispatch failure")
+
+        def bad_dispatch(self, *a, **k):
+            raise boom
+
+        monkeypatch.setattr(DeviceCounter, "_device_match_async", bad_dispatch)
+        monkeypatch.setattr(DeviceCounter, "_DISPATCH_ROWS", 256)
+        from .test_heuristic_count import make_barcodes  # self-import ok
+
+        barcodes = make_barcodes(n=12, seed=7)
+        reads1, _, _ = make_reads(barcodes, n_reads=2000, seed=7)
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads1)
+        from barcoder_tpu.pipeline.heuristic_count import run_count
+
+        with pytest.raises(RuntimeError, match="injected dispatch"):
+            run_count(set(barcodes), str(f1), engine="device", chunk_size=256)
+
+    def test_dispatch_worker_stops_after_drain(self, tmp_path):
+        """The worker thread must not outlive a drain (a long-lived loop
+        closure would pin the counter + its device arrays forever)."""
+        import threading
+
+        from barcoder_tpu.pipeline.heuristic_count import run_count
+
+        barcodes = make_barcodes(n=12, seed=8)
+        reads1, _, truth = make_reads(barcodes, n_reads=1500, seed=8)
+        f1 = tmp_path / "r1.fastq"
+        write_reads(f1, reads1)
+        doc, _, _, _ = run_count(set(barcodes), str(f1), engine="device")
+        assert doc == truth
+        assert not [
+            t for t in threading.enumerate() if t.name == "count-dispatch"
+        ]
+
     def test_acc_spill_mid_stream(self, tmp_path, monkeypatch):
         """The int32 accumulator overflow guard (spill to the int64 host
         array every _ACC_SPILL_ROWS tallied rows): lower the threshold so
