@@ -176,6 +176,30 @@ def measure_scaling(
     return out
 
 
+def _make_count_workload(d: str, n_reads: int = 200_000, n_barcodes: int = 2_000):
+    """Deterministic counting inputs for the multi-host harness: a FASTQ
+    of flank-anchored barcode reads + the barcode FASTA, written under d."""
+    import os
+
+    from ..core.encode import decode
+
+    rng = np.random.default_rng(1)
+    barcodes = sorted(
+        {decode(rng.integers(0, 4, 20).astype(np.int8)) for _ in range(n_barcodes)}
+    )
+    pre, l_fl, r_fl, tail = "ACGTG", "GGTAGCT", "CTTAAGC", "TCCATGGA"
+    fq = os.path.join(d, "count.fastq")
+    with open(fq, "w") as fh:
+        for i in rng.integers(0, len(barcodes), size=n_reads):
+            r = pre + l_fl + barcodes[i] + r_fl + tail
+            fh.write(f"@r\n{r}\n+\n{'I' * len(r)}\n")
+    bc = os.path.join(d, "barcodes.fasta")
+    with open(bc, "w") as fh:
+        for i, b in enumerate(barcodes):
+            fh.write(f">b{i}\n{b}\n")
+    return fq, bc, n_reads
+
+
 def measure_multihost(
     n_bp: int,
     n_spacers: int,
@@ -184,6 +208,7 @@ def measure_multihost(
     P: int = 2048,
     repeats: int = 3,
     force_cpu: bool = True,
+    workload: str = "scan",
 ) -> dict:
     """Multi-HOST mechanics/efficiency harness (the DCN half of SURVEY §7
     step 6): spawns ``n_processes`` real worker processes joined by
@@ -216,6 +241,11 @@ def measure_multihost(
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
     d = tempfile.mkdtemp(prefix="scaling_mh_")
+    count_args: list[str] = []
+    n_reads = None
+    if workload == "count":
+        fq, bc, n_reads = _make_count_workload(d)
+        count_args = ["--workload", "count", "--fastq", fq, "--barcodes", bc]
     procs, outs = [], []
     for pid in range(n_processes):
         out = os.path.join(d, f"p{pid}.json")
@@ -225,7 +255,7 @@ def measure_multihost(
             "--mh-worker", str(pid), str(n_processes), str(port), out,
             str(n_bp), str(n_spacers), "--P", str(P),
             "--repeats", str(repeats),
-        ] + (["--cpu"] if force_cpu else [])
+        ] + count_args + (["--cpu"] if force_cpu else [])
         # capture worker output: Gloo rank banners must not pollute the
         # harness's own JSON stdout
         procs.append(subprocess.Popen(
@@ -243,8 +273,29 @@ def measure_multihost(
             q.kill()
         raise
     results = [_json.load(open(o)) for o in outs]
+    note = (
+        "all processes share one socket — wall times validate DCN "
+        "mechanics only" if force_cpu else "real multi-host mesh"
+    )
+    if workload == "count":
+        owned = [r["owned_reads"] for r in results]
+        return {
+            "workload": "count",
+            "processes": n_processes,
+            "devices_per_process": devices_per_process,
+            "global_devices": results[0]["global_devices"],
+            "reads": n_reads,
+            "per_process_seconds": [r["seconds"] for r in results],
+            "counts_identical": len({r["counts_digest"] for r in results}) == 1,
+            # chunk-ownership proof: disjoint per-host parse shares
+            # covering the stream exactly once
+            "owned_reads": owned,
+            "owned_covers_stream": sum(owned) == n_reads,
+            "note": note,
+        }
     hit_sets = {r["hits_digest"] for r in results}
     return {
+        "workload": "scan",
         "processes": n_processes,
         "devices_per_process": devices_per_process,
         "global_devices": results[0]["global_devices"],
@@ -253,14 +304,12 @@ def measure_multihost(
         "per_process_seconds": [r["seconds"] for r in results],
         "hits": results[0]["hits"],
         "hit_sets_identical": len(hit_sets) == 1,
-        "note": (
-            "all processes share one socket — wall times validate DCN "
-            "mechanics only" if force_cpu else "real multi-host mesh"
-        ),
+        "note": note,
     }
 
 
-def _mh_worker(pid, nproc, port, out_path, n_bp, n_spacers, P, repeats) -> int:
+def _mh_worker(pid, nproc, port, out_path, n_bp, n_spacers, P, repeats,
+               workload="scan", fastq=None, barcodes=None) -> int:
     """One scaling worker: join the cluster, scan over the global mesh."""
     import hashlib
     import json as _json
@@ -270,6 +319,32 @@ def _mh_worker(pid, nproc, port, out_path, n_bp, n_spacers, P, repeats) -> int:
     # join the cluster BEFORE anything touches the XLA backend — importing
     # ops.pallas_scan initializes it via the compilation-cache probe
     multihost.initialize(f"localhost:{port}", nproc, pid)
+    if workload == "count":
+        # the chunk-ownership counting driver over the shared FASTQ: each
+        # run re-samples + re-counts (the production cold path); the
+        # owned_reads share proves the parse division
+        from ..pipeline.heuristic_count import run_count
+        from ..seqio.fasta import read_barcode_fasta
+
+        bset = read_barcode_fasta(barcodes)
+
+        def one():
+            return run_count(bset, fastq, engine="sharded", chunk_size=2**14)
+
+        dt, (doc, undoc, total, info) = _best_of(one, repeats)
+        digest = hashlib.blake2b(
+            repr((sorted(doc.items()), sorted(undoc.items()), total)).encode(),
+            digest_size=12,
+        ).hexdigest()
+        with open(out_path, "w") as fh:
+            _json.dump({
+                "process": pid,
+                "global_devices": jax.device_count(),
+                "seconds": dt,
+                "counts_digest": digest,
+                "owned_reads": info["owned_reads"],
+            }, fh)
+        return 0
     from .mesh import make_mesh
     from .sharded_scan import sharded_scan
     contig, spacers = _make_workload(n_bp, n_spacers, 20)
@@ -311,6 +386,20 @@ def main(argv=None) -> int:
         i = args.index("--repeats")
         repeats = int(args[i + 1])
         del args[i : i + 2]
+    workload = "scan"
+    fastq = barcodes_path = None
+    if "--workload" in args:
+        i = args.index("--workload")
+        workload = args[i + 1]
+        del args[i : i + 2]
+    if "--fastq" in args:
+        i = args.index("--fastq")
+        fastq = args[i + 1]
+        del args[i : i + 2]
+    if "--barcodes" in args:
+        i = args.index("--barcodes")
+        barcodes_path = args[i + 1]
+        del args[i : i + 2]
     if "--mh-worker" in args:
         i = args.index("--mh-worker")
         pid, nproc, port, out_path = args[i + 1 : i + 5]
@@ -323,7 +412,9 @@ def main(argv=None) -> int:
         n_bp_w = int(args[0]) if args else 1 << 21
         n_sp_w = int(args[1]) if len(args) > 1 else 1024
         return _mh_worker(int(pid), int(nproc), port, out_path,
-                          n_bp_w, n_sp_w, p_w, repeats)
+                          n_bp_w, n_sp_w, p_w, repeats,
+                          workload=workload, fastq=fastq,
+                          barcodes=barcodes_path)
     if "--processes" in args:
         i = args.index("--processes")
         nproc = int(args[i + 1])
@@ -350,7 +441,7 @@ def main(argv=None) -> int:
         n_sp_m = int(args[1]) if len(args) > 1 else 1024
         print(json.dumps(measure_multihost(
             n_bp_m, n_sp_m, nproc, devices_per_process=dpp, P=p_m,
-            repeats=repeats, force_cpu=force_cpu,
+            repeats=repeats, force_cpu=force_cpu, workload=workload,
         ), indent=2))
         return 0
     if "--engine" in args:

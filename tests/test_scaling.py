@@ -36,3 +36,19 @@ def test_measure_multihost_mechanics():
     assert r["global_devices"] == 4
     assert r["hit_sets_identical"] is True
     assert len(r["per_process_seconds"]) == 2
+
+
+@pytest.mark.slow
+def test_measure_multihost_count_workload():
+    """The counting twin of the scaling harness: 2 real processes run the
+    chunk-ownership run_count over a shared FASTQ — identical collated
+    counts on every host, disjoint parse shares covering the stream."""
+    from barcoder_tpu.parallel.scaling import measure_multihost
+
+    r = measure_multihost(
+        n_bp=0, n_spacers=0, n_processes=2, devices_per_process=2,
+        P=256, repeats=1, workload="count",
+    )
+    assert r["counts_identical"] is True
+    assert r["owned_covers_stream"] is True
+    assert all(o > 0 for o in r["owned_reads"])
