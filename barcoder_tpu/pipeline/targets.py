@@ -168,7 +168,7 @@ def build_rows(
                 "\x00".join(
                     map(str, (e.locus_tag, e.gene, e.start, e.end, e.strand))
                 )
-                for e in (contig.locus_entries if gene_window == "body" else index.entries)
+                for e in index.entries  # the list entry_idx indexes
             ],
             dtype=object,
         )
@@ -199,7 +199,7 @@ def build_rows(
         )
         base_cols["insDirection"] = sp_dirs.astype(object)
 
-    entries = contig.locus_entries if gene_window == "body" else index.entries
+    entries = index.entries  # same list entry_idx was built over
     annotated_mask = np.zeros(H, dtype=bool)
     annotated_mask[hit_idx] = True
     un_idx = np.nonzero(~annotated_mask)[0]
@@ -246,9 +246,17 @@ def build_rows(
 def filter_offtargets_by_pam(df: pd.DataFrame) -> pd.DataFrame:
     """Drop non-targeting rows of spacers that have targets
     (reference: targets.py:542-544). Runs on factorized codes — the
-    string-column unique+isin pair measured ~10 s at design scale."""
+    string-column unique+isin pair measured ~10 s at design scale.
+
+    NaN-spacer rows are always kept; the reference's ``isin(targeting)``
+    would also drop a NaN-spacer/NaN-target row when some other NaN-spacer
+    row has a target (NaN matches NaN in isin) — a pandas quirk no real
+    library can produce (spacers come from sequences), deliberately not
+    reproduced."""
+    if len(df) == 0:
+        return df
     codes, _ = pd.factorize(df["spacer"], use_na_sentinel=True)
-    has_target = np.zeros(codes.max() + 2, dtype=bool)
+    has_target = np.zeros(max(int(codes.max()), 0) + 2, dtype=bool)
     t_codes = codes[df["target"].notna().to_numpy()]
     has_target[t_codes[t_codes >= 0]] = True
     drop = df["target"].isna().to_numpy() & (codes >= 0) & has_target[np.clip(codes, 0, None)]
@@ -329,8 +337,6 @@ def _cap_sites(contig_hits: list[tuple], max_sites: int) -> list[tuple]:
     reporting limit, reference targets.py:502). Keeps each spacer's best
     ``max_sites`` sites ranked by (mismatches, contig order, pos, strand)
     and returns the filtered per-contig hit lists."""
-    from ..ops.types import Hits
-
     total = sum(len(h) for _, h in contig_hits)
     if total == 0:
         return contig_hits
@@ -476,7 +482,12 @@ def run_targets(
         frames.append(pd.DataFrame(unmapped))
     columns = ROW_COLUMNS if insert_site else ROW_COLUMNS[:-2]
     body = (
-        pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        pd.concat(frames, ignore_index=True)
+        if frames
+        # zero-entry library (API path; the CLI loader already rejects
+        # empty files): an empty frame WITH the schema so the name
+        # assignment/merge below and postprocess see their columns
+        else pd.DataFrame(columns=columns)
     )
     if identity_names:
         # identity naming (the design workload names candidates by their

@@ -361,3 +361,26 @@ def test_duplicate_contig_ids_scan_positionally():
         t = run_targets(lib, genome, "NGG", 0, backend=backend).table
         for g in guides:
             assert (t["spacer"] == g).any(), (backend, g)
+
+
+def test_empty_library_returns_empty_schema():
+    """A zero-entry library (API path; the CLI loader rejects empty files
+    earlier) must yield an empty schema'd table, not a KeyError (r5)."""
+    from barcoder_tpu.core.genome import Genome, contig_from_record
+    from barcoder_tpu.pipeline.targets import (
+        filter_offtargets_by_pam,
+        run_targets,
+    )
+    from barcoder_tpu.seqio.library import BarcodeLibrary
+
+    from .genomes import make_record
+
+    genome = Genome(contigs=[contig_from_record(make_record(n=3000, seed=1, n_genes=2))])
+    tr = run_targets(BarcodeLibrary.from_list([]), genome, "NGG", 1)
+    assert len(tr.table) == 0
+    assert "spacer" in tr.table.columns
+    # the standalone filter must also tolerate an empty frame
+    import pandas as pd
+
+    empty = pd.DataFrame(columns=["spacer", "target"])
+    assert len(filter_offtargets_by_pam(empty)) == 0
