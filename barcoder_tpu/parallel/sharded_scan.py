@@ -284,6 +284,36 @@ def _sharded_engine(
     return jax.jit(fn)
 
 
+def _grow_caps(worsts, caps):
+    """One step of the capacity-overflow protocol shared by the dense and
+    site engines: compare the packed-header maxima (pairs, hits, rows,
+    row-hits) against the current (pair_cap, hit_cap, cap_rows, k_top),
+    return (ok, new_caps) — ok=True when everything fits (the row check
+    clamps to min(cap_rows, pair_cap * BS_M), the device-side row bound);
+    otherwise each overflowed capacity is sized from the exact reported
+    count (next power of two of max(worst, 2*cap)): one retry, not a
+    doubling walk. Keeping this in ONE place is load-bearing — the two
+    engines' retry protocols must never diverge."""
+    worst_pairs, worst_hits, worst_rows, worst_rh, bs_m = worsts
+    pair_cap, hit_cap, cap_rows, k_top = caps
+    ok = (
+        worst_pairs <= pair_cap
+        and worst_hits <= hit_cap
+        and worst_rows <= min(cap_rows, pair_cap * bs_m)
+        and worst_rh <= k_top
+    )
+    if not ok:
+        if worst_pairs > pair_cap:
+            pair_cap = 1 << (max(worst_pairs, 2 * pair_cap) - 1).bit_length()
+        if worst_hits > hit_cap:
+            hit_cap = 1 << (max(worst_hits, 2 * hit_cap) - 1).bit_length()
+        if worst_rows > cap_rows:
+            cap_rows = 1 << (max(worst_rows, 2 * cap_rows) - 1).bit_length()
+        if worst_rh > k_top:
+            k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
+    return ok, (pair_cap, hit_cap, cap_rows, k_top)
+
+
 def _entry_bytes(v) -> int:
     """Best-effort device/host byte estimate of one cache entry (jax or
     numpy arrays, possibly nested in tuples)."""
@@ -722,34 +752,15 @@ class _SiteScanRun:
                 fetch_s=_t3 - _ta, attempts=self._attempts,
                 payload_ints=int(packed.size),
             )
-            worst_pairs = int(packed[..., 0].max())
-            worst_hits = int(packed[..., 1].max())
-            worst_rows = int(packed[..., 3].max())
-            worst_rh = int(packed[..., 4].max())
-            if (
-                worst_pairs <= self.pair_cap
-                and worst_hits <= self.hit_cap
-                and worst_rows
-                <= min(self.cap_rows, self.pair_cap * self.BS_M)
-                and worst_rh <= self.k_top
-            ):
+            ok, caps = _grow_caps(
+                (int(packed[..., 0].max()), int(packed[..., 1].max()),
+                 int(packed[..., 3].max()), int(packed[..., 4].max()),
+                 self.BS_M),
+                (self.pair_cap, self.hit_cap, self.cap_rows, self.k_top),
+            )
+            self.pair_cap, self.hit_cap, self.cap_rows, self.k_top = caps
+            if ok:
                 break
-            if worst_pairs > self.pair_cap:
-                self.pair_cap = 1 << (
-                    max(worst_pairs, 2 * self.pair_cap) - 1
-                ).bit_length()
-            if worst_hits > self.hit_cap:
-                self.hit_cap = 1 << (
-                    max(worst_hits, 2 * self.hit_cap) - 1
-                ).bit_length()
-            if worst_rows > self.cap_rows:
-                self.cap_rows = 1 << (
-                    max(worst_rows, 2 * self.cap_rows) - 1
-                ).bit_length()
-            if worst_rh > self.k_top:
-                self.k_top = 1 << (
-                    max(worst_rh, 2 * self.k_top) - 1
-                ).bit_length()
             self.fut = self._dispatch()
         _caps_store(
             self.caps_key, self.pair_cap, self.hit_cap, self.cap_rows,
@@ -835,6 +846,14 @@ def sharded_scan(
     if use_pallas is None:
         use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
+    if q_f.shape[0] and q_f.shape[1] > (1 << _MM_BITS) - 1:
+        # the packed hit word carries mismatch counts in _MM_BITS bits
+        # (mm <= L must fit); beyond it the meta field would silently
+        # corrupt spacer indices
+        raise ValueError(
+            f"sharded engine supports spacers up to {(1 << _MM_BITS) - 1} nt "
+            f"(got {q_f.shape[1]})"
+        )
     if q_f.shape[0] and bool(pam) and site_mode != "never":
         # PAM scans run site-compacted (~N/4^|informative-bases| of the
         # dense columns, forward rows only, no halo ring) — the same engine
@@ -964,28 +983,18 @@ def sharded_scan(
             )
             outs = [eng(codes_dev, ok_d, q_d, thresh_v) for q_d, ok_d in put]
             packed = [np.asarray(o) for o in outs]  # ONE fetch per job
-            worst_pairs = max(int(p[..., 0].max()) for p in packed)
-            worst_hits = max(int(p[..., 1].max()) for p in packed)
-            worst_rows = max(int(p[..., 3].max()) for p in packed)
-            worst_rh = max(int(p[..., 4].max()) for p in packed)
-            if (
-                worst_pairs <= pair_cap
-                and worst_hits <= hit_cap
-                and worst_rows <= min(cap_rows, pair_cap * BS_M)
-                and worst_rh <= k_top
-            ):
+            ok, caps = _grow_caps(
+                (max(int(p[..., 0].max()) for p in packed),
+                 max(int(p[..., 1].max()) for p in packed),
+                 max(int(p[..., 3].max()) for p in packed),
+                 max(int(p[..., 4].max()) for p in packed),
+                 BS_M),
+                (pair_cap, hit_cap, cap_rows, k_top),
+            )
+            pair_cap, hit_cap, cap_rows, k_top = caps
+            if ok:
                 _caps_store(caps_key, pair_cap, hit_cap, cap_rows, k_top)
                 return packed
-            # size each overflowed capacity from the exact reported counts —
-            # one retry, not a doubling walk
-            if worst_pairs > pair_cap:
-                pair_cap = 1 << (max(worst_pairs, 2 * pair_cap) - 1).bit_length()
-            if worst_hits > hit_cap:
-                hit_cap = 1 << (max(worst_hits, 2 * hit_cap) - 1).bit_length()
-            if worst_rows > cap_rows:
-                cap_rows = 1 << (max(worst_rows, 2 * cap_rows) - 1).bit_length()
-            if worst_rh > k_top:
-                k_top = 1 << (max(worst_rh, 2 * k_top) - 1).bit_length()
 
     def _masks():
         return site_masks(contig, L, pam, pam_direction)

@@ -96,31 +96,70 @@ class MatrixStream:
         returns the record count (None at end of stream). The multi-host
         chunk-ownership reader uses this so a host scans (one memchr-speed
         newline pass) the chunks it does not own instead of paying the
-        full matrix parse for rows it would discard."""
-        chunk_take = self._cut_records(n)
+        full matrix parse for rows it would discard. The count matches
+        what ``next_records`` would have returned for the SAME chunk —
+        the lockstep invariant multi-host scheduling is built on (blank
+        ``.reads`` lines are not records; a truncated final FASTQ record
+        is)."""
+        chunk_take = self._cut_records(n, count_only=True)
         if chunk_take is None:
             return None
         return chunk_take[1]
 
-    def _cut_records(self, n: int):
+    def _line_spans(self, consumed: int, cut: int):
+        """(starts, ends) of the lines inside the next cut: ``consumed``
+        newline-terminated lines plus the unterminated tail line when the
+        cut runs past the last newline."""
+        cnl = self._nl_pos[:consumed]
+        starts = np.concatenate(([0], cnl + 1))
+        ends = np.concatenate((cnl, [cut]))
+        if len(starts) and starts[-1] >= cut:
+            starts, ends = starts[:-1], ends[:-1]
+        return starts, ends
+
+    def _nonblank_lines(self, starts, ends) -> int:
+        """Lines that are records for the ``.reads`` parsers: non-empty
+        after CR-strip (native/sp_parse_reads semantics)."""
+        lens = ends - starts
+        arr = np.frombuffer(self.buf, dtype=np.uint8)  # zero-copy view
+        cr_only = (lens == 1) & (arr[np.clip(starts, 0, len(arr) - 1)] == 13)
+        return int(((lens > 0) & ~cr_only).sum())
+
+    def _cut_records(self, n: int, count_only: bool = False):
         """Consume up to n records; returns (raw chunk bytes, record
-        count, chunk-relative newline offsets) or None at end of stream."""
+        count, chunk-relative newline offsets) or None at end of stream.
+        With count_only=True the chunk/offsets are not materialized
+        (None, count, None) — the skip path's byte copies were a large
+        share of its cost.
+
+        End-of-stream semantics match the parsers and the reference's
+        readline loop: trailing blank lines are not records, and a
+        truncated final FASTQ record (missing +/quality lines) IS one.
+        Blank lines in the MIDDLE of a FASTQ file are out of scope (no
+        FASTQ writer emits them; the 4-line structural model cuts on
+        line counts)."""
         self._fill(n)
         if not self.buf:
             return None
         lpr = self.lines_per_record
         avail = self._avail()
-        n_records = avail // lpr
-        tail_complete = False
-        last_nl_end = (
-            int(self._nl_pos[-1]) + 1 if len(self._nl_pos) else 0
-        )
-        if self.eof and len(self.buf) > last_nl_end:
-            # buffer ends without newline: one extra (partial) line
-            total_lines = avail + 1
-            if total_lines % lpr == 0:
-                n_records = total_lines // lpr
-                tail_complete = True
+        last_nl_end = int(self._nl_pos[-1]) + 1 if avail else 0
+        if self.eof:
+            total_lines = avail + (1 if len(self.buf) > last_nl_end else 0)
+            # trim trailing blank lines (a final "\n" or "\r\n" run)
+            starts, ends = self._line_spans(avail, len(self.buf))
+            arr = np.frombuffer(self.buf, dtype=np.uint8)
+            while total_lines:
+                s, e = int(starts[total_lines - 1]), int(ends[total_lines - 1])
+                if e > s and not (e - s == 1 and arr[s] == 13):
+                    break
+                total_lines -= 1
+            # ceil: a truncated final record still counts (reference
+            # readline semantics, heuristicount.py:100-153; the native
+            # FASTQ parser keeps it too)
+            n_records = -(-total_lines // lpr)
+        else:
+            n_records = avail // lpr
         take = min(n, n_records)
         if take == 0:
             if self.eof:
@@ -128,18 +167,27 @@ class MatrixStream:
                 self._nl_pos = np.zeros(0, np.int64)
                 return None
             return None
-        if take == n_records and tail_complete:
+        if self.eof and take == n_records:
             cut = len(self.buf)
             consumed = avail
         else:
             cut = int(self._nl_pos[take * lpr - 1]) + 1
             consumed = take * lpr
-        cnl = self._nl_pos[:consumed].copy()
-        chunk, self.buf = self.buf[:cut], self.buf[cut:]
+        if self.fmt == "reads":
+            # the parsers drop blank lines: report what they will return
+            count = self._nonblank_lines(*self._line_spans(consumed, cut))
+        else:
+            count = take
+        if count_only:
+            chunk, cnl = None, None
+            self.buf = self.buf[cut:]
+        else:
+            cnl = self._nl_pos[:consumed].copy()
+            chunk, self.buf = self.buf[:cut], self.buf[cut:]
         # rebase the (small) remaining index: int64 offsets are 8x fewer
         # bytes than the buffer rescans this replaces
         self._nl_pos = self._nl_pos[consumed:] - cut
-        return chunk, take, cnl
+        return chunk, count, cnl
 
 
 def iter_owned_matrix_chunks(
@@ -166,8 +214,9 @@ def iter_owned_matrix_chunks(
     pay 1/N of the matrix-parse cost.
     """
     s1 = MatrixStream(file1)
-    s2 = MatrixStream(file2) if file2 else None
+    s2 = None
     try:
+        s2 = MatrixStream(file2) if file2 else None
         chunk_idx = 0
         while True:
             mine = chunk_idx >= start_chunk and chunk_idx % num_owners == owner

@@ -70,6 +70,40 @@ class TestSkipRecords:
         assert s.skip_records(10) is None
         s.close()
 
+    @pytest.mark.parametrize("payload,fmt,expect", [
+        # trailing blank line(s): not records — skip must agree with the
+        # parsers, which drop them (r5 review: the old skip counted them,
+        # desyncing the multi-host lockstep schedule)
+        (b"AAAA\nCCCC\n\n", "reads", 2),
+        (b"AAAA\nCCCC\n\n\n\r\n", "reads", 2),
+        (b"AAAA\n\nCCCC\n", "reads", 2),  # mid-file blank dropped too
+        (b"@r1\nACGT\n+\nIIII\n\n", "fastq", 1),
+        # truncated final FASTQ record (missing +/quality): still a read,
+        # like the reference's readline loop and the native parser
+        (b"@r1\nACGT\n+\nIIII\n@r2\nTTTT\n", "fastq", 2),
+        (b"@r1\nACGT\n+\nIIII\n@r2\nTTTT", "fastq", 2),
+    ])
+    def test_eof_edge_counts_agree(self, tmp_path, payload, fmt, expect):
+        """skip_records and next_records must report identical counts on
+        EOF edge shapes (blank tails, truncated records) — the lockstep
+        invariant — and match the expected parser semantics."""
+        p = tmp_path / ("t." + fmt)
+        p.write_bytes(payload)
+        s_skip, s_parse = MatrixStream(str(p)), MatrixStream(str(p))
+        n_skip = n_parse = 0
+        while True:
+            k = s_skip.skip_records(100)
+            if k is None:
+                break
+            n_skip += k
+        while True:
+            r = s_parse.next_records(100)
+            if r is None:
+                break
+            n_parse += len(r[1])
+        s_skip.close(), s_parse.close()
+        assert n_skip == n_parse == expect, (payload, n_skip, n_parse)
+
 
 class TestOwnedIterator:
     def test_disjoint_and_complete(self, fq):

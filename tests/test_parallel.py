@@ -266,3 +266,15 @@ class TestShardedScanMany:
         assert st3["hits"] > 0
         for h, ref in zip(pass3, pass1[-2:]):
             assert tuples(h) == tuples(ref)
+
+
+def test_sharded_rejects_oversized_spacers(mesh8):
+    """The packed hit word carries mismatches in 6 bits (mm <= L <= 63);
+    longer spacers must be rejected loudly, not silently corrupt
+    spacer indices (r5 review)."""
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan
+
+    rec = make_record(n=2000, seed=2)
+    with pytest.raises(ValueError, match="up to 63"):
+        sharded_scan(["A" * 64], contig_from_record(rec), 0, pam="",
+                     mesh=mesh8, P=256)
