@@ -320,6 +320,24 @@ def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, 
     return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_starts", "halo", "L", "P", "circular")
+)
+def _tiles_and_mask(scan_dev, n_real, shift, pat, *, n_starts, halo, L, P,
+                    circular):
+    """Phase-2 genome inputs built ONCE per (contig, strand): the subtile
+    matrix and the PAM mask tiles. The batched fallback used to rebuild
+    both inside EVERY extract_full dispatch — identical work per batch,
+    ~4 bytes/bp of transient HBM traffic each time (r5 review)."""
+    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
+    ok = _pam_ok_device(
+        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L,
+        circular=circular,
+    )
+    n_tiles = _cdiv(n_starts, P)
+    return tiles, ok.astype(jnp.int32).reshape(n_tiles, 1, P)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap", "cap_rows", "k"))
 def _extract_chunk(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap, cap_rows=0, k=4):
     return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
@@ -439,12 +457,19 @@ EXTRACT_BATCH = 4096  # pairs per phase-2 dispatch: dispatch latency is the
 # own site -> pairs ~ S) drop from hundreds of dispatches to a handful
 
 
-def _batch_buckets(n: int) -> int:
-    """Pad pair batches to a few fixed sizes so compiles are reused."""
+def _batch_buckets(n: int, cap: int = EXTRACT_BATCH) -> int:
+    """Pad pair batches to a few fixed sizes so compiles are reused.
+
+    ``cap`` bounds the bucket at the caller's batch size: _QPrep shrinks
+    extract_batch below EXTRACT_BATCH when P2 > 512 specifically to bound
+    the phase-2 score tensor, and re-inflating a full chunk back to 4096
+    pairs would double that HBM budget (r5 review)."""
     for b in (32, 256, 1024, EXTRACT_BATCH):
+        if b >= cap:
+            break
         if n <= b:
             return b
-    return EXTRACT_BATCH
+    return cap
 
 
 def _geom_bucket(n: int, quantum: int) -> int:
@@ -519,8 +544,15 @@ def extract_hits_grouped(
 ) -> list[Hits]:
     """Dense-hit phase-2 driver: pairs grouped by tile so G is built once
     per tile; pair lists chunked to a fixed ``group_width`` for a single
-    compiled shape. Used when the nonzero pairs are dense (e.g. the design
-    workload, where every candidate guide hits its own site)."""
+    compiled shape.
+
+    SMALL-SHAPE TEST DRIVER ONLY (kept for the phase-2 agreement tests):
+    its inner _extract_tile runs a sized ``jnp.nonzero`` over the dense
+    per-chunk hit tensor, which XLA lowers as a SORT — at production
+    shapes (group_width 512, P 16384) that is a ~1e9-element device sort
+    per tile group (CLAUDE.md nonzero rule). The production paths are
+    _ScanJob/_SiteScanJob.collect, which compact hierarchically
+    (_compact_hits)."""
     out: list[Hits] = []
     order = np.argsort(t_idx, kind="stable")
     t_sorted = t_idx[order]
@@ -608,7 +640,7 @@ def extract_hits_for_pairs(
         cap = 1 << 16
         args = (
             q_blocks_all, tiles, mask_tiles,
-            jnp.asarray(tc_p * 0 + sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
+            jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
         )
         kw = dict(L=L, K=K, P=P, thresh=thresh)
         fut = _extract_chunk(*args, cap=cap, **kw)
@@ -803,9 +835,14 @@ def _build_scan_device(packed, exc_idx, n_real, *, total, pad_code, halo_len,
     codes4 = _unpack_2bit_planes(packed, total)
     pos = jnp.arange(total, dtype=jnp.int32)
     out = jnp.where(pos < n_real, codes4, jnp.int8(pad_code))
+    # commutative N-restoration scatter: -1 fill slots clip to index 0,
+    # and a duplicate .set() there races (XLA's duplicate-update order is
+    # unspecified) — a fill slot's stale pre-scatter value could clobber a
+    # REAL N at position 0 (r5 review, reproduced). max() is order-free:
+    # fills contribute 0 (<= any code), real exceptions contribute 4
+    # (> codes 0-3).
     safe = jnp.clip(exc_idx, 0, total - 1)
-    cur = out[safe]
-    out = out.at[safe].set(jnp.where(exc_idx >= 0, jnp.int8(4), cur))
+    out = out.at[safe].max(jnp.where(exc_idx >= 0, jnp.int8(4), jnp.int8(0)))
     if circular:
         head = jax.lax.dynamic_slice(out, (0,), (halo_len,))
         out = jax.lax.dynamic_update_slice(out, head, (n_real,))
@@ -997,7 +1034,7 @@ def extract_spec(q_blocks_all, scan_dev, n_real, shift_f, pat_f, shift_r, pat_r,
     fetch. On a tunneled dev link each fetch/sync is a ~26 ms round trip
     and the old flow needed four of them (pairs, n_pairs, idx/mm, n_hits) —
     this collapses the post-kernel critical path to one transfer. The host
-    discards the result and falls back to the batched extract_full path
+    discards the result and falls back to the batched _extract_chunk path
     when n_pairs > B or n_hits_signal > cap (dense-hit scans, e.g. design).
 
     idx entries are flat over (B*bs, P2) row space exactly as
@@ -1060,27 +1097,6 @@ def _tiles_device_impl(scan_dev: jnp.ndarray, *, n_starts: int, P: int, halo: in
     return jnp.concatenate([body, shifted[:, :halo]], axis=1)[:, None, :]
 
 
-_tiles_on_device = jax.jit(
-    _tiles_device_impl, static_argnames=("n_starts", "P", "halo")
-)
-
-
-def _mask_bias_device_impl(mask_dev: jnp.ndarray, *, n_starts: int, P: int):
-    """(mask_tiles int32 (n_tiles,1,P), bias_tiles f32 (n_tiles,1,P)) from a
-    1-D int8 site mask."""
-    n_tiles = _cdiv(n_starts, P)
-    padded = jnp.zeros(n_tiles * P, dtype=jnp.int32)
-    padded = padded.at[:n_starts].set(mask_dev[:n_starts].astype(jnp.int32))
-    tiles = padded.reshape(n_tiles, 1, P)
-    bias = jnp.where(tiles > 0, 0.0, MASK_BIAS).astype(jnp.float32)
-    return tiles, bias
-
-
-_mask_bias_on_device = jax.jit(
-    _mask_bias_device_impl, static_argnames=("n_starts", "P")
-)
-
-
 def prep_scan_padded(
     contig: Contig, scan: np.ndarray, L: int, n_starts_b: int, halo_total: int
 ) -> np.ndarray:
@@ -1121,11 +1137,6 @@ def _prep_mask(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
     return out
 
 
-def _prep_bias(mask: np.ndarray, n_starts: int, P: int) -> np.ndarray:
-    """f32 additive site-mask bias tiles for the phase-1 kernel."""
-    return np.where(_prep_mask(mask, n_starts, P) > 0, 0.0, MASK_BIAS).astype(np.float32)
-
-
 class _QPrep:
     """Per-(spacers, PAM, v) device state shared across contig scan jobs:
     spacer one-hot matrices, PAM specs, threshold, and geometry. Building
@@ -1144,6 +1155,14 @@ class _QPrep:
         sub_width = min(sub_width, P)
         self.SUB = max(P // sub_width, 1)
         self.P2 = P // self.SUB  # phase-2 tile width (= subtile width)
+        if self.SUB * self.P2 != P:
+            # the hit kernel's segment matrix and the subtile decode both
+            # assume SUB * P2 == P; a non-dividing P would silently drop
+            # the trailing positions of every tile (r5 review)
+            raise ValueError(
+                f"P ({P}) must be divisible by its subtile count "
+                f"({self.SUB}); pick P a multiple of sub_width"
+            )
         # phase-2 pair batches: 4096-pair batches measured fastest (fewer
         # dispatches + compaction sorts) and fit HBM up to P2=512 (~4.3 GB
         # score tensor); shrink proportionally past that
@@ -1422,11 +1441,17 @@ class _ScanJob:
             if len(t_idx) == 0:
                 continue
             q_blocks_all = p.q_dev[strand].reshape(-1, bs, K)
+            tiles_s, mask_s = _tiles_and_mask(
+                self.scan_dev, self.n_real,
+                p.shift_dev[strand], p.pat_dev[strand],
+                n_starts=self.n_starts_b, halo=p.halo, L=p.L, P=P2,
+                circular=self.circular,
+            )
             for c0 in range(0, len(t_idx), p.extract_batch):
                 tc = t_idx[c0 : c0 + p.extract_batch]
                 sc = s_idx[c0 : c0 + p.extract_batch]
                 nb = len(tc)
-                bucket = _batch_buckets(nb)
+                bucket = _batch_buckets(nb, p.extract_batch)
                 pad = bucket - nb
                 tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
                 sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
@@ -1445,14 +1470,11 @@ class _ScanJob:
                     bucket * bs,  # can never exceed the batch's total rows
                 )
                 args = (
-                    q_blocks_all, self.scan_dev, self.n_real,
-                    p.shift_dev[strand], p.pat_dev[strand],
+                    q_blocks_all, tiles_s, mask_s,
                     jnp.asarray(sc_p), jnp.asarray(tc_p), jnp.asarray(valid),
                 )
-                kw = dict(n_starts=self.n_starts_b, halo=p.halo, L=p.L, K=K,
-                          P=P2, thresh=int(p.max_mismatches),
-                          circular=self.circular)
-                fut = extract_full(*args, cap=cap, cap_rows=cap_rows, **kw)
+                kw = dict(L=p.L, K=K, P=P2, thresh=int(p.max_mismatches))
+                fut = _extract_chunk(*args, cap=cap, cap_rows=cap_rows, **kw)
                 pending.append((strand, tc, sc, nb, cap, cap_rows, fut, args, kw))
 
         out = []
@@ -1465,7 +1487,7 @@ class _ScanJob:
                 cap = max(cap, 1 << (max(n_hits, 1) - 1).bit_length())
                 cap_rows = max(cap_rows, 1 << (max(n_rows, 1) - 1).bit_length())
                 k = max(k, 1 << (max(max_rh, 1) - 1).bit_length())
-                idx, mm_vals, n_hits, n_rows, max_rh = extract_full(
+                idx, mm_vals, n_hits, n_rows, max_rh = _extract_chunk(
                     *args, cap=cap, cap_rows=cap_rows, k=k, **kw
                 )
                 n_hits, n_rows, max_rh = int(n_hits), int(n_rows), int(max_rh)
@@ -1773,7 +1795,7 @@ class _SiteScanJob:
             tc = t_idx[c0 : c0 + p.extract_batch]
             sc = s_idx[c0 : c0 + p.extract_batch]
             nb = len(tc)
-            bucket = _batch_buckets(nb)
+            bucket = _batch_buckets(nb, p.extract_batch)
             pad = bucket - nb
             tc_p = np.concatenate([tc, np.zeros(pad, tc.dtype)]).astype(np.int32)
             sc_p = np.concatenate([sc, np.zeros(pad, sc.dtype)]).astype(np.int32)
@@ -1843,9 +1865,10 @@ def _build_codes_device(packed, exc_idx, n_sites, *, total, cols):
     out = _unpack_2bit_planes(packed, total)
     colv = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
     out = jnp.where(colv < n_sites, out.reshape(-1, cols), jnp.int8(4)).reshape(-1)
+    # commutative N-restoration (see _build_scan_device: duplicate .set()
+    # at the clipped fill index raced with a real N at flat position 0)
     safe = jnp.clip(exc_idx, 0, total - 1)
-    cur = out[safe]
-    return out.at[safe].set(jnp.where(exc_idx >= 0, jnp.int8(4), cur))
+    return out.at[safe].max(jnp.where(exc_idx >= 0, jnp.int8(4), jnp.int8(0)))
 
 
 # library size above which the site-compacted matrix scan wins for PAM
@@ -1997,7 +2020,6 @@ def pallas_scan(
     pam_direction: str = "downstream",
     P: int = DEFAULT_P,
     interpret: bool = False,
-    extract_batch: int = 32,
     sub_width: int = 512,
     site_mode: str = "auto",
 ) -> Hits:

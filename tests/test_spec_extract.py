@@ -104,6 +104,30 @@ def test_n_bases_through_2bit_ship():
     assert not any(p == 900 for _, p, _, _ in got)
 
 
+def test_n_at_position_zero():
+    """An N at genome position 0 must survive the sparse-exception scatter
+    (r5 review, reproduced: -1 fill slots clip to index 0 and their
+    duplicate .set() write could clobber the real N restoration in XLA's
+    unspecified update order — a contig starting with an assembly gap was
+    scored as starting with 'A'). Now a commutative max scatter."""
+    rng = np.random.default_rng(17)
+    rec = make_record(n=2000, topology="circular", seed=17)
+    g = random_seq(20, rng)
+    plant_guide(rec, g, 600, pam="TGG")
+    s = list(rec.seq)
+    s[0] = "N"
+    rec.seq = "".join(s)
+    # a spacer whose window covers position 0 with 'A' there: must NOT
+    # match at mm=0 (N never matches)
+    probe = "A" + rec.seq[1:20]
+    contig = contig_from_record(rec)
+    got = tuples(pallas_scan([g, probe], contig, 0, pam="NGG", P=512, interpret=True))
+    want = tuples(oracle_scan([g, probe], contig, 0, pam="NGG"))
+    assert got == want
+    assert not any(si == 1 and p == 0 for si, p, _, _ in got)
+    assert any(si == 0 and p == 600 for si, p, _, _ in got)
+
+
 @pytest.mark.slow
 def test_tiny_contig_nibble_fallback():
     # contigs shorter than the wrap-halo length use the nibble ship path
