@@ -35,11 +35,23 @@ def _shield_stdout() -> None:
     and hand Python a private dup of the ORIGINAL stdout: the data contract
     (clean TSV/JSON on the process's stdout) is preserved exactly. Real TPU
     pods ride ICI/DCN and never print these banners, but the shield is
-    harmless there too."""
+    harmless there too.
+
+    Idempotent: a second main() call in the same process (library/test use)
+    re-enters here because multihost.initialize() short-circuits True once
+    initialized — re-shielding would dup the ALREADY-redirected fd 1 (now
+    stderr) and silently send all machine-readable output to stderr."""
+    global _STDOUT_SHIELDED
+    if _STDOUT_SHIELDED:
+        return
     sys.stdout.flush()
     real = os.dup(1)
     os.dup2(2, 1)  # native fd-1 writers (Gloo) now reach stderr
     sys.stdout = os.fdopen(real, "w", buffering=1)
+    _STDOUT_SHIELDED = True
+
+
+_STDOUT_SHIELDED = False
 
 
 def _join_cluster() -> None:

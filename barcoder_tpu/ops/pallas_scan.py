@@ -310,14 +310,26 @@ def scan_block_max(q_onehot, tiles, bias_tiles, *, L, K, P, SUB=1, interpret=Fal
 def extract_full(q_blocks_all, scan_dev, n_real, shift, pat, sc_p, tc_p, valid, *, n_starts, halo, L, K, P, thresh, cap, circular, cap_rows=0, k=4):
     """One-dispatch phase 2: subtile arrays + PAM mask built on device,
     scoring + compaction fused; shift/pat traced (shared executable across
-    strands and PAMs)."""
+    strands and PAMs). Production batches use _tiles_and_mask +
+    _extract_chunk instead (genome inputs built once, not per batch);
+    this single-dispatch form remains for profiling/one-shot use and is
+    composed from the SAME helpers so the two cannot drift."""
+    tiles, mask_tiles = _tiles_and_mask_impl(
+        scan_dev, n_real, shift, pat, n_starts=n_starts, halo=halo, L=L, P=P,
+        circular=circular,
+    )
+    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
+
+
+def _tiles_and_mask_impl(scan_dev, n_real, shift, pat, *, n_starts, halo, L,
+                         P, circular):
     tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
     ok = _pam_ok_device(
-        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L, circular=circular,
+        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L,
+        circular=circular,
     )
     n_tiles = _cdiv(n_starts, P)
-    mask_tiles = ok.astype(jnp.int32).reshape(n_tiles, 1, P)
-    return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
+    return tiles, ok.astype(jnp.int32).reshape(n_tiles, 1, P)
 
 
 @functools.partial(
@@ -329,13 +341,10 @@ def _tiles_and_mask(scan_dev, n_real, shift, pat, *, n_starts, halo, L, P,
     matrix and the PAM mask tiles. The batched fallback used to rebuild
     both inside EVERY extract_full dispatch — identical work per batch,
     ~4 bytes/bp of transient HBM traffic each time (r5 review)."""
-    tiles = _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
-    ok = _pam_ok_device(
-        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L,
+    return _tiles_and_mask_impl(
+        scan_dev, n_real, shift, pat, n_starts=n_starts, halo=halo, L=L, P=P,
         circular=circular,
     )
-    n_tiles = _cdiv(n_starts, P)
-    return tiles, ok.astype(jnp.int32).reshape(n_tiles, 1, P)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap", "cap_rows", "k"))

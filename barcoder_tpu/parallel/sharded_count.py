@@ -171,6 +171,15 @@ class ShardedCounter(DeviceCounter):
             self.flush_owned()  # all hosts drain at the same stream point
         super().drain()
 
+    def reset(self) -> None:
+        """Also rewind the chunk-ownership bookkeeping (the discard-
+        checkpoints path of the multi-host resume agreement restarts the
+        stream from chunk 0)."""
+        super().reset()
+        self.owned_reads = 0
+        if self._owned_rows is not None:
+            self._owned_rows[:] = 0
+
     def _match_fn(self):
         if getattr(self, "_match_jit", None) is not None:
             return self._match_jit

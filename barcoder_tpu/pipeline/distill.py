@@ -502,6 +502,13 @@ def _iter_tuple_chunks_owned(
             s.close()
 
 
+# schema version of the per-host multi-host manifest (entries are
+# [chunk_no, run_name, n, widths] — a different format from
+# _DistillCheckpoint's, hence its own constant): bump on any entry-format
+# change so old manifests invalidate instead of being misparsed
+_MH_MANIFEST_VERSION = 1
+
+
 def _distill_multihost(
     filenames: list[str],
     outputs: list[str],
@@ -545,7 +552,9 @@ def _distill_multihost(
         except (OSError, ValueError):
             st = None
         if st is not None:
-            if st.get("fingerprint") == fp and all(
+            if st.get("version") == _MH_MANIFEST_VERSION and st.get(
+                "fingerprint"
+            ) == fp and all(
                 os.path.exists(os.path.join(checkpoint_dir, r[1]))
                 for r in st.get("runs", [])
             ):
@@ -569,7 +578,14 @@ def _distill_multihost(
     def save_manifest() -> None:
         tmp = manifest + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"fingerprint": fp, "runs": sorted(done.values())}, fh)
+            json.dump(
+                {
+                    "version": _MH_MANIFEST_VERSION,
+                    "fingerprint": fp,
+                    "runs": sorted(done.values()),
+                },
+                fh,
+            )
         os.replace(tmp, manifest)
 
     save_manifest()

@@ -531,6 +531,12 @@ class _CheckpointState:
                 vc.undoc.update(
                     {k: int(v) for k, v in zip(meta["undoc_keys"], meta["undoc_vals"])}
                 )
+                if hasattr(vc, "owned_reads"):
+                    # multi-host chunk-ownership bookkeeping: without this a
+                    # resumed run under-reports the host's parse share and
+                    # breaks the "disjoint shares sum to the total" contract
+                    # that info['owned_reads'] advertises
+                    vc.owned_reads = int(meta.get("owned_reads", 0))
                 return int(meta["chunk_no"])
         except Exception:
             return 0
@@ -550,6 +556,7 @@ class _CheckpointState:
             "total_reads": vc.total_reads,
             "undoc_keys": list(vc.undoc.keys()),
             "undoc_vals": [int(v) for v in vc.undoc.values()],
+            "owned_reads": int(getattr(vc, "owned_reads", 0)),
         }
         tmp = self.path + ".tmp"
         _np.savez(tmp, doc_counts=vc.doc_counts, meta=json.dumps(meta))
@@ -719,6 +726,13 @@ class VectorCounter:
         self.doc_counts[:] = 0
         self.undoc.clear()
         self.total_reads = 0
+
+    def abort(self) -> None:
+        """Best-effort teardown after a mid-stream error (e.g. a paired-end
+        length mismatch raised by the reader). No-op here — the synchronous
+        engine holds no background state; the device/sharded engines
+        override to stop their dispatch worker and release pinned buffers.
+        Never raises and never issues new device traffic."""
 
 
 def _codes_to_strings(codes: np.ndarray):
@@ -1013,6 +1027,39 @@ class DeviceCounter(VectorCounter):
         self._worker.join()
         self._worker = None
 
+    def abort(self) -> None:
+        """Stop the dispatch worker and drop all buffered/pinned state
+        WITHOUT waiting for queued batches to run (contrast _quiesce).
+        Called by run_count's error path: without it an exception raised
+        mid-stream by the reader leaks the daemon worker thread blocked on
+        q.get() plus up to _MAX_PENDING pinned cores matrices. Queued items
+        are skipped (the worker's _worker_err guard), so no further device
+        traffic is issued. Never raises."""
+        if self._worker is not None:
+            import queue
+
+            self._worker_err = RuntimeError("counter aborted")
+            try:
+                while True:  # drop queued batches so the sentinel is next
+                    self._work_q.get_nowait()
+                    self._work_q.task_done()
+            except queue.Empty:
+                pass
+            try:
+                self._work_q.put_nowait(None)
+            except queue.Full:
+                pass
+            self._worker.join(timeout=60.0)
+            if self._worker.is_alive():
+                # wedged device call (tunneled-link pathology): the daemon
+                # thread still owns _pending — leave its state alone
+                return
+            self._worker = None
+            self._worker_err = None
+        self._pending = []
+        self._buf = []
+        self._buf_rows = 0
+
     def _quiesce(self) -> None:
         """Wait until the dispatch worker has consumed every submitted
         batch, then STOP it (restarted lazily at the next flush — a
@@ -1172,8 +1219,6 @@ def run_count(
     undoc: Counter = Counter()
     total_reads = 0
     if use_vector:
-        from ..seqio.fast_reader import iter_matrix_chunks
-
         if engine == "sharded":
             from ..parallel.sharded_count import ShardedCounter
 
@@ -1189,95 +1234,20 @@ def run_count(
                 # instead of N processes clobbering one path
                 checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
         ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
-        skip_chunks = ckpt.restore(vc) if ckpt else 0
-        use_owned = False
-        if engine == "sharded":
-            import jax
-
-            use_owned = jax.process_count() > 1
-        if use_owned and ckpt is not None:
-            # cross-host resume agreement: a crash between hosts' saves can
-            # leave per-host checkpoints at different chunk_no; resuming
-            # from mismatched points would double-count on the later host
-            # and desync the lockstep collectives. All hosts gather their
-            # restored chunk_no; on ANY mismatch every state is discarded
-            # and counting restarts from 0 — resuming from min() is NOT
-            # possible because a later host's restored counts already
-            # include the chunks past it and cannot be rewound. The
-            # gathered vector is identical everywhere, so every host takes
-            # the same branch.
-            from ..parallel.multihost import agree_int
-
-            _, all_equal = agree_int(skip_chunks)
-            if not all_equal:
-                if log:
-                    log.warn(
-                        "Checkpoint resume points disagree across hosts "
-                        f"(this host: chunk {skip_chunks}); discarding "
-                        "checkpoints and recounting from the start"
-                    )
-                vc.reset()
-                skip_chunks = 0
-        f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
-        chunk_no = 0
-        if use_owned:
-            from ..seqio.fast_reader import iter_owned_matrix_chunks
-
-            K, h = jax.process_count(), jax.process_index()
-            swapped_single = f_a is None
-            first, second = (f_b, None) if swapped_single else (f_a, f_b)
-            for chunk_idx, nrec, r1, r2 in iter_owned_matrix_chunks(
-                first, second, chunk_size, owner=h, num_owners=K,
-                start_chunk=skip_chunks,
-            ):
-                chunk_no = chunk_idx + 1
-                if chunk_no <= skip_chunks:
-                    continue
-                m1 = r1[0] if r1 is not None else None
-                m2 = r2[0] if r2 is not None else None
-                if swapped_single:
-                    m1, m2 = None, m1
-                vc.feed_owned(chunk_idx, nrec, m1, m2)
-                if ckpt and chunk_no % checkpoint_every == 0:
-                    ckpt.save(vc, chunk_no)
-        elif f_a is None:
-            # swapped single-end: the lone file is the reverse-orientation one
-            for r1, _ in iter_matrix_chunks(f_b, None, chunk_size):
-                chunk_no += 1
-                if chunk_no <= skip_chunks:
-                    continue
-                vc.process_matrices(None, r1[0])
-                if ckpt and chunk_no % checkpoint_every == 0:
-                    ckpt.save(vc, chunk_no)
-        else:
-            for r1, r2 in iter_matrix_chunks(f_a, f_b, chunk_size):
-                chunk_no += 1
-                if chunk_no <= skip_chunks:
-                    continue
-                vc.process_matrices(r1[0], r2[0] if r2 else None)
-                if ckpt and chunk_no % checkpoint_every == 0:
-                    ckpt.save(vc, chunk_no)
-        if ckpt:
-            ckpt.finalize()
-        doc, undoc = vc.results()
-        total_reads = vc.total_reads
-        if engine == "sharded":
-            import jax
-
-            if jax.process_count() > 1:
-                # documented counts are already global (psum); the
-                # undocumented tally is host-local to each host's own rows
-                # — gather and merge so every host returns the identical
-                # collated result (the reference's end-of-run Counter
-                # merge, heuristicount.py:726-877, across DCN)
-                import pickle
-
-                from ..parallel.multihost import allgather_bytes
-
-                merged: Counter = Counter()
-                for blob in allgather_bytes(pickle.dumps(dict(undoc))):
-                    merged.update(pickle.loads(blob))
-                undoc = merged
+        try:
+            doc, undoc, total_reads = _stream_counts(
+                vc, ckpt, engine, sample, file1, file2, chunk_size,
+                checkpoint_every, log,
+            )
+        except BaseException:
+            # mid-stream failure (reader errors like a paired-end length
+            # mismatch, device faults, KeyboardInterrupt): stop the dispatch
+            # worker thread and release its pinned buffers — without this a
+            # long-lived API process leaks a daemon thread + ~MB-scale
+            # batches per failed call (and the thread would keep the counter
+            # alive forever)
+            vc.abort()
+            raise
     else:
         for chunk in iter_read_chunks(file1, file2 if is_paired else None, chunk_size):
             counts, nreads = count_chunk_reference(chunk, cfg)
@@ -1298,3 +1268,105 @@ def run_count(
         # multi-host the per-host values are disjoint and sum to the total)
         info["owned_reads"] = getattr(vc, "owned_reads", None)
     return doc, undoc, total_reads, info
+
+
+def _stream_counts(
+    vc, ckpt, engine, sample, file1, file2, chunk_size,
+    checkpoint_every, log,
+):
+    """The array-engine streaming loop of run_count: restore/agree the
+    checkpoint, feed every chunk (owned or full-stream), finalize, and
+    collate results. Split out so run_count's error path can tear the
+    counter down (`vc.abort()`) no matter where in the stream a failure
+    lands."""
+    from ..seqio.fast_reader import iter_matrix_chunks
+
+    skip_chunks = ckpt.restore(vc) if ckpt else 0
+    use_owned = False
+    if engine == "sharded":
+        import jax
+
+        use_owned = jax.process_count() > 1
+    if use_owned and ckpt is not None:
+        # cross-host resume agreement: a crash between hosts' saves can
+        # leave per-host checkpoints at different chunk_no; resuming
+        # from mismatched points would double-count on the later host
+        # and desync the lockstep collectives. All hosts gather their
+        # restored chunk_no; on ANY mismatch every state is discarded
+        # and counting restarts from 0 — resuming from min() is NOT
+        # possible because a later host's restored counts already
+        # include the chunks past it and cannot be rewound. The
+        # gathered vector is identical everywhere, so every host takes
+        # the same branch.
+        from ..parallel.multihost import agree_int
+
+        _, all_equal = agree_int(skip_chunks)
+        if not all_equal:
+            if log:
+                log.warn(
+                    "Checkpoint resume points disagree across hosts "
+                    f"(this host: chunk {skip_chunks}); discarding "
+                    "checkpoints and recounting from the start"
+                )
+            vc.reset()
+            skip_chunks = 0
+    f_a, f_b = (file1, file2) if not sample.need_swap else (file2, file1)
+    chunk_no = 0
+    if use_owned:
+        from ..seqio.fast_reader import iter_owned_matrix_chunks
+
+        K, h = jax.process_count(), jax.process_index()
+        swapped_single = f_a is None
+        first, second = (f_b, None) if swapped_single else (f_a, f_b)
+        for chunk_idx, nrec, r1, r2 in iter_owned_matrix_chunks(
+            first, second, chunk_size, owner=h, num_owners=K,
+            start_chunk=skip_chunks,
+        ):
+            chunk_no = chunk_idx + 1
+            if chunk_no <= skip_chunks:
+                continue
+            m1 = r1[0] if r1 is not None else None
+            m2 = r2[0] if r2 is not None else None
+            if swapped_single:
+                m1, m2 = None, m1
+            vc.feed_owned(chunk_idx, nrec, m1, m2)
+            if ckpt and chunk_no % checkpoint_every == 0:
+                ckpt.save(vc, chunk_no)
+    elif f_a is None:
+        # swapped single-end: the lone file is the reverse-orientation one
+        for r1, _ in iter_matrix_chunks(f_b, None, chunk_size):
+            chunk_no += 1
+            if chunk_no <= skip_chunks:
+                continue
+            vc.process_matrices(None, r1[0])
+            if ckpt and chunk_no % checkpoint_every == 0:
+                ckpt.save(vc, chunk_no)
+    else:
+        for r1, r2 in iter_matrix_chunks(f_a, f_b, chunk_size):
+            chunk_no += 1
+            if chunk_no <= skip_chunks:
+                continue
+            vc.process_matrices(r1[0], r2[0] if r2 else None)
+            if ckpt and chunk_no % checkpoint_every == 0:
+                ckpt.save(vc, chunk_no)
+    if ckpt:
+        ckpt.finalize()
+    doc, undoc = vc.results()
+    if engine == "sharded":
+        import jax
+
+        if jax.process_count() > 1:
+            # documented counts are already global (psum); the
+            # undocumented tally is host-local to each host's own rows
+            # — gather and merge so every host returns the identical
+            # collated result (the reference's end-of-run Counter
+            # merge, heuristicount.py:726-877, across DCN)
+            import pickle
+
+            from ..parallel.multihost import allgather_bytes
+
+            merged: Counter = Counter()
+            for blob in allgather_bytes(pickle.dumps(dict(undoc))):
+                merged.update(pickle.loads(blob))
+            undoc = merged
+    return doc, undoc, vc.total_reads

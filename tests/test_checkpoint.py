@@ -109,3 +109,28 @@ def test_pending_queue_is_bounded(read_files):
     assert max_seen <= vc._MAX_PENDING
     vc.drain()
     assert vc._pending == []
+
+
+def test_checkpoint_roundtrips_owned_reads(tmp_path, read_files):
+    """Multi-host chunk-ownership bookkeeping survives a save/restore:
+    without it a resumed sharded run under-reports this host's parse share
+    and breaks the info['owned_reads'] contract (disjoint per-host shares
+    sum to the stream total — asserted by tests/test_multihost.py and
+    consumed by parallel/scaling.py's owned_covers_stream check)."""
+    import barcoder_tpu.pipeline.heuristic_count as hc
+
+    barcodes, f1, f2 = read_files
+    _, _, _, info = run_count(set(barcodes), f1, f2, chunk_size=1024)
+    cfg = info["config"]
+    ckpt = hc._CheckpointState(str(tmp_path / "c.npz"), cfg)
+    vc = hc.VectorCounter(cfg)
+    vc.owned_reads = 123  # stand-in for ShardedCounter's attribute
+    ckpt.save(vc, chunk_no=4)
+    vc2 = hc.VectorCounter(cfg)
+    vc2.owned_reads = 0
+    assert ckpt.restore(vc2) == 4
+    assert vc2.owned_reads == 123
+    # counters without the attribute are untouched (single-host engines)
+    vc3 = hc.VectorCounter(cfg)
+    assert ckpt.restore(vc3) == 4
+    assert not hasattr(vc3, "owned_reads")

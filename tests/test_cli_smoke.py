@@ -171,3 +171,26 @@ class TestArgValidation:
             main(["lib.tsv", "genome.gb", "NGG", "0", "--compat-columns"])
         assert exc.value.code == 2
         assert "--insert-site" in capsys.readouterr().err
+
+
+def test_shield_stdout_idempotent():
+    """_shield_stdout must be a no-op the second time: multihost
+    .initialize() short-circuits True on a second main() call in the same
+    process, and re-shielding would dup the already-redirected fd 1 (now
+    stderr), silently sending all machine-readable output to stderr."""
+    code = (
+        "from barcoder_tpu.cli.main import _shield_stdout\n"
+        "_shield_stdout()\n"
+        "_shield_stdout()\n"
+        "import sys\n"
+        "print('DATA-ON-STDOUT')\n"
+        "sys.stdout.flush()\n"
+        "print('noise-on-stderr', file=sys.stderr)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "DATA-ON-STDOUT\n"
+    assert "DATA-ON-STDOUT" not in r.stderr

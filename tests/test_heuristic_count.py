@@ -395,6 +395,39 @@ class TestDeviceEngine:
 
         with pytest.raises(RuntimeError, match="injected dispatch"):
             run_count(set(barcodes), str(f1), engine="device", chunk_size=256)
+        # the error path must also tear the worker down (vc.abort())
+        import threading
+
+        assert not [
+            t for t in threading.enumerate() if t.name == "count-dispatch"
+        ]
+
+    def test_abort_on_midstream_reader_error(self, tmp_path, monkeypatch):
+        """A reader error mid-stream (paired-end length mismatch) must
+        tear the dispatch worker down via run_count's vc.abort() path —
+        without it every failed call in a long-lived API process leaks a
+        daemon thread blocked on q.get() plus its pinned batch buffers."""
+        import threading
+
+        from barcoder_tpu.pipeline.heuristic_count import (
+            DeviceCounter,
+            run_count,
+        )
+
+        monkeypatch.setattr(DeviceCounter, "_DISPATCH_ROWS", 256)
+        barcodes = make_barcodes(n=12, seed=9)
+        reads1, reads2, _ = make_reads(barcodes, n_reads=2000, seed=9)
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        write_reads(f1, reads1)
+        write_reads(f2, reads2[:1200])  # pair mismatch hits mid-stream
+        with pytest.raises(ValueError, match="paired-end"):
+            run_count(
+                set(barcodes), str(f1), str(f2), engine="device",
+                chunk_size=256,
+            )
+        assert not [
+            t for t in threading.enumerate() if t.name == "count-dispatch"
+        ]
 
     def test_dispatch_worker_stops_after_drain(self, tmp_path):
         """The worker thread must not outlive a drain (a long-lived loop
