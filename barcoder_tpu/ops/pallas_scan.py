@@ -1986,13 +1986,20 @@ def pallas_scan_contigs(
         # process (VERDICT r2 item 2: cold start).
         from ..utils import artifacts
 
+        # an all-wildcard PAM ('N', 'NN') makes every window-valid position
+        # a site — the site matrix would ship ~L_pad bytes/genome base (vs
+        # ~1 dense) for zero FLOP savings; only an explicit "always" takes
+        # the site path then
+        pam_informative = any(ch != "N" for ch in pam)
         use_sites = bool(pam) and site_mode != "never" and (
             site_mode == "always"
-            or prep.S_pad >= _SITE_MODE_MIN_SPACERS
-            or site_tab is not None
-            or artifacts.exists("sites", art_key)
+            or (pam_informative and (
+                prep.S_pad >= _SITE_MODE_MIN_SPACERS
+                or site_tab is not None
+                or artifacts.exists("sites", art_key)
+            ))
         )
-        if not use_sites and site_key is not None:
+        if not use_sites and site_key is not None and pam_informative:
             # repeat scans of the same (genome, pam, L): pay the one-time
             # table build on the second occurrence so steady-state re-scans
             # (serving many libraries against one genome) run compacted

@@ -66,9 +66,11 @@ from .mesh import GENOME_AXIS, LIBRARY_AXIS, make_mesh
 from .multihost import put_global
 
 _HDR = 6  # packed header ints:
-# [n_pairs, n_hits, psum_total, n_rows, max_row_hits, reserved] — the host
+# [n_pairs, n_hits, reserved, n_rows, max_row_hits, reserved] — the host
 # grows the matching static capacity (pair_cap / hit_cap / cap_rows / k)
-# for whichever one overflowed and retries
+# for whichever one overflowed and retries. Word 2 once carried a psum'd
+# global hit total; no consumer ever read it, so the collective was
+# dropped (r5 review) and the slot stays zero for layout stability.
 
 _MM_BITS = 6  # mismatch bits in the packed hit word (mm <= L <= 63)
 
@@ -117,6 +119,47 @@ def _mesh_dims(mesh) -> tuple[int, int]:
     return shape.get(LIBRARY_AXIS, 1), shape[GENOME_AXIS]
 
 
+def _check_spacer_len(q_f: np.ndarray) -> None:
+    """The packed hit word carries mismatch counts in _MM_BITS bits
+    (mm <= L must fit); beyond it the meta field would silently corrupt
+    spacer indices. Enforced on EVERY entry path — sharded_scan,
+    sharded_scan_many and sharded_scan_contigs all construct runs."""
+    if q_f.shape[0] and q_f.shape[1] > (1 << _MM_BITS) - 1:
+        raise ValueError(
+            f"sharded engine supports spacers up to {(1 << _MM_BITS) - 1} nt "
+            f"(got {q_f.shape[1]})"
+        )
+
+
+def _want_sites(pam: str, site_mode: str) -> bool:
+    """Engine choice for a PAM scan: site-compacted unless the PAM has no
+    informative (non-N) base. An all-wildcard PAM ('N', 'NN') makes every
+    window-valid position a site, so the site path would ship ~L_pad bytes
+    per genome base (vs ~1 for the dense fused path) for zero FLOP savings
+    — on the transfer-dominated tunneled link that's a ~48x regression
+    (r5 review). site_mode='always' still forces it; 'never' forbids it."""
+    if not pam or site_mode == "never":
+        return False
+    return site_mode == "always" or any(ch != "N" for ch in pam)
+
+
+def _phase2_geom(P: int, sub_width: int) -> tuple[int, int]:
+    """(SUB, P2) subtile geometry with P2 * SUB == P enforced up front: the
+    packed-hit decode reconstructs global columns as tile*P + sub*P2 + lane,
+    so a non-divisor sub_width would mis-map positions — and in practice
+    fails deep inside tracing with an opaque reshape error instead of a
+    usable message."""
+    SUB = max(P // min(sub_width, P), 1)
+    P2 = P // SUB
+    if SUB * P2 != P:
+        raise ValueError(
+            f"sub_width={sub_width} yields SUB={SUB} which does not divide "
+            f"P={P}; pick a sub_width such that P // sub_width divides P "
+            f"(powers of two always work)"
+        )
+    return SUB, P2
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_engine(
     mesh,
@@ -152,7 +195,6 @@ def _sharded_engine(
     n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
     R = 2 if fused else 1
     perm = [(d, (d - 1) % n_gen) for d in range(n_gen)]
-    psum_axes = (GENOME_AXIS,) + ((LIBRARY_AXIS,) if n_lib > 1 else ())
 
     def indicator(thresh_v, q, tiles, bias_t):
         if use_pallas:
@@ -219,15 +261,13 @@ def _sharded_engine(
             mask_sel = jnp.where(is_rev[:, None], ok_t[1][t_idx], ok_t[0][t_idx])
         else:
             mask_sel = ok_t[0][t_idx]
-        g_oh = _build_g_onehot(tiles2[t_idx][:, 0, :], L=L, K=K, P=P2)
-        q_blocks = q.reshape(-1, BS_M, K)[jnp.clip(s_idx, 0, n_sblocks_loc - 1)]
-        scores = jnp.einsum(
-            "nsk,nkp->nsp", q_blocks, g_oh, preferred_element_type=jnp.float32
-        )
-        mm = (L - scores).astype(jnp.int32)
-        hit = (mm <= thresh_mm) & (mask_sel[:, None, :] > 0) & slot_ok[:, None, None]
-        idx, mm_vals, n_hits, n_rows, max_rh = _compact_hits(
-            hit, mm, cap=cap, cap_rows=cap_rows, k=k
+        valid2d = (mask_sel > 0) & slot_ok[:, None]
+        idx, mm_vals, n_hits, n_rows, max_rh = _phase2_compact(
+            q, s_idx, t_idx, valid2d,
+            lambda t_c: _build_g_onehot(tiles2[t_c][:, 0, :], L=L, K=K, P=P2),
+            BS_M=BS_M, K=K, P2=P2, L=L, thresh_mm=thresh_mm,
+            pair_cap=pair_cap, cap=cap, cap_rows=cap_rows, k=k,
+            n_sblocks_loc=n_sblocks_loc,
         )
 
         # hit-dependent payload (VERDICT r2 item 1): decode each hit ON
@@ -248,13 +288,15 @@ def _sharded_engine(
         pos_h = dev * B + t2_h * P2 + rem_h % P2
         w1 = ((sp_local_h * 2 + rev_h) << _MM_BITS) | mm_vals
 
-        # ---- collectives: psum count merge + all_gather of hit lists
-        total = jax.lax.psum(n_hits, psum_axes)
+        # ---- collective: all_gather of hit lists. Header word 2 is a
+        # reserved slot (it carried a psum'd global hit total no host
+        # consumer ever read — retry decisions use the gathered per-device
+        # headers, so the extra collective was pure dispatch cost)
         header = jnp.stack(
             [
                 n_pairs.astype(jnp.int32),
                 n_hits.astype(jnp.int32),
-                total.astype(jnp.int32),
+                jnp.int32(0),
                 n_rows.astype(jnp.int32),
                 max_rh.astype(jnp.int32),
                 jnp.int32(0),
@@ -282,6 +324,77 @@ def _sharded_engine(
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def _pair_chunk(BS_M: int, P2: int) -> int:
+    """Pairs per phase-2 chunk: bounds the (chunk, BS_M, P2) f32 score
+    transient to ~1 GB of HBM (the sharded analog of the single-chip
+    engine's extract_batch scaling, ops.pallas_scan.EXTRACT_BATCH)."""
+    pc = (1 << 28) // max(BS_M * P2, 1)
+    return max(256, 1 << max(pc.bit_length() - 1, 0))
+
+
+def _phase2_compact(q, s_idx, t_for_g, valid2d, build_g, *, BS_M, K, P2, L,
+                    thresh_mm, pair_cap, cap, cap_rows, k, n_sblocks_loc):
+    """Phase-2 scoring + hierarchical compaction over one device's
+    compacted pair list, shared by the dense and site engines. CHUNKED
+    along the pair axis once pair_cap outgrows the ~1 GB transient budget:
+    capacity-retry growth of pair_cap is unbounded (hit-dense design-scale
+    scans legitimately reach 1e5+ pairs/device) and a monolithic
+    (pair_cap, BS_M, P2) f32 score tensor would OOM HBM long before the
+    counts stop fitting (r5 review). Per-chunk compaction keeps the full
+    global (cap, cap_rows, k) capacities, so any per-chunk truncation
+    forces the summed counts over capacity and the caller's _grow_caps
+    retry fires exactly as in the monolithic case.
+
+    ``build_g(t_chunk) -> (chunk, K, P2) bf16`` supplies the genome-side
+    one-hot for a chunk of pair tile-indices; ``valid2d`` is the
+    (pair_cap, P2) column-validity mask (slot + PAM/site bounds)."""
+    q_rows = q.reshape(-1, BS_M, K)
+
+    def score_and_compact(s_c, t_c, v_c):
+        q_blocks = q_rows[jnp.clip(s_c, 0, n_sblocks_loc - 1)]
+        scores = jnp.einsum(
+            "nsk,nkp->nsp", q_blocks, build_g(t_c),
+            preferred_element_type=jnp.float32,
+        )
+        mm = (L - scores).astype(jnp.int32)
+        hit = (mm <= thresh_mm) & v_c[:, None, :]
+        return _compact_hits(hit, mm, cap=cap, cap_rows=cap_rows, k=k)
+
+    PC = _pair_chunk(BS_M, P2)
+    if pair_cap <= PC or pair_cap % PC:
+        # monolithic (the common case: default caps are far below PC);
+        # non-divisible pair_cap only arises from non-power-of-two
+        # user-supplied caps — the retry protocol always grows to powers
+        # of two, so grown capacities chunk cleanly
+        return score_and_compact(s_idx, t_for_g, valid2d)
+
+    n_ch = pair_cap // PC
+    idx_cs, mm_cs, nh_cs, nr_cs, mrh_cs = jax.lax.map(
+        lambda args: score_and_compact(*args),
+        (
+            s_idx.reshape(n_ch, PC),
+            t_for_g.reshape(n_ch, PC),
+            valid2d.reshape(n_ch, PC, P2),
+        ),
+    )
+    # per-chunk flat indices live in a (PC*BS_M, P2) row space; chunk c's
+    # rows start at c*PC*BS_M, so its flat base is c*PC*BS_M*P2
+    offs = (jnp.arange(n_ch, dtype=jnp.int32) * (PC * BS_M * P2))[:, None]
+    all_idx = jnp.where(idx_cs >= 0, idx_cs + offs, -1).reshape(-1)
+    all_mm = mm_cs.reshape(-1)
+    (sel,) = jnp.nonzero(all_idx >= 0, size=cap, fill_value=-1)
+    sel_safe = jnp.clip(sel, 0, all_idx.shape[0] - 1)
+    idx = jnp.where(sel >= 0, all_idx[sel_safe], -1).astype(jnp.int32)
+    mm_vals = jnp.where(sel >= 0, all_mm[sel_safe], 0).astype(jnp.int32)
+    return (
+        idx,
+        mm_vals,
+        nh_cs.sum().astype(jnp.int32),
+        nr_cs.sum().astype(jnp.int32),
+        mrh_cs.max().astype(jnp.int32),
+    )
 
 
 def _grow_caps(worsts, caps):
@@ -339,9 +452,10 @@ class _ShardDevCache(dict):
     MAX = 8
     MAX_BYTES = 1 << 30
 
-    def __init__(self, max_entries: int = 8):
+    def __init__(self, max_entries: int = 8, max_bytes: int = 1 << 30):
         super().__init__()
         self.MAX = max_entries
+        self.MAX_BYTES = max_bytes
         self._bytes: dict = {}
         # observability counters (VERDICT r4 item 4): the r4 thrash bug —
         # a FIFO evicting the whole working set every serving pass — was
@@ -393,6 +507,13 @@ _GENOME_SHARD_CACHE = _ShardDevCache()
 # sized for a SERVING SET of libraries (8+ distinct q one-hots in rotation
 # plus the small scalars), not just one
 _Q_SHARD_CACHE = _ShardDevCache(max_entries=32)
+# HOST-memory site tables (numpy, backed by the on-disk artifact store so a
+# miss is a disk reload, not a recompute). Kept OUT of _GENOME_SHARD_CACHE:
+# counting host bytes against the HBM budget made a chromosome-scale site
+# table (~780 MB at 250 Mb/NGG) and its device codes array evict each other
+# on every scan — permanent thrash of exactly the kind the cache exists to
+# prevent (r5 review)
+_SITE_HOST_CACHE = _ShardDevCache(max_entries=6, max_bytes=3 << 30)
 
 
 def serving_cache_stats(reset: bool = False) -> dict:
@@ -402,10 +523,15 @@ def serving_cache_stats(reset: bool = False) -> dict:
     misses=0, bytes_built=0 — anything else means one-hots are being
     re-shipped every pass (the r4 thrash bug class). ``reset=True``
     zeroes the counters after reading (per-window monitoring)."""
-    out = {"genome": _GENOME_SHARD_CACHE.stats(), "q": _Q_SHARD_CACHE.stats()}
+    out = {
+        "genome": _GENOME_SHARD_CACHE.stats(),
+        "q": _Q_SHARD_CACHE.stats(),
+        "site_host": _SITE_HOST_CACHE.stats(),
+    }
     if reset:
         _GENOME_SHARD_CACHE.reset_stats()
         _Q_SHARD_CACHE.reset_stats()
+        _SITE_HOST_CACHE.reset_stats()
     return out
 
 
@@ -444,7 +570,7 @@ def _sharded_site_engine(
     is sharded over the mesh — every PAM-valid window is an independent
     column of the site-code matrix (R-strand windows pre-revcomped at
     enumeration), so there is NO halo exchange at all: the collective
-    surface is just the psum count merge + the all_gathered hit lists.
+    surface is just the all_gathered hit lists.
     Forward spacer rows only (half the matmul rows of the dense fused
     path) and ~N/4^|pam-informative-bases| of its columns — the same
     contraction that makes site mode the fastest single-chip engine
@@ -452,7 +578,6 @@ def _sharded_site_engine(
     n_tiles_loc = Bs // P
     n_t2_loc = Bs // P2
     n_sb_pad8 = _cdiv(n_sblocks_loc, 8) * 8
-    psum_axes = (GENOME_AXIS,) + ((LIBRARY_AXIS,) if n_lib > 1 else ())
 
     def indicator(thresh_v, q, tiles):
         bias = jnp.zeros((n_tiles_loc, 1, P), jnp.float32)
@@ -502,27 +627,28 @@ def _sharded_site_engine(
         t_idx = t_big * SUB + rem % SUB
         t_safe = jnp.clip(t_idx, 0, n_t2_loc - 1)
         tiles2 = codes_lp.reshape(L_pad, n_t2_loc, P2).transpose(1, 0, 2)[:, :L, :]
-        g = tiles2[t_safe]  # (pair_cap, L, P2) int8
-        oh = (
-            g[:, :, None, :] == jnp.arange(4, dtype=g.dtype)[None, None, :, None]
-        ).reshape(pair_cap, 4 * L, P2)
-        g_oh = oh.astype(jnp.bfloat16)
-        if 4 * L < K:
-            g_oh = jnp.pad(g_oh, ((0, 0), (0, K - 4 * L), (0, 0)))
-        q_blocks = q.reshape(-1, BS_M, K)[jnp.clip(s_idx, 0, n_sblocks_loc - 1)]
-        scores = jnp.einsum(
-            "nsk,nkp->nsp", q_blocks, g_oh, preferred_element_type=jnp.float32
-        )
-        mm = (L - scores).astype(jnp.int32)
+
+        def build_g(t_c):
+            g = tiles2[jnp.clip(t_c, 0, n_t2_loc - 1)]  # (chunk, L, P2) int8
+            oh = (
+                g[:, :, None, :]
+                == jnp.arange(4, dtype=g.dtype)[None, None, :, None]
+            ).reshape(g.shape[0], 4 * L, P2)
+            g_oh = oh.astype(jnp.bfloat16)
+            if 4 * L < K:
+                g_oh = jnp.pad(g_oh, ((0, 0), (0, K - 4 * L), (0, 0)))
+            return g_oh
+
         # column validity is GLOBAL: this device holds sites
         # [dev*Bs, dev*Bs + Bs); padding columns past n_sites never hit
         col_global = dev * Bs + t_safe[:, None] * P2 + jnp.arange(P2, dtype=jnp.int32)[None, :]
         col_ok = col_global < n_sites_v
-        hit = (mm <= thresh_mm) & col_ok[:, None, :] & (
-            slot_ok & (t_idx < n_t2_loc)
-        )[:, None, None]
-        idx, mm_vals, n_hits, n_rows, max_rh = _compact_hits(
-            hit, mm, cap=cap, cap_rows=cap_rows, k=k
+        valid2d = col_ok & (slot_ok & (t_idx < n_t2_loc))[:, None]
+        idx, mm_vals, n_hits, n_rows, max_rh = _phase2_compact(
+            q, s_idx, t_idx, valid2d, build_g,
+            BS_M=BS_M, K=K, P2=P2, L=L, thresh_mm=thresh_mm,
+            pair_cap=pair_cap, cap=cap, cap_rows=cap_rows, k=k,
+            n_sblocks_loc=n_sblocks_loc,
         )
 
         # hit-dependent payload: decode each hit ON DEVICE to its global
@@ -537,12 +663,13 @@ def _sharded_site_engine(
         col_h = dev * Bs + t2_h * P2 + rem_h % P2
         w1 = spacer_h * (1 << _MM_BITS) + mm_vals
 
-        total = jax.lax.psum(n_hits, psum_axes)
+        # header word 2 reserved (see the dense engine's note: the psum'd
+        # total had no consumer)
         header = jnp.stack(
             [
                 n_pairs.astype(jnp.int32),
                 n_hits.astype(jnp.int32),
-                total.astype(jnp.int32),
+                jnp.int32(0),
                 n_rows.astype(jnp.int32),
                 max_rh.astype(jnp.int32),
                 jnp.int32(0),
@@ -591,7 +718,7 @@ def _site_table_host(contig: Contig, L: int, pam: str, pam_direction: str):
         )
         return positions, strands, codes
 
-    return _GENOME_SHARD_CACHE.get_or_put(("site_host", art_key), build), digest
+    return _SITE_HOST_CACHE.get_or_put(("site_host", art_key), build), digest
 
 
 class _SiteScanRun:
@@ -618,6 +745,7 @@ class _SiteScanRun:
         import time as _time
 
         self._t0 = _time.time()
+        _check_spacer_len(q_f)
         n_lib, n_gen = _mesh_dims(mesh)
         S, L = q_f.shape
         K = max(_cdiv(4 * L, 128) * 128, 128)
@@ -630,8 +758,7 @@ class _SiteScanRun:
         self.empty = n_sites == 0 or S == 0
         if self.empty:
             return
-        SUB = max(P // min(sub_width, P), 1)
-        P2 = P // SUB
+        SUB, P2 = _phase2_geom(P, sub_width)
         L_pad = _cdiv(L, 8) * 8
         Bs = _cdiv(n_sites, n_gen * P) * P
         total_s = n_gen * Bs
@@ -846,15 +973,8 @@ def sharded_scan(
     if use_pallas is None:
         use_pallas = mesh.devices.ravel()[0].platform in ("tpu", "axon")
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
-    if q_f.shape[0] and q_f.shape[1] > (1 << _MM_BITS) - 1:
-        # the packed hit word carries mismatch counts in _MM_BITS bits
-        # (mm <= L must fit); beyond it the meta field would silently
-        # corrupt spacer indices
-        raise ValueError(
-            f"sharded engine supports spacers up to {(1 << _MM_BITS) - 1} nt "
-            f"(got {q_f.shape[1]})"
-        )
-    if q_f.shape[0] and bool(pam) and site_mode != "never":
+    _check_spacer_len(q_f)
+    if q_f.shape[0] and _want_sites(pam, site_mode):
         # PAM scans run site-compacted (~N/4^|informative-bases| of the
         # dense columns, forward rows only, no halo ring) — the same engine
         # choice that wins single-chip; "never" forces the dense fused path
@@ -876,8 +996,7 @@ def sharded_scan(
     n_starts = min(n, scan_len - L + 1) if scan_len >= L else 0
     if n_starts <= 0 or S == 0:
         return Hits()
-    SUB = max(P // min(sub_width, P), 1)
-    P2 = P // SUB  # phase-2 subtile width; decode relies on P2 * SUB == P
+    SUB, P2 = _phase2_geom(P, sub_width)
     if P2 < halo:
         raise ValueError(f"subtile width {P2} must cover the halo {halo}")
 
@@ -923,8 +1042,12 @@ def sharded_scan(
     genome_digest = _content_digest(contig.codes)
     base_key = (genome_digest, contig.id, n, bool(contig.circular),
                 L, pam, pam_direction, n_gen, B, mesh_key)
+    # codes blocks are PAM-independent (only the 'ok' masks depend on the
+    # PAM) — keying them on base_key forced a redundant rebuild + h2d
+    # re-ship of identical data when one genome was scanned under two PAMs
     codes_dev = _GENOME_SHARD_CACHE.get_or_put(
-        ("codes", base_key),
+        ("codes", genome_digest, contig.id, n, bool(contig.circular), L,
+         n_gen, B, mesh_key),
         lambda: put_global(_build_codes_blocks, sharding_g),
     )
     thresh_v = _Q_SHARD_CACHE.get_or_put(
@@ -1165,7 +1288,7 @@ def sharded_scan_contigs(
         if not isinstance(spacers, np.ndarray)
         else spacers
     )
-    if not (q_f.shape[0] and bool(pam) and site_mode != "never"):
+    if not (q_f.shape[0] and _want_sites(pam, site_mode)):
         return [
             sharded_scan(
                 q_f, c, max_mismatches, pam, pam_direction, mesh=mesh, P=P,

@@ -278,3 +278,101 @@ def test_sharded_rejects_oversized_spacers(mesh8):
     with pytest.raises(ValueError, match="up to 63"):
         sharded_scan(["A" * 64], contig_from_record(rec), 0, pam="",
                      mesh=mesh8, P=256)
+
+
+def test_many_and_contigs_reject_oversized_spacers(mesh8):
+    """sharded_scan_many / sharded_scan_contigs construct _SiteScanRun
+    directly — they must hit the same L <= 63 guard as sharded_scan, not
+    silently overflow the 6-bit mm field (r5 review: a 70-nt library
+    returned corrupted spacer indices through the serving path)."""
+    import barcoder_tpu.parallel.sharded_scan as ss
+
+    rec = make_record(n=2000, seed=3)
+    contig = contig_from_record(rec)
+    with pytest.raises(ValueError, match="up to 63"):
+        ss.sharded_scan_many([["A" * 70]], contig, 68, pam="NGG",
+                             mesh=mesh8, P=256)
+    with pytest.raises(ValueError, match="up to 63"):
+        ss.sharded_scan_contigs(["A" * 70], [contig], 68, pam="NGG",
+                                mesh=mesh8, P=256)
+
+
+def test_bad_sub_width_raises_upfront(mesh8):
+    """A sub_width whose derived SUB does not divide P must raise a clear
+    ValueError up front — it used to fail deep inside tracing with an
+    opaque reshape error (r5 review), and a silent pass would mis-map
+    decoded positions."""
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan
+
+    rec = make_record(n=4000, seed=4)
+    contig = contig_from_record(rec)
+    with pytest.raises(ValueError, match="sub_width"):
+        sharded_scan(["ACGTACGTACGTACGTACGT"], contig, 1, pam="",
+                     mesh=mesh8, P=2048, sub_width=600)
+    with pytest.raises(ValueError, match="sub_width"):
+        sharded_scan(["ACGTACGTACGTACGTACGT"], contig, 1, pam="NGG",
+                     mesh=mesh8, P=2048, sub_width=600)
+
+
+def test_allN_pam_routes_dense_and_agrees(mesh8):
+    """An all-wildcard PAM ('N') has no informative base: site compaction
+    would ship ~L_pad bytes per genome base for zero FLOP savings, so
+    'auto' must take the dense fused path (r5 review) — and the results
+    must match the oracle either way."""
+    import barcoder_tpu.parallel.sharded_scan as ss
+
+    assert not ss._want_sites("N", "auto")
+    assert not ss._want_sites("NN", "auto")
+    assert ss._want_sites("N", "always")
+    assert ss._want_sites("NGG", "auto")
+    assert not ss._want_sites("NGG", "never")
+
+    rng = np.random.default_rng(11)
+    rec = make_record(n=6000, seed=11)
+    spacers = [random_seq(20, rng) for _ in range(4)]
+    plant_guide(rec, spacers[0], 1200, pam="ACA")
+    contig = contig_from_record(rec)
+    before = ss._SITE_HOST_CACHE.stats()["misses"]
+    hits = ss.sharded_scan(spacers, contig, 1, pam="N", mesh=mesh8, P=256)
+    assert ss._SITE_HOST_CACHE.stats()["misses"] == before  # dense path
+    assert tuples(hits) == tuples(oracle_scan(spacers, contig, 1, pam="N"))
+
+
+def test_chunked_phase2_agrees(mesh8, monkeypatch):
+    """The chunked phase-2 path (pair_cap above the ~1 GB transient
+    budget): force a tiny chunk size so pair_cap=512 runs as multiple
+    lax.map chunks on BOTH engines, and require exact oracle agreement on
+    a hit-dense workload plus the planted-guide set."""
+    import barcoder_tpu.parallel.sharded_scan as ss
+
+    monkeypatch.setattr(ss, "_pair_chunk", lambda BS_M, P2: 128)
+    ss._sharded_engine.cache_clear()
+    ss._sharded_site_engine.cache_clear()
+    try:
+        rng = np.random.default_rng(12)
+        rec = make_record(n=9000, topology="circular", seed=12)
+        spacers = [random_seq(20, rng) for _ in range(6)]
+        for i, s in enumerate(spacers):
+            plant_guide(rec, s, 600 + 1200 * i, pam="TGG",
+                        strand="F" if i % 2 else "R")
+        contig = contig_from_record(rec)
+        for pam, mode in [("NGG", "auto"), ("NGG", "never"), ("", "never")]:
+            a = tuples(oracle_scan(spacers, contig, 1, pam=pam))
+            b = tuples(ss.sharded_scan(
+                spacers, contig, 1, pam=pam, mesh=mesh8, P=256,
+                pair_cap=512, site_mode=mode,
+            ))
+            assert a == b, (pam, mode)
+        # hit-dense: poly-A genome x poly-A spacer overflows pairs and
+        # exercises chunked compaction + the retry protocol together
+        rec2 = make_record(n=3000, seed=13)
+        rec2.seq = "A" * 3000
+        contig2 = contig_from_record(rec2)
+        a2 = tuples(oracle_scan(["A" * 20], contig2, 0, pam=""))
+        b2 = tuples(ss.sharded_scan(["A" * 20], contig2, 0, pam="",
+                                    mesh=mesh8, P=256, pair_cap=512,
+                                    site_mode="never"))
+        assert a2 == b2
+    finally:
+        ss._sharded_engine.cache_clear()
+        ss._sharded_site_engine.cache_clear()
