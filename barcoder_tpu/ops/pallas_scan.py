@@ -347,6 +347,26 @@ def _tiles_and_mask(scan_dev, n_real, shift, pat, *, n_starts, halo, L, P,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_starts", "halo", "P"))
+def _tiles_only(scan_dev, *, n_starts, halo, P):
+    """Strand-independent half of _tiles_and_mask: the subtile matrix is
+    the same for both strands, so the batched fallback builds it once per
+    contig and only the PAM mask per strand."""
+    return _tiles_device_impl(scan_dev, n_starts=n_starts, P=P, halo=halo)
+
+
+@functools.partial(jax.jit, static_argnames=("n_starts", "L", "P", "circular"))
+def _mask_only(scan_dev, n_real, shift, pat, *, n_starts, L, P, circular):
+    """Per-strand half of _tiles_and_mask (shift/pat traced: one executable
+    serves every strand and PAM)."""
+    ok = _pam_ok_device(
+        scan_dev, n_real, shift, pat, n_starts_b=n_starts, L=L,
+        circular=circular,
+    )
+    n_tiles = _cdiv(n_starts, P)
+    return ok.astype(jnp.int32).reshape(n_tiles, 1, P)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "K", "P", "thresh", "cap", "cap_rows", "k"))
 def _extract_chunk(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, *, L, K, P, thresh, cap, cap_rows=0, k=4):
     return _extract_body(q_blocks_all, tiles, mask_tiles, sc_p, tc_p, valid, L=L, K=K, P=P, thresh=thresh, cap=cap, cap_rows=cap_rows, k=k)
@@ -416,6 +436,12 @@ def _compact_hits(hit, mm, *, cap, cap_rows, k=4):
     the caller retries with capacities sized from the returned counts (one
     retry, not a doubling walk)."""
     B, bs_, P_ = hit.shape
+    # a row holds at most P_ hits, so k > P_ is never needed — and the
+    # retry protocol grows k to powers of two, which for non-power-of-two
+    # row widths could exceed P_ and crash lax.top_k mid-retry (r5
+    # review); the clamp keeps results complete (k=P_ captures every hit)
+    # and the caller's worst_rh <= k_top convergence check intact
+    k = min(k, P_)
     rows = hit.reshape(B * bs_, P_)
     anyrow = rows.any(axis=1)
     n_rows = anyrow.sum().astype(jnp.int32)
@@ -459,6 +485,11 @@ def _pam_specs(pam: str, direction: str, L: int):
         return -m, pat, L, pat_rc_comp
     raise ValueError(f"pam direction must be 'downstream' or 'upstream', got {direction!r}")
 
+
+K_SPEC = 4  # top-k row capacity of the one-shot speculative phase 2: the
+# spec paths run _compact_hits at this fixed k and signal overflow past it
+# (the batched fallback then grows k dynamically); ONE constant so the
+# compaction call and the overflow signal can never diverge
 
 EXTRACT_BATCH = 4096  # pairs per phase-2 dispatch: dispatch latency is the
 # cost on tunneled links, and at bs=512/P2=128 a 4096-pair batch stays
@@ -628,12 +659,16 @@ def extract_hits_for_pairs(
     thresh: int,
     strand: int,
     extract_batch: int = 1024,
+    bs: int = BS,
 ) -> list[Hits]:
-    """Phase-2 driver shared by the single-chip and sharded paths: score the
-    nonzero (tile, spacer-block) pairs in bucketed batches (one fused
-    dispatch each) with on-device hit compaction, returning Hits fragments.
-    All batches are dispatched before any result is fetched (each fetch is
-    a full round trip on tunneled links); overflow retries synchronously."""
+    """STANDALONE phase-2 reference driver (tests/test_extract.py): score
+    the nonzero (tile, spacer-block) pairs in bucketed batches (one fused
+    dispatch each) with on-device hit compaction, returning Hits
+    fragments. All batches dispatch before any result is fetched; overflow
+    retries synchronously. The production engines run their own
+    pipelined variants of this loop (_ScanJob.collect /
+    _SiteScanJob.collect); ``bs`` must match q_blocks_all's block height
+    (production preps use 256/512 for larger libraries, not BS)."""
     out: list[Hits] = []
     pending = []
     for c0 in range(0, len(t_idx), extract_batch):
@@ -673,13 +708,13 @@ def extract_hits_for_pairs(
         mm_vals = np.asarray(mm_vals)[:n_hits]
         if n_hits == 0:
             continue
-        bi = idx // (BS * P)
-        rem = idx % (BS * P)
+        bi = idx // (bs * P)
+        rem = idx % (bs * P)
         si = rem // P
         pi = rem % P
         keep = bi < nb
         bi, si, pi, mm_vals = bi[keep], si[keep], pi[keep], mm_vals[keep]
-        spacer_idx = sc[bi] * BS + si
+        spacer_idx = sc[bi] * bs + si
         pos = tc[bi] * P + pi
         keep2 = spacer_idx < S  # padding rows can't hit, but be safe
         out.append(
@@ -910,7 +945,14 @@ def _pam_ok_device(scan_dev, n_real, shift, pat, *, n_starts_b, L, circular):
     if not circular:
         ok &= p <= n_real - L
     if circular:
-        left = jax.lax.dynamic_slice(scan_dev, (n_real - MAX_PAM,), (MAX_PAM,))
+        # modular gather, not dynamic_slice: a contig shorter than MAX_PAM
+        # makes the slice start negative, and dynamic_slice CLAMPS it to 0
+        # — the "left halo" would silently read the contig START instead
+        # of the wrapped tail (r5 review). 12 elements, negligible cost.
+        left = scan_dev[
+            (n_real - MAX_PAM + jnp.arange(MAX_PAM, dtype=jnp.int32))
+            % jnp.maximum(n_real, 1)
+        ]
     else:
         left = jnp.full((MAX_PAM,), 5, dtype=scan_dev.dtype)  # OOB sentinel
     ext = jnp.concatenate([left, scan_dev])
@@ -1074,12 +1116,12 @@ def extract_spec(q_blocks_all, scan_dev, n_real, shift_f, pat_f, shift_r, pat_r,
     hit = (mm <= thresh) & mask_sel[:, None, :] & slot_ok[:, None, None]
     cap_rows = max(cap // 16, 2 * B)
     idx, mm_vals, n_hits, n_rows, max_row_hits = _compact_hits(
-        hit, mm, cap=cap, cap_rows=cap_rows
+        hit, mm, cap=cap, cap_rows=cap_rows, k=K_SPEC
     )
     # single overflow signal: > cap forces the host to fall back to the
     # batched path (which sizes its capacities from phase-1 counts)
     n_signal = jnp.where(
-        (n_rows > cap_rows) | (max_row_hits > 4),
+        (n_rows > cap_rows) | (max_row_hits > K_SPEC),
         jnp.maximum(n_hits, cap + 1),
         n_hits,
     )
@@ -1171,6 +1213,16 @@ class _QPrep:
             raise ValueError(
                 f"P ({P}) must be divisible by its subtile count "
                 f"({self.SUB}); pick P a multiple of sub_width"
+            )
+        if self.P2 < self.halo:
+            # subtiles narrower than the halo silently CLAMP the tile
+            # slice (shifted[:, :halo] on a 2*P2-wide array) and then the
+            # phase-2 dynamic_slice clamps its start — the last spacer
+            # bases score against wrong genome codes with no exception.
+            # Same guard the sharded engine enforces.
+            raise ValueError(
+                f"subtile width {self.P2} must cover the halo {self.halo} "
+                f"(sub_width too small for L={L})"
             )
         # phase-2 pair batches: 4096-pair batches measured fastest (fewer
         # dispatches + compaction sorts) and fit HBM up to P2=512 (~4.3 GB
@@ -1445,15 +1497,25 @@ class _ScanJob:
         # for both strands are dispatched before any result is fetched —
         # each fetch is a full round trip on tunneled links.
         pending = []
+        tiles_shared = None  # strand-independent: build ONCE per contig
         for strand in (STRAND_F, STRAND_R):
             t_idx, s_idx, counts = strand_pairs[strand]
             if len(t_idx) == 0:
                 continue
             q_blocks_all = p.q_dev[strand].reshape(-1, bs, K)
-            tiles_s, mask_s = _tiles_and_mask(
+            if tiles_shared is None:
+                tiles_shared = _tiles_only(
+                    self.scan_dev, n_starts=self.n_starts_b, halo=p.halo,
+                    P=P2,
+                )
+            tiles_s = tiles_shared
+            # only the PAM mask differs per strand (rebuilding the tile
+            # matrix per strand was one redundant full-genome device pass,
+            # r5 review)
+            mask_s = _mask_only(
                 self.scan_dev, self.n_real,
                 p.shift_dev[strand], p.pat_dev[strand],
-                n_starts=self.n_starts_b, halo=p.halo, L=p.L, P=P2,
+                n_starts=self.n_starts_b, L=p.L, P=P2,
                 circular=self.circular,
             )
             for c0 in range(0, len(t_idx), p.extract_batch):
@@ -1615,10 +1677,10 @@ def extract_spec_matrix(q_blocks_all, codes_lp, n_sites, pairs, n_pairs, *, L,
     hit = (mm <= thresh) & col_ok[:, None, :] & (slot_ok & (t_idx < n_t2))[:, None, None]
     cap_rows = max(cap // 16, 2 * B)
     idx, mm_vals, n_hits, n_rows, max_row_hits = _compact_hits(
-        hit, mm, cap=cap, cap_rows=cap_rows
+        hit, mm, cap=cap, cap_rows=cap_rows, k=K_SPEC
     )
     n_signal = jnp.where(
-        (n_rows > cap_rows) | (max_row_hits > 4),
+        (n_rows > cap_rows) | (max_row_hits > K_SPEC),
         jnp.maximum(n_hits, cap + 1),
         n_hits,
     )

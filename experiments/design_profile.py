@@ -30,7 +30,7 @@ packed = np.asarray(job.spec_fut)
 t3 = time.time()
 n_pairs, n_sig = int(packed[0]), int(packed[1])
 print(f"spec: n_pairs={n_pairs} (B={p.spec_B}) n_sig={n_sig} (cap={p.spec_cap})")
-t_idx, s_idx = job._decode_pairs("fused", job._phase1_fused)
+t_idx, s_idx, _vals = job._decode_pairs("fused", job._phase1_fused)
 t4 = time.time()
 print(f"pairs: {len(t_idx)}")
 h2 = job.collect.__wrapped__(job) if hasattr(job.collect, "__wrapped__") else None

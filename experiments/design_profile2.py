@@ -24,7 +24,7 @@ p = prep
 t0 = time.time()
 packed = np.asarray(job.spec_fut)
 t1 = time.time()
-t_idx, s_idx = job._decode_pairs("fused", job._phase1_fused)
+t_idx, s_idx, _vals = job._decode_pairs("fused", job._phase1_fused)
 t2 = time.time()
 n_sb_half = p.S_pad // p.bs
 rev = s_idx >= n_sb_half
@@ -60,13 +60,13 @@ print(f"spec fetch {1e3*(t1-t0):.0f} | pair decode {1e3*(t2-t1):.0f} | "
       f"dispatch {1e3*(t4-t3):.0f} ms, {len(pending)} batches")
 for i, (strand, nb, cap, fut, args, kw, disp) in enumerate(pending):
     tf0 = time.time()
-    idx, mm_vals, n_hits = fut
+    idx, mm_vals, n_hits, _nr, _mrh = fut
     n_hits = int(n_hits)
     tf1 = time.time()
     retries = 0
     while n_hits > cap:
         cap = max(cap * 2, 1 << (n_hits - 1).bit_length())
-        idx, mm_vals, n_hits = ps.extract_full(*args, cap=cap, **kw)
+        idx, mm_vals, n_hits, _nr, _mrh = ps.extract_full(*args, cap=cap, **kw)
         n_hits = int(n_hits)
         retries += 1
     tf2 = time.time()

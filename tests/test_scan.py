@@ -245,3 +245,82 @@ def test_auto_backend_prefers_sharded_on_multichip(monkeypatch):
     assert scan_mod.resolve_backend("auto") == "sharded"
     monkeypatch.setenv("BARCODER_TPU_BACKEND", "oracle")
     assert scan_mod.resolve_backend("auto") == "oracle"
+
+
+def test_small_sub_width_rejected():
+    """sub_width so small that the phase-2 subtile (P2) cannot cover the
+    halo (K//4) silently CLAMPED tile slices and scored the last spacer
+    bases against wrong genome codes (r5 review) — must raise up front,
+    matching the sharded engine's guard."""
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+
+    rec = make_record(n=2000, seed=62)
+    contig = contig_from_record(rec)
+    with pytest.raises(ValueError, match="halo"):
+        pallas_scan([random_seq(20, np.random.default_rng(0))], contig, 1,
+                    pam="NGG", P=512, sub_width=16, interpret=True)
+
+
+def test_compact_hits_k_clamped_to_row_width():
+    """The retry protocol grows k to powers of two, which for
+    non-power-of-two row widths can exceed the row width — lax.top_k then
+    raises mid-retry. _compact_hits clamps k internally; results must
+    stay complete (k=P captures every hit in a row)."""
+    import jax.numpy as jnp
+
+    from barcoder_tpu.ops.pallas_scan import _compact_hits
+
+    rng = np.random.default_rng(7)
+    hit = rng.random((2, 4, 6)) < 0.5  # row width 6, not a power of two
+    mm = rng.integers(0, 3, size=hit.shape)
+    idx, mm_vals, n_hits, n_rows, max_rh = _compact_hits(
+        jnp.asarray(hit), jnp.asarray(mm), cap=64, cap_rows=16, k=16
+    )
+    idx = np.asarray(idx)
+    got = {(int(i) // 6, int(i) % 6) for i in idx if i >= 0}
+    want = {(r, c) for r in range(8) for c in range(6) if hit.reshape(8, 6)[r, c]}
+    assert got == want
+    assert int(n_hits) == hit.sum()
+
+
+def test_tiny_circular_contig_pam_wrap():
+    """Circular left-halo PAM reads on a contig SHORTER than the PAM spec
+    window (MAX_PAM=12): dynamic_slice clamped the negative start and read
+    the contig head instead of the wrapped tail (r5 review) — the DEVICE
+    site mask (_pam_ok_device, the one the kernels fuse) must agree with
+    the host-side oracle masks for both strands and directions."""
+    import jax.numpy as jnp
+
+    from barcoder_tpu.core.encode import encode
+    from barcoder_tpu.core.genome import Contig
+    from barcoder_tpu.ops import pallas_scan as ps
+    from barcoder_tpu.ops.prep import build_scan_array, site_masks
+
+    seq = "ACGTACGG"  # 8 bp circular; left halo must wrap multiply
+    contig = Contig(id="tiny", length=8, codes=encode(seq), seq=seq,
+                    topology="circular")
+    L = 4
+    scan = build_scan_array(contig, L)
+    n_starts_b = 8
+    scan_padded = np.full(n_starts_b + len(scan) - 8 + ps.MAX_PAM, 4,
+                          np.int8)
+    scan_padded[: len(scan)] = scan
+    # the engine appends MAX_PAM wrap codes after the L-1 halo; replicate
+    for j in range(ps.MAX_PAM):
+        scan_padded[len(scan) + j] = contig.codes[(L - 1 + j) % 8]
+    scan_dev = jnp.asarray(scan_padded)
+    for pam, direction in [("GG", "upstream"), ("GG", "downstream"),
+                           ("NG", "upstream"), ("NGG", "downstream")]:
+        mask_f, mask_r = site_masks(contig, L, pam, direction)
+        shift_f, pat_f, shift_r, pat_r = ps._pam_specs(pam, direction, L)
+        for shift, pat, host in [(shift_f, pat_f, mask_f),
+                                 (shift_r, pat_r, mask_r)]:
+            pat_arr = np.full(ps.MAX_PAM, 7, np.int8)
+            pat_arr[: len(pat)] = pat
+            dev = np.asarray(ps._pam_ok_device(
+                scan_dev, jnp.int32(8), jnp.int32(shift),
+                jnp.asarray(pat_arr), n_starts_b=n_starts_b, L=L,
+                circular=True,
+            ))[:8]
+            assert (dev == host[:8].astype(bool)).all(), (
+                pam, direction, shift, dev, host[:8])
