@@ -18,11 +18,20 @@ def fold_hit_coords(p: int, L: int, chrom_length: int) -> tuple[int, int]:
     (targets.py:380-384). A hit ending exactly at the origin has
     tar_end == 0 and a negative tar_start.
     """
+    a, b = fold_hit_coords_vec(p, L, chrom_length)
+    return int(a), int(b)
+
+
+def fold_hit_coords_vec(p, L: int, chrom_length: int):
+    """Vectorized fold_hit_coords over arrays of canonical positions —
+    the ONE implementation of the fold quirk (build_rows uses this
+    directly; the scalar form wraps it)."""
+    import numpy as np
+
     tar_start = p % chrom_length
     tar_end = (p + L) % chrom_length
-    if tar_end < tar_start:
-        tar_start -= chrom_length
-    return tar_start, tar_end
+    wrap = tar_end < tar_start
+    return np.where(wrap, tar_start - chrom_length, tar_start), tar_end
 
 
 def get_coords(tar_start: int, tar_end: int, chrom_length: int) -> str:

@@ -298,23 +298,33 @@ class Genome:
     def all_genes(self) -> dict:
         return {c.id: c.gene_count for c in self.contigs}
 
-    def ambiguity_stats(self) -> tuple[int, int]:
+    def ambiguity_stats(self, gene_window: str = "body") -> tuple[int, int]:
         """(n_ambiguous_coordinates, n_ambiguous_locus_tags): folded genome
         positions covered by >1 locus entry and the tags touching them
-        (reference: targets.py:788-797).
+        (reference: targets.py:788-797; for gene_window="upstream" the
+        PROMOTER-WINDOW map is counted instead, matching
+        targets_in_upstream.py:786-807 — body overlap and window overlap
+        are independent, so the upstream tool's stats differ).
 
-        Computed on the unfolded [0, len + min(len, OVERHANG)) axis like the
-        reference's dict keys, then folded. Genome-level and input-invariant,
-        so cached (postprocess calls it per run; ~1 s at E. coli scale).
+        Computed on the unfolded axis like the reference's dict keys, then
+        folded. Genome-level and input-invariant, so cached per mode
+        (postprocess calls it per run; ~1 s at E. coli scale).
 
         The cache assumes a Genome is IMMUTABLE after construction — the
         invariant the whole package relies on (the device scan caches key
         on contig content for the same reason). Mutating `contigs` /
         `locus_entries` in place after the first call returns stale stats;
         build a new Genome instead."""
-        cached = getattr(self, "_ambiguity_cache", None)
-        if cached is not None:
-            return cached
+        cache = getattr(self, "_ambiguity_cache2", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_ambiguity_cache2", cache)
+        if gene_window in cache:
+            return cache[gene_window]
+        if gene_window == "upstream":
+            stats = self._upstream_ambiguity_stats()
+            cache[gene_window] = stats
+            return stats
         total_coords = 0
         tags: set = set()
         for c in self.contigs:
@@ -359,5 +369,49 @@ class Genome:
                 for e, touched in zip(c.locus_entries, hi > lo):
                     if touched and e.join_end > e.join_start:
                         tags.add(e.locus_tag)
-        object.__setattr__(self, "_ambiguity_cache", (total_coords, len(tags)))
+        cache["body"] = (total_coords, len(tags))
+        return total_coords, len(tags)
+
+    def _upstream_ambiguity_stats(self) -> tuple[int, int]:
+        """Promoter-window ambiguity (targets_in_upstream.py:786-796): raw
+        window keys (negative and past-length allowed) covered by >1 entry,
+        folded % length; tags are the entries whose window contains a
+        folded ambiguous position (the reference looks the FOLDED position
+        up in its raw-key map — same folded-lookup treatment as the body
+        stats). Windows here are the UNCLIPPED reference ranges, not the
+        join-clipped ones of build_upstream_entries: overlap past the
+        contig length still folds into ambiguous coordinates."""
+        total_coords = 0
+        tags: set = set()
+        for c in self.contigs:
+            n = c.length
+            wins: list[tuple[int, int, str]] = []
+            for e in c.locus_entries:
+                if e.strand == 1:
+                    ws = e.start - 205
+                    we = e.start - 95 if e.end > n else e.start + 95
+                elif e.strand == -1:
+                    ws, we = e.end + 95, e.end + 205
+                else:
+                    continue  # strandless genes: skipped (the reference crashes)
+                wins.append((ws, we, e.locus_tag))
+            if not wins or n == 0:
+                continue
+            lo = min(ws for ws, _we, _t in wins)
+            hi = max(we for _ws, we, _t in wins)
+            if hi <= lo:
+                continue
+            cov = np.zeros(hi - lo + 1, dtype=np.int32)
+            for ws, we, _t in wins:
+                cov[ws - lo] += 1
+                cov[we - lo] -= 1
+            amb_raw = np.nonzero(np.cumsum(cov[:-1]) > 1)[0] + lo
+            folded = np.unique(amb_raw % n)
+            total_coords += len(folded)
+            if len(folded):
+                lo_i = np.searchsorted(folded, [w[0] for w in wins])
+                hi_i = np.searchsorted(folded, [w[1] for w in wins])
+                for (ws, we, tag), touched in zip(wins, hi_i > lo_i):
+                    if touched:
+                        tags.add(tag)
         return total_coords, len(tags)

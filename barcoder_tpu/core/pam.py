@@ -111,6 +111,20 @@ def pam_site_masks(
     return ok_f & valid_window, ok_r & valid_window
 
 
+def pam_window_start(p, L: int, m: int, strand_is_rev, direction: str):
+    """Start of the m-base PAM window for a hit at canonical start ``p``
+    (scalar or array; ``strand_is_rev`` bool scalar or array) — the ONE
+    source of truth for the reference's 4-way placement rule
+    (targets.py:227-307): downstream-F p+L, downstream-R p-m,
+    upstream-F p-m, upstream-R p+L. Shared by extract_pam and the
+    vectorized pipeline extraction (pipeline.targets._pam_strings)."""
+    import numpy as np
+
+    if direction == "downstream":
+        return np.where(strand_is_rev, p - m, p + L)
+    return np.where(strand_is_rev, p + L, p - m)
+
+
 def extract_pam(
     contig: Contig, p: int, L: int, strand: str, pam: str, direction: str = "downstream"
 ) -> str | None:
@@ -129,12 +143,9 @@ def extract_pam(
             return None
         return contig.codes[a:b]
 
-    if direction == "downstream":
-        window = fetch(p + L, p + L + m) if strand == "F" else fetch(p - m, p)
-        rc = strand == "R"
-    else:
-        window = fetch(p - m, p) if strand == "F" else fetch(p + L, p + L + m)
-        rc = strand == "R"
+    start = int(pam_window_start(p, L, m, strand == "R", direction))
+    window = fetch(start, start + m)
+    rc = strand == "R"
     if window is None:
         return None
     if rc:

@@ -30,10 +30,10 @@ import numpy as np
 import pandas as pd
 from numpy.lib.stride_tricks import sliding_window_view
 
-from ..core.coords import get_coords, get_diff
+from ..core.coords import fold_hit_coords_vec, get_coords, get_diff
 from ..core.encode import COMP_ASCII, DECODE_ASCII
 from ..core.genome import Contig, Genome
-from ..core.pam import pam_is_trivial
+from ..core.pam import pam_is_trivial, pam_window_start
 from ..ops.prep import build_scan_array, revcomp_matrix, spacer_matrix
 from ..ops.scan import scan_contigs
 from ..ops.types import STRAND_R, Hits
@@ -83,11 +83,10 @@ def _pam_strings(contig: Contig, hits: Hits, L: int, pam: str, direction: str) -
         return [None] * len(hits)
     m = len(pam)
     n = contig.length
-    p = hits.pos
-    if direction == "downstream":
-        starts = np.where(hits.strand == STRAND_R, p - m, p + L)
-    else:
-        starts = np.where(hits.strand == STRAND_R, p + L, p - m)
+    # shared 4-way placement rule (core.pam.pam_window_start) — one source
+    # of truth with extract_pam
+    starts = pam_window_start(hits.pos, L, m, hits.strand == STRAND_R,
+                              direction)
     idx = starts[:, None] + np.arange(m)[None, :]
     if contig.circular:
         idx = idx % n
@@ -125,10 +124,10 @@ def build_rows(
         return pd.DataFrame()
     L = q_f.shape[1]
     n = contig.length
-    tar_start = hits.pos % n
-    tar_end = (hits.pos + L) % n
-    wrap = tar_end < tar_start
-    tar_start = np.where(wrap, tar_start - n, tar_start)
+    # shared fold-quirk implementation (core.coords): tar_end == 0 with a
+    # negative tar_start for hits ending exactly at the origin
+    tar_start, tar_end = fold_hit_coords_vec(hits.pos, L, n)
+    wrap = tar_start < 0
 
     targets = np.array(_target_strings(contig, hits, q_f, q_r), dtype=object)
     pams = np.array(_pam_strings(contig, hits, L, pam, pam_direction), dtype=object)
@@ -438,9 +437,15 @@ def run_targets(
         q_r = revcomp_matrix(q_f)
         seen = np.zeros(len(seqs), dtype=bool)
         contig_hits: list[tuple] = []
-        eligible = [
-            c for c in genome.contigs if not (c.length < L and not c.circular)
-        ]
+        # contigs shorter than the spacer are ineligible for BOTH
+        # topologies: linear ones cannot hold a window at all, and on a
+        # circular contig with L > length the multi-wrap hits the engine
+        # would find have no self-consistent folded coordinates (the
+        # single-subtraction fold in build_rows yields tar_end >= tar_start
+        # with wrap undetected) — the reference's bowtie path reports such
+        # reads unmapped, so dropping the contig is the faithful behavior
+        # (r5 review)
+        eligible = [c for c in genome.contigs if c.length >= L]
         # one batched call per length group: multi-replicon genomes share
         # the spacer prep and pipeline per-contig device work (ops.scan
         # .scan_contigs) instead of paying each contig's round trips serially
@@ -506,6 +511,7 @@ def run_targets(
             results, genome, pam, pam_direction, mismatches,
             insert_site=insert_site, identity_names=identity_names,
             assume_unique_rows=unique_rows, compat_columns=compat_columns,
+            gene_window=gene_window,
         )
     result.stats["profile"] = phases.summary()
     return result
@@ -521,6 +527,7 @@ def postprocess(
     identity_names: bool = False,
     assume_unique_rows: bool = False,
     compat_columns: bool = False,
+    gene_window: str = "body",
 ) -> TargetsResult:
     """The reference's main() dataframe stage (targets.py:605-701) plus the
     summary-statistics inputs for its rich table (targets.py:716-861).
@@ -655,7 +662,9 @@ def postprocess(
                      "tar_dir": "targDir"}
         )
 
-    stats = _summary_stats(results, final_results, genome, spacer_len_range, pam, pam_direction, mismatches)
+    stats = _summary_stats(results, final_results, genome, spacer_len_range,
+                           pam, pam_direction, mismatches,
+                           gene_window=gene_window)
     return TargetsResult(table=final_results, results=results, stats=stats)
 
 
@@ -674,8 +683,14 @@ def _summary_stats(
     pam: str,
     pam_direction: str,
     mismatches: int,
+    gene_window: str = "body",
 ) -> dict:
-    ambiguous_coordinates, ambiguous_locus_tags = genome.ambiguity_stats()
+    # the upstream tool reports PROMOTER-WINDOW ambiguity, not gene-body
+    # ambiguity (targets_in_upstream.py:786-807) — the two maps overlap
+    # independently
+    ambiguous_coordinates, ambiguous_locus_tags = genome.ambiguity_stats(
+        gene_window
+    )
     stats = {
         "pam": pam,
         "pam_direction": pam_direction,

@@ -72,11 +72,20 @@ def _feature_from_xml(el: ET.Element) -> Feature | None:
 
 
 def parse_snapgene(path: str) -> GenBankRecord:
-    """Parse a SnapGene .dna file into a GenBankRecord."""
+    """Parse a SnapGene .dna file into a GenBankRecord. ``.dna.gz`` is
+    accepted too (Genome.load advertises .gz for every format it
+    dispatches; gzip is sniffed by magic, not extension)."""
     with open(path, "rb") as fh:
         data = fh.read()
+    if data[:2] == b"\x1f\x8b":  # gzip magic
+        import gzip
 
-    record = GenBankRecord(id=os.path.splitext(os.path.basename(path))[0])
+        data = gzip.decompress(data)
+
+    base = os.path.basename(path)
+    if base.endswith(".gz"):
+        base = base[:-3]
+    record = GenBankRecord(id=os.path.splitext(base)[0])
     record.name = record.id
     for seg_type, payload in _iter_segments(data):
         if seg_type == 0 and payload:

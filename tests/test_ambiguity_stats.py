@@ -138,3 +138,59 @@ def test_random_agreement():
         assert genome.ambiguity_stats() == (exp_coords, len(exp_tags)), (
             seed, exp_coords, sorted(exp_tags)
         )
+
+
+def reference_upstream_ambiguity(contig) -> tuple[int, set]:
+    """Dict port of create_upstream_locus_map's window keys
+    (targets_in_upstream.py:47-171) + its ambiguity stat (:786-796)."""
+    n = contig.length
+    locus_map: dict[int, list] = {}
+    for e in contig.locus_entries:
+        if e.strand == 1:
+            ws, we = e.start - 205, (e.start - 95 if e.end > n else e.start + 95)
+        elif e.strand == -1:
+            ws, we = e.end + 95, e.end + 205
+        else:
+            continue
+        for p in range(ws, we):
+            locus_map.setdefault(p, []).append(e.locus_tag)
+    folded = {p % n for p, v in locus_map.items() if len(v) > 1}
+    tags = {t for f in folded for t in locus_map.get(f, [])}
+    return len(folded), tags
+
+
+def test_upstream_ambiguity_differs_from_body():
+    """Two +strand genes whose promoter windows overlap but whose bodies
+    do not: the upstream tool reports nonzero ambiguity where the body
+    map reports zero (targets_in_upstream.py:786-807; r5 review — the
+    stats previously always used the gene-body map)."""
+    a = Feature("gene", Location(500, 560, 1), {"locus_tag": ["A"]})
+    b = Feature("gene", Location(650, 710, 1), {"locus_tag": ["B"]})
+    # windows: A [295, 595), B [445, 745) → overlap [445, 595), 150 wide
+    rec = GenBankRecord(id="U1", name="U1", seq=random_seq(2000, np.random.default_rng(5)),
+                        topology="circular")
+    rec.features = [a, b]
+    genome = Genome(contigs=[contig_from_record(rec)])
+    assert genome.ambiguity_stats("body") == (0, 0)
+    exp_coords, exp_tags = reference_upstream_ambiguity(genome.contigs[0])
+    assert exp_coords == 150 and exp_tags == {"A", "B"}
+    assert genome.ambiguity_stats("upstream") == (150, 2)
+
+
+def test_upstream_ambiguity_random_agreement():
+    for seed in range(4):
+        rng = np.random.default_rng(400 + seed)
+        n = int(rng.integers(1500, 4000))
+        rec = GenBankRecord(id=f"U{seed}", name="U", seq=random_seq(n, rng),
+                            topology="circular" if seed % 2 else "linear")
+        feats = []
+        for i in range(int(rng.integers(3, 9))):
+            s = int(rng.integers(0, n - 100))
+            e = s + int(rng.integers(40, 300))
+            feats.append(Feature("gene", Location(s, min(e, n), 1 if rng.integers(0, 2) else -1),
+                                 {"locus_tag": [f"G{i}"]}))
+        rec.features = feats
+        genome = Genome(contigs=[contig_from_record(rec)])
+        exp_coords, exp_tags = reference_upstream_ambiguity(genome.contigs[0])
+        got = genome.ambiguity_stats("upstream")
+        assert got == (exp_coords, len(exp_tags)), (seed, got, exp_coords, exp_tags)

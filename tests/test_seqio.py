@@ -170,3 +170,21 @@ class TestLibrary:
         )
         assert len(lib.entries) == 9817
         assert lib.lengths() == {32}
+
+
+def test_snapgene_gz_roundtrip(tmp_path):
+    """Genome.load dispatches '*.dna.gz' to the SnapGene parser, which
+    must actually decompress it (r5 review: the raw bytes were fed to the
+    segment parser). Record id must also drop the .gz suffix."""
+    import gzip
+
+    from barcoder_tpu.core.genome import Genome
+
+    gz = tmp_path / "CP023716.dna.gz"
+    gz.write_bytes(gzip.compress(open(REF_SNAPGENE, "rb").read()))
+    plain = Genome.load(REF_SNAPGENE)
+    packed = Genome.load(str(gz))
+    assert [c.id for c in packed.contigs] == [c.id for c in plain.contigs]
+    assert packed.contigs[0].seq == plain.contigs[0].seq
+    assert packed.contigs[0].topology == plain.contigs[0].topology
+    assert packed.contigs[0].gene_count == plain.contigs[0].gene_count

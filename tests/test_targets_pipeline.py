@@ -384,3 +384,50 @@ def test_empty_library_returns_empty_schema():
 
     empty = pd.DataFrame(columns=["spacer", "target"])
     assert len(filter_offtargets_by_pam(empty)) == 0
+
+
+def test_circular_contig_shorter_than_spacer_is_unmapped():
+    """A circular contig shorter than the spacer has no self-consistent
+    folded coordinates for the multi-wrap hits the engine can find (and
+    the reference's bowtie path reports such reads unmapped) — the contig
+    must be ineligible and the spacer come back non-targeting (r5
+    review; linear sub-length contigs were already excluded)."""
+    from barcoder_tpu.seqio.genbank import GenBankRecord
+
+    from .genomes import genome_from_records
+
+    tiny = GenBankRecord(id="TINY.1", name="TINY", seq="ACGTACGTAC",
+                         topology="circular")
+    spacer = "ACGTACGTAC" + "ACGTACGTAC"  # 20 nt > 10 bp contig
+    lib = BarcodeLibrary.from_list([spacer])
+    res = run_targets(lib, genome_from_records([tiny]), "", 0)
+    assert len(res.table) == 1
+    row = res.table.iloc[0]
+    assert row.note == "non-targeting"
+    assert pd.isna(row.tar_start)
+
+
+def test_upstream_stats_use_promoter_window_map():
+    """targets --gene_window upstream must report PROMOTER-WINDOW
+    ambiguity (targets_in_upstream.py:786-807), not gene-body ambiguity
+    (r5 review: stats always used the body map)."""
+    from barcoder_tpu.seqio.genbank import Feature, GenBankRecord, Location
+
+    from .genomes import genome_from_records
+
+    rng = np.random.default_rng(31)
+    rec = GenBankRecord(id="UP1.1", name="UP1", seq=random_seq(3000, rng),
+                        topology="circular")
+    # +strand genes: bodies disjoint, windows [295,595) and [445,745)
+    rec.features = [
+        Feature("gene", Location(500, 560, 1), {"locus_tag": ["A"]}),
+        Feature("gene", Location(650, 710, 1), {"locus_tag": ["B"]}),
+    ]
+    genome = genome_from_records([rec])
+    lib = BarcodeLibrary.from_list([random_seq(20, rng)])
+    res_body = run_targets(lib, genome, "NGG", 0)
+    res_up = run_targets(lib, genome, "NGG", 0, gene_window="upstream")
+    assert res_body.stats["ambiguous_coordinates"] == 0
+    assert res_body.stats["overlapping_genes"] == 0
+    assert res_up.stats["ambiguous_coordinates"] == 150
+    assert res_up.stats["overlapping_genes"] == 2
