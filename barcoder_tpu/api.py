@@ -33,6 +33,13 @@ from .ops.types import STRAND_R
 from .seqio.library import BarcodeLibrary  # re-export for API parity
 from .utils.logger import Logger
 
+# schemas of ScanRunner.align / .join_features — pinned so EMPTY results
+# keep their columns (a columnless frame crashed CRISPRiLibrary)
+_ALIGN_COLUMNS = (
+    "Chromosome", "Start", "End", "Mapped", "Strand", "Barcode", "Mismatches",
+)
+_JOIN_COLUMNS = ["Start_b", "End_b", "Strand_b", "Locus_Tag", "Gene", "Type"]
+
 __all__ = ["Genome", "BarcodeLibrary", "GuideFinder", "PAMFinder", "ScanRunner", "CRISPRiLibrary"]
 
 
@@ -113,13 +120,29 @@ class PAMFinder:
         self.direction = direction
         self._by_id = {c.id: c for c in genome.contigs}
 
+    @staticmethod
+    def get_strand(strand_symbol) -> int:
+        """Reference strand normalization (PAMProcessor.py:16-24):
+        'fwd'/'forward' count as +1 and unrecognized symbols RAISE —
+        silently treating garbage as minus strand yields plausible-looking
+        wrong PAM annotations (r5 review)."""
+        s = str(strand_symbol).lower().strip()
+        if s in ("+", "1", "+1", "fwd", "forward"):
+            return 1
+        if s in ("-", "-1", "rev", "reverse"):
+            return -1
+        raise ValueError(f"Unrecognized strand symbol: {strand_symbol}")
+
     def get_pam_seq(self, row) -> str:
         contig = self._by_id[row.Chromosome]
-        strand = 1 if str(row.Strand) in ("+", "1", "+1") else -1
+        strand = self.get_strand(row.Strand)
         if strand == 1:
             window = contig.seq[row.End : row.End + self.pam_length]
         else:
-            window = contig.seq[max(0, row.Start - self.pam_length) : row.Start]
+            # plain Python slice, preserving the reference's negative-index
+            # quirk (PAMProcessor.py:73-75): Start < pam_length makes the
+            # start index negative and the slice EMPTY, not truncated
+            window = contig.seq[row.Start - self.pam_length : row.Start]
         if strand == -1:
             window = revcomp(window)
         return window
@@ -196,7 +219,7 @@ class ScanRunner(Logger):
                         "Mismatches": 0,
                     }
                 )
-        df = pd.DataFrame(rows)
+        df = pd.DataFrame(rows, columns=_ALIGN_COLUMNS)
         if sam_path:
             from .seqio.sam import write_sam
 
@@ -224,10 +247,9 @@ class ScanRunner(Logger):
                 }
             )
             for feat in contig.features:
-                if feat.type not in ("source", "gene"):
-                    continue
-                if feat.type == "source":
-                    continue  # synthesized above from contig bounds
+                if feat.type != "gene":
+                    continue  # source rows are synthesized above from
+                    # contig bounds; other feature types aren't joined
                 for part in feat.location.parts:
                     data.append(
                         {
@@ -254,30 +276,61 @@ class ScanRunner(Logger):
         measured ~1k rows/s)."""
         feats = self.feature_frame()
         out_frames = []
-        for chrom, adf in align_df[align_df.Mapped].groupby("Chromosome"):
+        mapped = align_df[align_df.Mapped] if len(align_df) else align_df
+        for chrom, adf in mapped.groupby("Chromosome"):
             fdf = feats[feats.Chromosome == chrom].reset_index(drop=True)
             if not len(fdf):
                 continue
+            # contig-spanning 'source' rows overlap EVERY alignment; keeping
+            # them in the searchsorted window made max_len the contig length
+            # and lo always 0 — candidate pairs scaled as n_align x n_feat
+            # (r5 review: ~2e8 transient pairs at E. coli scale). Pair them
+            # directly and window-join only the gene rows.
+            is_src = (fdf.Type == "source").to_numpy()
+            pieces = []
+            n_src = int(is_src.sum())
+            if n_src:
+                src_idx = np.flatnonzero(is_src)
+                rep = np.repeat(np.arange(len(adf)), n_src)
+                pieces.append((rep, np.tile(src_idx, len(adf))))
+            gene_idx = np.flatnonzero(~is_src)
+            if len(gene_idx):
+                starts_g = fdf.Start.to_numpy()[gene_idx]
+                ends_g = fdf.End.to_numpy()[gene_idx]
+                order = np.argsort(starts_g, kind="stable")
+                s_sorted = starts_g[order]
+                max_len = int((ends_g - starts_g).max())
+                a = adf.Start.to_numpy()
+                b = adf.End.to_numpy()
+                lo = np.searchsorted(s_sorted, a - max_len)
+                hi = np.maximum(np.searchsorted(s_sorted, b), lo)
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total:
+                    # flatten all [lo_i, hi_i) ranges: pair p -> (row, slot)
+                    rep = np.repeat(np.arange(len(adf)), cnt)
+                    offsets = np.cumsum(cnt) - cnt
+                    slot = (
+                        np.arange(total) - np.repeat(offsets, cnt)
+                        + np.repeat(lo, cnt)
+                    )
+                    fi = gene_idx[order[slot]]
+                    starts = fdf.Start.to_numpy()
+                    ends = fdf.End.to_numpy()
+                    keep = (starts[fi] < b[rep]) & (ends[fi] > a[rep])
+                    pieces.append((rep[keep], fi[keep]))
+            if not pieces:
+                continue
+            rep = np.concatenate([p[0] for p in pieces])
+            fi = np.concatenate([p[1] for p in pieces])
+            # feature-frame order per alignment (source first, genes by
+            # position) like the pre-split single-window join emitted
+            sort = np.lexsort((fi, rep))
+            rep, fi = rep[sort], fi[sort]
+            if not len(rep):
+                continue
             starts = fdf.Start.to_numpy()
             ends = fdf.End.to_numpy()
-            order = np.argsort(starts, kind="stable")
-            s_sorted = starts[order]
-            max_len = int((ends - starts).max())
-            a = adf.Start.to_numpy()
-            b = adf.End.to_numpy()
-            lo = np.searchsorted(s_sorted, a - max_len)
-            hi = np.maximum(np.searchsorted(s_sorted, b), lo)
-            cnt = hi - lo
-            total = int(cnt.sum())
-            if not total:
-                continue
-            # flatten all [lo_i, hi_i) ranges: pair p -> (align row, slot)
-            rep = np.repeat(np.arange(len(adf)), cnt)
-            offsets = np.cumsum(cnt) - cnt
-            slot = np.arange(total) - np.repeat(offsets, cnt) + np.repeat(lo, cnt)
-            fi = order[slot]
-            keep = (starts[fi] < b[rep]) & (ends[fi] > a[rep])
-            rep, fi = rep[keep], fi[keep]
             joined = adf.iloc[rep].reset_index(drop=True)
             joined["Start_b"] = starts[fi]
             joined["End_b"] = ends[fi]
@@ -287,7 +340,10 @@ class ScanRunner(Logger):
             joined["Type"] = fdf.Type.to_numpy()[fi]
             out_frames.append(joined)
         if not out_frames:
-            return pd.DataFrame()
+            # schema'd empty frame: downstream consumers (CRISPRiLibrary)
+            # index these columns and crashed on a columnless frame
+            empty = pd.DataFrame(columns=list(_ALIGN_COLUMNS) + _JOIN_COLUMNS)
+            return empty
         return pd.concat(out_frames, ignore_index=True)
 
 

@@ -27,7 +27,6 @@ import numpy as np
 import pandas as pd
 from numpy.lib.stride_tricks import sliding_window_view
 
-from ..core.encode import decode
 from ..core.genome import Genome
 from ..ops.prep import build_scan_array, site_masks
 from ..pipeline.targets import TargetsResult, run_targets
@@ -136,11 +135,16 @@ class DesignOptions:
     full_overlap: bool = False
 
     def resolve(self, barcode_length: int) -> "DesignOptions":
-        if not self.tile_size:
-            self.tile_size = barcode_length
-        if self.omit_ambiguous:
-            self.omit_offtargets = True
-        return self
+        """Resolved COPY (tile_size default, omit_ambiguous implication):
+        mutating self carried stale tile_size/omit_offtargets into a later
+        run_design call reusing the same options object (r5 review)."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            tile_size=self.tile_size or barcode_length,
+            omit_offtargets=self.omit_offtargets or self.omit_ambiguous,
+        )
 
 
 def apply_design_filters(
@@ -284,7 +288,12 @@ def apply_design_filters(
                 full = np.nonzero(overlaps == barcode_length)[0]
                 last_offset = offsets[full[0]] if len(full) else None
             else:
-                last_offset = offsets[0]
+                # an all-NaN-offset group (unstranded feature,
+                # targets.py:231-232): NaN sorts last, so offsets[0] is NaN
+                # only when the whole group is — skip it like the empty
+                # full_overlap case (the reference CRASHES here: its
+                # offset==NaN mask selects nothing and .iloc[0] raises)
+                last_offset = None if np.isnan(offsets[0]) else offsets[0]
             if last_offset is not None:
                 selected_codes.add(sp_arr[offsets == last_offset][0])
             if last_offset is not None:
@@ -312,7 +321,17 @@ def apply_design_filters(
             counts = np.diff(np.r_[starts, len(lt_adj)])
             rank = np.arange(len(lt_adj)) - np.repeat(starts, counts)
             spc = targets["_spc"].to_numpy()
-            head_mask = (rank < opts.keep_top) & (lt_adj != null_code)
+            off_sorted = targets["offset"].to_numpy(
+                dtype="float64", na_value=np.nan
+            )
+            # nsmallest(keep_top, 'offset') silently DROPS NaN-offset rows
+            # (unstranded features) — positional rank alone would admit
+            # them whenever a group holds fewer than keep_top real offsets
+            head_mask = (
+                (rank < opts.keep_top)
+                & (lt_adj != null_code)
+                & ~np.isnan(off_sorted)
+            )
             top_codes = np.unique(spc[head_mask])
             targets = targets[np.isin(spc, top_codes)]
         info(f"Removed {len_before - len(targets):,} beyond-top-{opts.keep_top} guides")

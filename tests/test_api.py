@@ -175,3 +175,67 @@ class TestCRISPRiLibrary:
             want_ovl = max(min(row.End, row.End_b) - max(row.Start, row.Start_b), 0)
             assert row.Offset == want_off
             assert row.Overlap == want_ovl
+
+
+def test_pam_finder_strand_normalization():
+    """Reference get_strand semantics (PAMProcessor.py:16-24): 'fwd' and
+    'forward' are PLUS strand, unrecognized symbols raise — silently
+    treating them as minus produced wrong-window PAM annotations (r5
+    review)."""
+    from barcoder_tpu.api import PAMFinder
+
+    assert PAMFinder.get_strand("fwd") == 1
+    assert PAMFinder.get_strand("Forward") == 1
+    assert PAMFinder.get_strand("+1") == 1
+    assert PAMFinder.get_strand("rev") == -1
+    assert PAMFinder.get_strand(-1) == -1
+    with pytest.raises(ValueError, match="Unrecognized"):
+        PAMFinder.get_strand(".")
+
+
+def test_pam_finder_negative_slice_quirk(genome):
+    """Minus-strand PAM window with Start < pam_length: the reference's
+    negative Python slice returns '' (PAMProcessor.py:73-75) — not a
+    truncated window (r5 review)."""
+    from types import SimpleNamespace
+
+    from barcoder_tpu.api import PAMFinder
+
+    pf = PAMFinder(genome, "NGG", "downstream")
+    chrom = genome.contigs[0].id
+    row = SimpleNamespace(Chromosome=chrom, Start=2, End=22, Strand="-")
+    assert pf.get_pam_seq(row) == ""
+
+
+def test_align_empty_and_unmapped_join_schema(genome):
+    """align([]) and a nothing-overlaps join must return SCHEMA'D empty
+    frames — a columnless DataFrame crashed CRISPRiLibrary and
+    align_df.Mapped itself (r5 review)."""
+    from barcoder_tpu.api import ScanRunner
+
+    with ScanRunner(genome, backend="jax") as runner:
+        df = runner.align([], join_features=True)
+    assert list(df.columns[:7]) == [
+        "Chromosome", "Start", "End", "Mapped", "Strand", "Barcode",
+        "Mismatches",
+    ]
+    assert "Locus_Tag" in df.columns and len(df) == 0
+
+
+def test_join_features_includes_source_and_genes(genome):
+    """The split source/gene join (r5 review: contig-spanning source rows
+    degenerated the searchsorted window to a quadratic pair sweep) must
+    still pair every mapped alignment with its source row AND its
+    overlapping genes."""
+    from barcoder_tpu.api import ScanRunner
+
+    contig = genome.contigs[0]
+    # a guide inside the first gene's body
+    e = contig.locus_entries[0]
+    guide = contig.seq[e.start : e.start + 20]
+    with ScanRunner(genome, backend="jax") as runner:
+        df = runner.align([guide], num_mismatches=0, join_features=True)
+    mine = df[df.Barcode == guide]
+    assert (mine.Type == "source").sum() >= 1
+    gene_rows = mine[mine.Type == "gene"]
+    assert (gene_rows.Locus_Tag == e.locus_tag).any()

@@ -205,3 +205,72 @@ class TestDesignEndToEnd:
             for _, group in final.groupby("locus_tag"):
                 offs = sorted(group["offset"].unique())
                 assert all(b - a >= 50 for a, b in zip(offs, offs[1:]))
+
+
+class TestNaNOffsetGroups:
+    """Unstranded features (targets.py:231-232) produce rows with a
+    locus_tag but a NaN offset; the filter cascade must neither crash nor
+    keep them where the reference's nsmallest would drop them (r5
+    review)."""
+
+    def _frame(self):
+        import pandas as pd
+
+        rows = []
+        # normal gene: 4 rows with real offsets
+        for i in range(4):
+            rows.append(dict(
+                spacer=f"G{i}", target="acgt", note="1 sites, 1 genes",
+                sp_dir="F", tar_dir="F", mismatches=0, locus_tag="LOK",
+                offset=float(10 + 40 * i), overlap=20, chr="c1",
+                tar_start=100 + i, tar_end=120 + i,
+            ))
+        # unstranded gene: all offsets NaN
+        for i in range(3):
+            rows.append(dict(
+                spacer=f"N{i}", target="acgt", note="1 sites, 1 genes",
+                sp_dir="F", tar_dir=None, mismatches=0, locus_tag="LNAN",
+                offset=float("nan"), overlap=20, chr="c1",
+                tar_start=500 + i, tar_end=520 + i,
+            ))
+        return pd.DataFrame(rows)
+
+    def test_tiling_skips_all_nan_group(self):
+        from barcoder_tpu.pipeline.design import DesignOptions, apply_design_filters
+
+        opts = DesignOptions(
+            orientation="both", omit_intergenic=False, keep_top=0,
+            tile_size=30, mismatches=0,
+        ).resolve(20)
+        out = apply_design_filters(self._frame(), 20, opts)  # must not raise
+        kept = set(out["spacer"])
+        assert "G0" in kept  # tiling of the real group still works
+        assert not any(s.startswith("N") for s in kept)
+
+    def test_keep_top_drops_nan_offsets(self):
+        from barcoder_tpu.pipeline.design import DesignOptions, apply_design_filters
+
+        opts = DesignOptions(
+            orientation="both", omit_intergenic=False, keep_top=2,
+            tile_size=-1, mismatches=0,
+        ).resolve(20)
+        out = apply_design_filters(self._frame(), 20, opts)
+        kept = set(out["spacer"])
+        # nsmallest(2, 'offset') picks the 2 smallest REAL offsets per
+        # gene and never a NaN row
+        assert {"G0", "G1"} <= kept
+        assert not any(s.startswith("N") for s in kept)
+
+
+def test_design_options_resolve_is_pure():
+    """resolve() returns a modified copy: mutating the caller's options
+    carried tile_size/omit_offtargets into later runs (r5 review)."""
+    from barcoder_tpu.pipeline.design import DesignOptions
+
+    opts = DesignOptions(omit_ambiguous=True)
+    r1 = opts.resolve(20)
+    assert r1.tile_size == 20 and r1.omit_offtargets
+    assert opts.tile_size is None and not opts.omit_offtargets
+    opts.omit_ambiguous = False
+    r2 = opts.resolve(32)
+    assert r2.tile_size == 32 and not r2.omit_offtargets
