@@ -72,7 +72,13 @@ def write_fasta(records, path_or_handle, width: int = 70) -> None:
         for rec in records:
             if len(rec) == 3:
                 rid, desc, seq = rec
-                header = desc if desc and desc.split()[0] == rid else (f"{rid} {desc}".strip() if desc else rid)
+                words = desc.split() if desc else []
+                # whitespace-only descriptions count as absent (split()[0]
+                # on them raised IndexError)
+                header = (
+                    desc if words and words[0] == rid
+                    else (f"{rid} {desc}".strip() if words else rid)
+                )
             else:
                 rid, seq = rec
                 header = rid
@@ -120,10 +126,12 @@ def iter_fastq(path_or_handle) -> Iterator[tuple[str, str, str]]:
             header = handle.readline()
             if not header:
                 break
-            seq = handle.readline().rstrip("\n")
+            # .strip(), not rstrip("\n"): CRLF files otherwise leave \r on
+            # every field (iter_fasta/iter_read_chunks already strip)
+            seq = handle.readline().strip()
             handle.readline()  # '+'
-            qual = handle.readline().rstrip("\n")
-            yield header.rstrip("\n")[1:], seq, qual
+            qual = handle.readline().strip()
+            yield header.strip()[1:], seq, qual
     finally:
         if close:
             handle.close()
@@ -180,11 +188,18 @@ def iter_read_chunks(
                 header = f1.readline()
                 if not header:
                     break
+                if f2:
+                    h2 = f2.readline()
+                    if not h2:
+                        # mate-file EOF stops BOTH streams, like the
+                        # reference's zipped chunk readers hitting
+                        # StopIteration (heuristicount.py:100-153) —
+                        # padding with '' silently diluted pairing stats
+                        break
                 reads1.append(f1.readline().strip())
                 f1.readline()
                 f1.readline()
                 if f2:
-                    f2.readline()
                     reads2.append(f2.readline().strip())
                     f2.readline()
                     f2.readline()
@@ -192,9 +207,12 @@ def iter_read_chunks(
                 line = f1.readline()
                 if not line:
                     break
-                reads1.append(line.strip())
                 if f2:
-                    reads2.append(f2.readline().strip())
+                    l2 = f2.readline()
+                    if not l2:
+                        break  # mate EOF: stop both streams (see above)
+                    reads2.append(l2.strip())
+                reads1.append(line.strip())
             if len(reads1) >= chunk_size:
                 yield reads1, (reads2 if f2 else None)
                 reads1, reads2 = [], []

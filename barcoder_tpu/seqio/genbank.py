@@ -160,10 +160,20 @@ def format_location(loc: Location | CompoundLocation) -> str:
         return f"{p.start + 1}..{p.end}"
 
     parts = loc.parts
-    strand = loc.strand if loc.strand is not None else 1
     if len(parts) == 1:
         s = span(parts[0])
-        return f"complement({s})" if strand == -1 else s
+        one = loc.strand if loc.strand is not None else parts[0].strand
+        return f"complement({s})" if one == -1 else s
+    if loc.strand is None and len({p.strand for p in parts}) > 1:
+        # mixed-strand join (trans-spliced): per-part complement() — the
+        # single-strand coercion silently flipped the minus parts to plus
+        # on write (r5 review)
+        inner = ",".join(
+            f"complement({span(p)})" if p.strand == -1 else span(p)
+            for p in parts
+        )
+        return f"join({inner})"
+    strand = loc.strand if loc.strand is not None else 1
     inner = ",".join(span(p) for p in (parts[::-1] if strand == -1 else parts))
     joined = f"join({inner})"
     return f"complement({joined})" if strand == -1 else joined
@@ -172,14 +182,15 @@ def format_location(loc: Location | CompoundLocation) -> str:
 def _open_text(path_or_handle, mode="rt"):
     if hasattr(path_or_handle, "read"):
         return path_or_handle
-    path = str(path_or_handle)
-    if path.endswith(".gz"):
-        return gzip.open(path, mode)
-    return open(path, mode)
+    # shared codec dispatch (fasta.open_seq_file): .gz AND .zst, like every
+    # other text format in the package
+    from .fasta import open_seq_file
+
+    return open_seq_file(str(path_or_handle), mode)
 
 
 def parse_genbank(path_or_handle) -> list[GenBankRecord]:
-    """Parse all records of a GenBank flat file (plain or .gz)."""
+    """Parse all records of a GenBank flat file (plain, .gz or .zst)."""
     handle = _open_text(path_or_handle)
     close = not hasattr(path_or_handle, "read")
     try:

@@ -93,7 +93,11 @@ class BarcodeLibrary:
         """Dispatch on extension like the reference reader
         (BarCodeLibrary.py:19-25); fastq inputs take the read sequences."""
         base = os.path.basename(path)
-        if ".fasta" in base or base.endswith(".fa") or base.endswith(".fa.gz"):
+        # dispatch on the UNCOMPRESSED name: .fq.gz/.fa.zst etc. are as
+        # readable as their plain forms (open_seq_file handles both codecs)
+        if base.endswith(".gz") or base.endswith(".zst"):
+            base = os.path.splitext(base)[0]
+        if ".fasta" in base or base.endswith(".fa"):
             return cls.from_fasta(path)
         if ".tsv" in base:
             return cls.from_tsv(path, column or "spacer")

@@ -78,11 +78,19 @@ def write_sam(
 
 
 def iter_sam(lines: Iterable[str]):
-    """Yield (qname, flag, rname, pos0, seq, nm) per alignment line."""
+    """Yield (qname, flag, rname, pos0, seq, nm) per alignment line.
+    Blank lines are skipped (file iteration yields '\\n', which is truthy);
+    lines with fewer than the 11 mandatory SAM fields raise a clear
+    ValueError instead of an opaque IndexError."""
     for line in lines:
-        if not line or line.startswith("@"):
+        if not line.strip() or line.startswith("@"):
             continue
         f = line.rstrip("\n").split("\t")
+        if len(f) < 11:
+            raise ValueError(
+                f"malformed SAM line ({len(f)} fields, need >= 11): "
+                f"{line[:80]!r}"
+            )
         qname, flag, rname, pos = f[0], int(f[1]), f[2], int(f[3])
         seq = f[9]
         nm = 0
@@ -113,4 +121,12 @@ def parse_sam(lines: Iterable[str]) -> pd.DataFrame:
                 "Mismatches": nm,
             }
         )
-    return pd.DataFrame(data)
+    # explicit columns so a header-only SAM (e.g. an empty library round
+    # trip) keeps the documented schema instead of a columnless frame
+    return pd.DataFrame(
+        data,
+        columns=[
+            "Chromosome", "Start", "End", "Mapped", "Strand", "Barcode",
+            "Mismatches",
+        ],
+    )

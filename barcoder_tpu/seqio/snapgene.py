@@ -116,9 +116,12 @@ def parse_snapgene(path: str) -> GenBankRecord:
 
 
 def read_snapgene_dir(path: str) -> list[GenBankRecord]:
-    """Parse every .dna file in a directory, sorted by name."""
+    """Parse every .dna (or .dna.gz) file in a directory, sorted by name —
+    the same extension set parse_snapgene/Genome.load accept for single
+    files; a compressed contig directory previously yielded a zero-contig
+    genome with no error."""
     records = []
     for fn in sorted(os.listdir(path)):
-        if fn.endswith(".dna"):
+        if fn.endswith(".dna") or fn.endswith(".dna.gz"):
             records.append(parse_snapgene(os.path.join(path, fn)))
     return records

@@ -188,3 +188,83 @@ def test_snapgene_gz_roundtrip(tmp_path):
     assert packed.contigs[0].seq == plain.contigs[0].seq
     assert packed.contigs[0].topology == plain.contigs[0].topology
     assert packed.contigs[0].gene_count == plain.contigs[0].gene_count
+
+
+class TestSeqioEdges:
+    """r5 review pins: format edge cases across the seqio layer."""
+
+    def test_snapgene_dir_with_gz(self, tmp_path):
+        import gzip
+
+        from barcoder_tpu.seqio.snapgene import read_snapgene_dir
+
+        (tmp_path / "a.dna.gz").write_bytes(
+            gzip.compress(open(REF_SNAPGENE, "rb").read())
+        )
+        recs = read_snapgene_dir(str(tmp_path))
+        assert len(recs) == 1 and len(recs[0].seq) > 30_000
+
+    def test_parse_sam_empty_keeps_schema(self):
+        from barcoder_tpu.seqio.sam import parse_sam
+
+        df = parse_sam(["@HD\tVN:1.6\n", "@SQ\tSN:c1\tLN:100\n"])
+        assert list(df.columns) == [
+            "Chromosome", "Start", "End", "Mapped", "Strand", "Barcode",
+            "Mismatches",
+        ]
+        assert len(df) == 0
+
+    def test_parse_sam_blank_and_short_lines(self):
+        from barcoder_tpu.seqio.sam import parse_sam
+
+        ok = ("q\t0\tc1\t5\t255\t4M\t*\t0\t0\tACGT\tIIII\tNM:i:1\n")
+        df = parse_sam(["\n", ok])
+        assert len(df) == 1 and df.Mismatches[0] == 1
+        with pytest.raises(ValueError, match="malformed SAM"):
+            parse_sam(["q\t0\tc1\n"])
+
+    def test_mixed_strand_location_roundtrip(self):
+        from barcoder_tpu.seqio.genbank import format_location, parse_location
+
+        text = "join(complement(1..5),8..10)"
+        loc = parse_location(text)
+        out = format_location(loc)
+        assert parse_location(out).parts == loc.parts
+        assert "complement(1..5)" in out and "8..10" in out
+
+    def test_paired_chunks_stop_at_mate_eof(self, tmp_path):
+        from barcoder_tpu.seqio.fasta import iter_read_chunks
+
+        f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+        f1.write_text("".join(f"@r{i}\nACGT\n+\nIIII\n" for i in range(10)))
+        f2.write_text("".join(f"@r{i}\nTTTT\n+\nIIII\n" for i in range(6)))
+        chunks = list(iter_read_chunks(str(f1), str(f2), chunk_size=4))
+        r1 = [r for c, _ in chunks for r in c]
+        r2 = [r for _, c in chunks for r in c]
+        assert len(r1) == len(r2) == 6  # min(10, 6), no '' padding
+        assert all(r == "TTTT" for r in r2)
+
+    def test_fastq_crlf_and_fasta_blank_desc(self, tmp_path):
+        from barcoder_tpu.seqio.fasta import iter_fastq, read_fasta, write_fasta
+
+        fq = tmp_path / "crlf.fastq"
+        fq.write_bytes(b"@r1 extra\r\nACGT\r\n+\r\nIIII\r\n")
+        (name, seq, qual), = list(iter_fastq(str(fq)))
+        assert (name, seq, qual) == ("r1 extra", "ACGT", "IIII")
+
+        fa = tmp_path / "o.fasta"
+        write_fasta([("id1", " ", "ACGT")], str(fa))  # must not raise
+        assert read_fasta(str(fa))[0][0] == "id1"
+
+    def test_library_load_compressed_variants(self, tmp_path):
+        import gzip
+
+        from barcoder_tpu.seqio.library import BarcodeLibrary
+
+        fq = tmp_path / "lib.fq.gz"
+        fq.write_bytes(gzip.compress(b"@b1\nACGTACGTAC\n+\nIIIIIIIIII\n"))
+        lib = BarcodeLibrary.load(str(fq))
+        assert lib.barcodes == {"ACGTACGTAC"}
+        fa = tmp_path / "lib.fa.gz"
+        fa.write_bytes(gzip.compress(b">b1\nACGTACGTAC\n"))
+        assert BarcodeLibrary.load(str(fa)).barcodes == {"ACGTACGTAC"}
