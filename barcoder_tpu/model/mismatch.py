@@ -91,7 +91,14 @@ def all_single_variant_scores(spacer: str, params: MismatchParams) -> tuple[list
     if L > len(params.position_weights):
         raise KeyError(str(len(params.position_weights)))
     base = params.intercept + params.gc_weight * gc_content(spacer)
-    orig_idx = np.array(["ACGT".index(c) if c in "ACGT" else 0 for c in spacer])
+    bad = [c for c in spacer if c not in "ACGT"]
+    if bad:
+        # the reference crashes with KeyError('<orig><var>') the first time
+        # it scores a variant at a non-ACGT position (mismatch.py:15-35);
+        # silently scoring it as 'A' emitted bogus variants — raise the
+        # same error class with the same key shape
+        raise KeyError(f"{bad[0]}A")
+    orig_idx = np.array(["ACGT".index(c) for c in spacer])
     pos_w = params.position_weights[:L]
     # (L, 4): score of mutating position p to nt b
     grid = base + pos_w[:, None] + params.sub_weights[orig_idx, :]

@@ -372,15 +372,25 @@ def _distill_local(
             filenames, outputs, chunk_size, checkpoint_dir, info
         )
 
+    # spill when EITHER trigger fires: the chunk-count cap alone held
+    # ~10-20 GB of sorted matrices at the default 2^20-read chunk size on
+    # 150 bp paired reads (r5 review) — an OOM before the external sort
+    # ever engaged; the byte cap bounds that while tiny-chunk workloads
+    # keep the old count behavior
     max_in_memory_chunks = 64
+    max_in_memory_bytes = 2 << 30
     with tempfile.TemporaryDirectory() as tmpdir:
         runs: list[_Run] = []
         in_memory: list[list[np.ndarray]] = []
+        in_memory_bytes = 0
         spilling = False
         for cols in _iter_tuple_chunks(filenames, chunk_size):
             arrays = _sort_chunk(cols)
             info(f"sorted a chunk: {len(arrays[0]):,} sequences")
-            if not spilling and len(in_memory) >= max_in_memory_chunks:
+            if not spilling and (
+                len(in_memory) >= max_in_memory_chunks
+                or in_memory_bytes >= max_in_memory_bytes
+            ):
                 spilling = True
                 for rid, a in enumerate(in_memory):
                     runs.append(_Run.write(a, tmpdir, rid))
@@ -389,6 +399,7 @@ def _distill_local(
                 runs.append(_Run.write(arrays, tmpdir, len(runs)))
             else:
                 in_memory.append(arrays)
+                in_memory_bytes += sum(a.nbytes for a in arrays)
 
         if spilling:  # external k-way merge of sorted byte-matrix runs
             _merge_to_outputs(runs, outputs)
@@ -542,7 +553,14 @@ def _distill_multihost(
         return outputs
 
     os.makedirs(checkpoint_dir, exist_ok=True)
-    fp = _DistillCheckpoint.make_fingerprint(filenames, outputs, chunk_size)
+    # K in the fingerprint: resuming with a different process count would
+    # re-partition chunk ownership over stale per-host done-sets, spill
+    # overlapping run files, and hard-fail the coverage check — losing all
+    # durable progress (r5 review)
+    fp = dict(
+        _DistillCheckpoint.make_fingerprint(filenames, outputs, chunk_size),
+        processes=K,
+    )
     manifest = os.path.join(checkpoint_dir, f"manifest.p{h}.json")
     done: dict[int, list] = {}
     if os.path.exists(manifest):

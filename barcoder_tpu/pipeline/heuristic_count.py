@@ -224,7 +224,10 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
                     if kmer2 in barcodes:
                         diversity_count2 += 1
                         novel_barcodes.add(kmer2)
-                        observed_barcodes.add(kmer2)
+                        # the reference adds READ1's kmer here, not kmer2
+                        # (heuristicount.py:260-261,269-270) — its quirk,
+                        # preserved for stdout parity
+                        observed_barcodes.add(kmer)
                         novel_read2_orients.append("forward")
                         novel_read2_offsets.append(i)
                         valid_reads2.add(read2)
@@ -232,7 +235,7 @@ def sample_reads(file1, file2, barcodes, is_paired, log=None) -> SampleResult:
                     if kmer2 in rev_barcodes:
                         diversity_count2 += 1
                         novel_barcodes.add(kmer2)
-                        observed_barcodes.add(kmer2)
+                        observed_barcodes.add(kmer)
                         novel_read2_orients.append("reverse")
                         novel_read2_offsets.append(i)
                         valid_reads2.add(read2)
@@ -499,16 +502,33 @@ def _pack_strings(seqs: list[str]) -> np.ndarray:
 class _CheckpointState:
     """Per-batch partial-count persistence for the vector engine."""
 
-    def __init__(self, path: str, cfg: "CountConfig"):
+    def __init__(self, path: str, cfg: "CountConfig", inputs: tuple = ()):
         import hashlib
 
         self.path = path
+        # `inputs`: (file paths..., chunk_size) — resuming against
+        # DIFFERENT input files or a different chunk geometry with the
+        # same library/flank config would silently skip the wrong chunks
+        # of the new stream (r5 review; distill's make_fingerprint is the
+        # model). Size+mtime pin the file contents.
+        in_sig = []
+        for item in inputs:
+            if isinstance(item, str):
+                import os
+
+                try:
+                    st = os.stat(item)
+                    in_sig.append((os.path.abspath(item), st.st_size, st.st_mtime_ns))
+                except OSError:
+                    in_sig.append((item, -1, -1))
+            else:
+                in_sig.append(item)
         sig = "|".join(
             str(x)
             for x in (
                 sorted(cfg.barcodes)[:50], len(cfg.barcodes), cfg.bc_len,
                 cfg.L_fwd, cfg.R_fwd, cfg.L_rev, cfg.R_rev,
-                cfg.L_fwd_start, cfg.L_rev_start, cfg.need_swap,
+                cfg.L_fwd_start, cfg.L_rev_start, cfg.need_swap, in_sig,
             )
         )
         self.cfg_hash = hashlib.sha256(sig.encode()).hexdigest()[:16]
@@ -588,6 +608,7 @@ class VectorCounter:
         self.doc_counts = np.zeros(len(bcs), dtype=np.int64)
         self.undoc: Counter = Counter()
         self.total_reads = 0
+        self._bc_index = None  # lazy {barcode: row} for the slow path
 
     def _flank_ok(self, win: np.ndarray, flank: str | None, side: str) -> np.ndarray:
         if not flank:
@@ -627,6 +648,35 @@ class VectorCounter:
         self.total_reads += n
         if n == 0:
             return
+
+        # reads whose scan window is TRUNCATED by the read end take the
+        # reference per-read path: the fixed-width zero-padded window
+        # cannot reproduce the reference's Python-slice semantics there
+        # (endswith on the truncated slice counts undoc, truncated undoc
+        # strings, truncated-core pair consistency — r5 review repros).
+        # The rows are then BLANKED to all-N in a copy rather than removed:
+        # every engine's whole-read N filter drops them without changing
+        # row counts, which keeps the sharded engines' cross-host dispatch
+        # geometry in lockstep.
+        W_f = safe_len(cfg.L_fwd) + cfg.bc_len + safe_len(cfg.R_fwd)
+        W_r = safe_len(cfg.L_rev) + cfg.bc_len + safe_len(cfg.R_rev)
+
+        def _trunc(m, start, W):
+            return (m != 0).sum(axis=1) < (start or 0) + W
+
+        trunc = np.zeros(n, dtype=bool)
+        if m1 is not None:
+            trunc |= _trunc(m1, cfg.L_fwd_start, W_f)
+        if m2 is not None:
+            trunc |= _trunc(m2, cfg.L_rev_start, W_r)
+        if trunc.any():
+            self._slow_path_rows(m1, m2, np.nonzero(trunc)[0])
+            if m1 is not None:
+                m1 = m1.copy()
+                m1[trunc] = ord("N")
+            if m2 is not None:
+                m2 = m2.copy()
+                m2[trunc] = ord("N")
 
         if m1 is not None and m2 is not None:
             no_n = ~((m1 == ord("N")).any(axis=1) | (m2 == ord("N")).any(axis=1))
@@ -689,6 +739,33 @@ class VectorCounter:
                 self.undoc[seq + "*"] += int(cnt)
         return True
 
+    def _slow_path_rows(self, m1, m2, rows) -> None:
+        """Route the given rows through count_chunk_reference (the
+        per-read oracle) and merge its counts — exact reference semantics
+        for the truncated-window edge the vector path masks out."""
+
+        def to_strings(m):
+            if m is None:
+                return None
+            sel = np.ascontiguousarray(m[rows])
+            flat = sel.view(f"S{m.shape[1]}").ravel()
+            return [b.rstrip(b"\x00").decode("ascii", errors="replace") for b in flat]
+
+        s1, s2 = to_strings(m1), to_strings(m2)
+        # count_chunk_reference applies cfg.need_swap itself; matrices here
+        # are already post-swap (m1 = fwd), so hand it the raw-file order
+        chunk = (s2, s1) if self.cfg.need_swap else (s1, s2)
+        counts, _ = count_chunk_reference(chunk, self.cfg)
+        if self._bc_index is None:
+            self._bc_index = {bc: i for i, bc in enumerate(self.bc_list)}
+        for k, cnt in counts.items():
+            if k.endswith("*"):
+                self.undoc[k] += cnt
+            else:
+                i = self._bc_index.get(k)
+                if i is not None:
+                    self.doc_counts[i] += cnt
+
     def _tally(self, keys, cores, eligible) -> None:
         keys = keys[eligible]
         cores = cores[eligible]
@@ -696,7 +773,11 @@ class VectorCounter:
             return
         idx = np.searchsorted(self.bc_keys_sorted, keys)
         idx = np.clip(idx, 0, len(self.bc_keys_sorted) - 1)
-        matched = self.bc_keys_sorted[idx] == keys
+        # sentinel keys (non-ACGT core: lowercase or padding) must never
+        # match a documented barcode — a library entry that itself packs to
+        # the sentinel (e.g. an N-containing barcode) would otherwise
+        # "match" every such read (r5 review repro)
+        matched = (self.bc_keys_sorted[idx] == keys) & (keys != _KEY_SENTINEL)
         if matched.any():
             np.add.at(self.doc_counts, self.bc_order[idx[matched]], 1)
         un = ~matched
@@ -1233,7 +1314,14 @@ def run_count(
                 # argv — per-host checkpoint files (undoc is host-local)
                 # instead of N processes clobbering one path
                 checkpoint_path = f"{checkpoint_path}.p{jax.process_index()}"
-        ckpt = _CheckpointState(checkpoint_path, cfg) if checkpoint_path else None
+        ckpt = (
+            _CheckpointState(
+                checkpoint_path, cfg,
+                inputs=tuple(f for f in (file1, file2) if f) + (chunk_size,),
+            )
+            if checkpoint_path
+            else None
+        )
         try:
             doc, undoc, total_reads = _stream_counts(
                 vc, ckpt, engine, sample, file1, file2, chunk_size,
@@ -1349,9 +1437,13 @@ def _stream_counts(
             vc.process_matrices(r1[0], r2[0] if r2 else None)
             if ckpt and chunk_no % checkpoint_every == 0:
                 ckpt.save(vc, chunk_no)
+    doc, undoc = vc.results()
+    # finalize (delete the checkpoint) only AFTER results() — its final
+    # drain/device fetch is the operation most prone to failing on a
+    # tunneled link, and deleting first would lose all checkpointed
+    # progress if it raises (r5 review)
     if ckpt:
         ckpt.finalize()
-    doc, undoc = vc.results()
     if engine == "sharded":
         import jax
 

@@ -602,3 +602,100 @@ def paired_cfg(barcodes, bc_len=20):
         L_rev=rev_comp(R_FLANK), R_rev=rev_comp(PREFIX + L_FLANK)[:10],
         L_fwd_start=len(PREFIX), L_rev_start=len(TAIL), need_swap=False,
     )
+
+
+class TestTruncatedReadParity:
+    """r5 review repros: reads whose scan window is truncated by the read
+    end must match count_chunk_reference exactly (the vector engines'
+    fixed-width zero-padded windows route them through the per-read slow
+    path now)."""
+
+    @staticmethod
+    def _diff(cfg, reads1, reads2=None):
+        from barcoder_tpu.pipeline.heuristic_count import (
+            VectorCounter,
+            count_chunk_reference,
+        )
+
+        ref_counts, _ = count_chunk_reference((reads1, reads2), cfg)
+        ref_doc = Counter({k: v for k, v in ref_counts.items() if not k.endswith("*")})
+        ref_un = Counter({k: v for k, v in ref_counts.items() if k.endswith("*")})
+        vc = VectorCounter(cfg)
+        vc.process_chunk((reads1, reads2))
+        doc, un = vc.results()
+        assert doc == ref_doc, (doc, ref_doc)
+        assert un == ref_un, (un, ref_un)
+
+    def test_truncated_tail_endswith_flank(self):
+        # reference: swf.endswith('GG') on the TRUNCATED slice counts
+        # 'ACGT*'; the padded-column compare silently dropped the read
+        from barcoder_tpu.pipeline.heuristic_count import CountConfig
+
+        cfg = CountConfig(
+            barcodes={"ACGTACGTAC"}, bc_len=10, L_fwd="AA", R_fwd="GG",
+            L_fwd_start=0,
+        )
+        self._diff(cfg, ["AAACGTGG", "AA" + "ACGTACGTAC" + "GG"])
+
+    def test_sentinel_library_barcode_never_matches(self):
+        # an N-containing barcode packs to the sentinel key; a truncated
+        # (null-padded) core must not "match" it as documented
+        from barcoder_tpu.pipeline.heuristic_count import CountConfig
+
+        cfg = CountConfig(
+            barcodes={"ACGNACGTAC", "ACGTACGTAC"}, bc_len=10, L_fwd="AA",
+            R_fwd="", L_fwd_start=0,
+        )
+        self._diff(cfg, ["AAACGTAC", "AAACGTACGTAC"])
+
+    def test_paired_truncated_cores_not_consistent(self):
+        # both truncated cores packed to the sentinel and compared equal;
+        # reference compares the truncated strings and skips the pair
+        from barcoder_tpu.pipeline.heuristic_count import CountConfig
+
+        cfg = CountConfig(
+            barcodes={"GGGGGCCCCC"}, bc_len=10, L_fwd="AA", R_fwd="",
+            L_rev="TT", R_rev="", L_fwd_start=0, L_rev_start=0,
+        )
+        self._diff(cfg, ["AAGGGGG"], ["TTCCC"])
+
+    def test_rev_single_end_truncated_key(self):
+        # reference reports the truncated rev_comp string; the padded
+        # reversal produced leading-N junk keys
+        from barcoder_tpu.pipeline.heuristic_count import CountConfig
+
+        cfg = CountConfig(
+            barcodes={"ACGTACGTAC"}, bc_len=10, L_rev="TT", R_rev=None,
+            L_rev_start=0,
+        )
+        from barcoder_tpu.pipeline.heuristic_count import (
+            VectorCounter,
+            count_chunk_reference,
+        )
+
+        reads2 = ["TTGCAT", "TT" + "GTACGTACGT"]
+        ref_counts, _ = count_chunk_reference((None, reads2), cfg)
+        vc = VectorCounter(cfg)
+        vc.process_chunk((None, reads2))
+        doc, un = vc.results()
+        ref_doc = Counter({k: v for k, v in ref_counts.items() if not k.endswith("*")})
+        ref_un = Counter({k: v for k, v in ref_counts.items() if k.endswith("*")})
+        assert doc == ref_doc and un == ref_un, (doc, un, ref_counts)
+
+    def test_random_truncation_differential(self):
+        # random reads randomly truncated: vector engine == oracle
+        from barcoder_tpu.pipeline.heuristic_count import CountConfig
+
+        rng = np.random.default_rng(77)
+        bcs = {random_seq(8, rng) for _ in range(12)}
+        cfg = CountConfig(
+            barcodes=set(bcs), bc_len=8, L_fwd="CA", R_fwd="TG",
+            L_fwd_start=1,
+        )
+        reads = []
+        for _ in range(300):
+            bc = list(bcs)[int(rng.integers(0, len(bcs)))]
+            full = "G" + "CA" + bc + "TG" + random_seq(3, rng)
+            cut = int(rng.integers(3, len(full) + 1))
+            reads.append(full[:cut])
+        self._diff(cfg, reads)
