@@ -119,7 +119,8 @@ class Contig:
         n = self.length
         if 0 <= start and end <= n:
             return self.codes[start:end]
-        if not self.circular:
+        if not self.circular or n == 0:
+            # n == 0: the modular wrap below would divide by zero
             raise IndexError(f"fetch [{start},{end}) out of bounds for linear contig of length {n}")
         idx = np.arange(start, end) % n
         return self.codes[idx]

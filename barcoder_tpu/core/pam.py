@@ -83,6 +83,11 @@ def pam_site_masks(
     (arrays are still length ``len`` with the tail False).
     """
     n = contig.length
+    if n == 0:
+        # a zero-length circular record: the wrap arithmetic below divides
+        # by n — return the same empty masks the trivial-PAM path does
+        empty = np.zeros(0, dtype=bool)
+        return empty, empty.copy()
     starts = np.arange(n, dtype=np.int64)
     valid_window = starts <= n - L if not contig.circular else np.ones(n, dtype=bool)
     if pam_is_trivial(pam):
@@ -118,8 +123,6 @@ def pam_window_start(p, L: int, m: int, strand_is_rev, direction: str):
     (targets.py:227-307): downstream-F p+L, downstream-R p-m,
     upstream-F p-m, upstream-R p+L. Shared by extract_pam and the
     vectorized pipeline extraction (pipeline.targets._pam_strings)."""
-    import numpy as np
-
     if direction == "downstream":
         return np.where(strand_is_rev, p - m, p + L)
     return np.where(strand_is_rev, p + L, p - m)

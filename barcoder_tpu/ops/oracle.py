@@ -31,12 +31,13 @@ def oracle_scan(
     max_mismatches: int,
     pam: str = "",
     pam_direction: str = "downstream",
-    block: int = 64,
 ) -> Hits:
     """Scan every spacer (both strands) against one contig; return all hits
     with mismatches <= max_mismatches at PAM-compatible sites."""
     q_f = spacer_matrix(list(spacers)) if not isinstance(spacers, np.ndarray) else spacers
     S, L = q_f.shape
+    if S == 0:
+        return Hits()
     q_r = revcomp_matrix(q_f)
     scan = build_scan_array(contig, L)
     n = contig.length
@@ -47,19 +48,18 @@ def oracle_scan(
     mask_r = mask_r[:n_starts]
 
     out = []
-    for s0 in range(0, S, block):
-        for strand, q, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
-            for i in range(s0, min(s0 + block, S)):
-                mm = _mismatch_counts(windows, q[i])
-                sel = (mm <= max_mismatches) & mask
-                pos = np.nonzero(sel)[0]
-                if len(pos):
-                    out.append(
-                        Hits(
-                            spacer_idx=np.full(len(pos), i, np.int64),
-                            pos=pos.astype(np.int64),
-                            strand=np.full(len(pos), strand, np.int8),
-                            mismatches=mm[pos].astype(np.int32),
-                        )
+    for strand, q, mask in ((STRAND_F, q_f, mask_f), (STRAND_R, q_r, mask_r)):
+        for i in range(S):
+            mm = _mismatch_counts(windows, q[i])
+            sel = (mm <= max_mismatches) & mask
+            pos = np.nonzero(sel)[0]
+            if len(pos):
+                out.append(
+                    Hits(
+                        spacer_idx=np.full(len(pos), i, np.int64),
+                        pos=pos.astype(np.int64),
+                        strand=np.full(len(pos), strand, np.int8),
+                        mismatches=mm[pos].astype(np.int32),
                     )
+                )
     return Hits.concat(out).sorted()

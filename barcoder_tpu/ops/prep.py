@@ -6,14 +6,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.encode import encode, revcomp_codes
 from ..core.genome import Contig
 from ..core.pam import pam_site_masks
 
 
 def spacer_matrix(spacers: list[str]) -> np.ndarray:
     """(S, L) int8 code matrix; all spacers must share one length
-    (vectorized: one fixed-width bytes array + LUT, no per-row encode)."""
+    (vectorized: one fixed-width bytes array + LUT, no per-row encode).
+    An empty list yields a (0, 0) matrix — the engines' own S == 0 guards
+    handle it (raising here made those guards unreachable for list input,
+    with a misleading 'uniform length' message)."""
+    if not spacers:
+        return np.zeros((0, 0), np.int8)
     lens = {len(s) for s in spacers}
     if len(lens) != 1:
         raise ValueError(f"spacer_matrix requires uniform length, got {sorted(lens)}")
@@ -73,6 +77,14 @@ def enumerate_sites(
     from .types import STRAND_F, STRAND_R
 
     scan = build_scan_array(contig, L)
+    if len(scan) < L:
+        # a contig shorter than the window (linear, or tiny circular with
+        # L <= 1): no sites — sliding_window_view would raise, breaking
+        # the shared backend contract (oracle/jax return empty here)
+        return (
+            np.zeros(0, np.int32), np.zeros(0, np.int8),
+            np.zeros((0, L), np.int8),
+        )
     windows = np.lib.stride_tricks.sliding_window_view(scan, L)[: contig.length]
     mask_f, mask_r = site_masks(contig, L, pam, pam_direction)
     mask_f = mask_f[: len(windows)]

@@ -35,11 +35,21 @@ def _tpu_available() -> bool:
         return False
 
 
+_BACKENDS = ("oracle", "jax", "pallas", "sharded")
+
+
 def resolve_backend(backend: Backend = "auto") -> str:
     if backend != "auto":
         return backend
     env = os.environ.get("BARCODER_TPU_BACKEND")
-    if env:
+    if env and env != "auto":
+        # validate here, not deep inside the first scan: a typo'd env var
+        # previously surfaced as "unknown scan backend" minutes later
+        if env not in _BACKENDS:
+            raise ValueError(
+                f"BARCODER_TPU_BACKEND={env!r} is not a scan backend; "
+                f"choose one of {('auto',) + _BACKENDS}"
+            )
         return env
     if not _tpu_available():
         return "jax"

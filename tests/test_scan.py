@@ -324,3 +324,51 @@ def test_tiny_circular_contig_pam_wrap():
             ))[:8]
             assert (dev == host[:8].astype(bool)).all(), (
                 pam, direction, shift, dev, host[:8])
+
+
+def test_short_contig_and_empty_library_all_backends(mesh8_or_none=None):
+    """r5 review repros: a contig shorter than the spacer and an
+    empty-list library must yield empty Hits on EVERY backend (the shared
+    contract), not crash in site enumeration / spacer_matrix."""
+    import jax
+
+    from barcoder_tpu.core.genome import Contig
+    from barcoder_tpu.core.encode import encode
+    from barcoder_tpu.ops.pallas_scan import pallas_scan
+    from barcoder_tpu.parallel.mesh import make_mesh
+    from barcoder_tpu.parallel.sharded_scan import sharded_scan
+
+    seq = "ACGTACGTAC"  # 10 bp
+    for topo in ("linear", "circular"):
+        tiny = Contig(id="t", length=10, codes=encode(seq), seq=seq,
+                      topology=topo)
+        sp = ["A" * 20]
+        assert len(oracle_scan(sp, tiny, 1, pam="NGG")) == 0
+        assert len(jax_scan(sp, tiny, 1, pam="NGG")) == 0
+        assert len(pallas_scan(sp, tiny, 1, pam="NGG", P=512,
+                               interpret=True)) == 0
+        mesh = make_mesh(min(8, len(jax.devices())))
+        assert len(sharded_scan(sp, tiny, 1, pam="NGG", mesh=mesh,
+                                P=256)) == 0
+
+    rec = make_record(n=3000, seed=70)
+    contig = contig_from_record(rec)
+    for fn in (oracle_scan, jax_scan):
+        assert len(fn([], contig, 1, pam="NGG")) == 0
+    assert len(pallas_scan([], contig, 1, pam="NGG", P=512,
+                           interpret=True)) == 0
+
+
+def test_env_backend_validated(monkeypatch):
+    """BARCODER_TPU_BACKEND typos must fail at resolution with the valid
+    choices listed, and 'auto' must mean automatic, not a literal
+    backend name."""
+    from barcoder_tpu.ops.scan import resolve_backend
+
+    monkeypatch.setenv("BARCODER_TPU_BACKEND", "shardd")
+    with pytest.raises(ValueError, match="not a scan backend"):
+        resolve_backend("auto")
+    monkeypatch.setenv("BARCODER_TPU_BACKEND", "auto")
+    assert resolve_backend("auto") in ("jax", "sharded", "pallas")
+    monkeypatch.setenv("BARCODER_TPU_BACKEND", "oracle")
+    assert resolve_backend("auto") == "oracle"
