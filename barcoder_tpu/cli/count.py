@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def summary_table(args, doc, undoc, total_reads, info, num_threads=1) -> Table:
+def summary_table(args, doc, undoc, total_reads, info) -> Table:
     cfg = info["config"]
     sample = info["sample"]
     barcodes = cfg.barcodes

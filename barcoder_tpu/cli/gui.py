@@ -114,9 +114,17 @@ class StreamDrainer:
 
     def close(self) -> str:
         """Final drain after child exit: wait out the pump thread (threaded
-        mode), collect the remainder, flush the decoder tail, close."""
+        mode), collect the remainder, flush the decoder tail, close.
+
+        If the pump thread is STILL mid-read after the grace period (a
+        huge final burst), the stream is left open for the daemon thread
+        rather than closed out from under its blocked read — closing early
+        both dropped the output tail and raised ValueError in the thread
+        (r5 review); the fd is reclaimed at process exit."""
         if self._thread is not None:
             self._thread.join(timeout=2.0)
+            if self._thread.is_alive():
+                return self.read() + self._decoder.decode(b"", True)
         tail = self.read() + self._decoder.decode(b"", True)
         try:
             self.stream.close()

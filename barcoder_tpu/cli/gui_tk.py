@@ -32,7 +32,12 @@ def build_app(root=None):
     root.rowconfigure(0, weight=1)
 
     frames: dict[str, ttk.Frame] = {}
-    state = {"proc": None, "tool": None, "drainer": None}
+    state = {"tool": None}
+    # per-tool process/drainer (like the Qt twin's per-ToolForm proc):
+    # a single shared slot made every other tool's enabled Run button a
+    # silent no-op while one ran (r5 review)
+    procs: dict = {}
+    drainers: dict = {}
 
     def show(name: str):
         for f in frames.values():
@@ -59,30 +64,30 @@ def build_app(root=None):
         # child forever if we only read after exit; StreamDrainer handles
         # non-blocking reads (or a reader thread where unsupported) and
         # incremental UTF-8 decoding
-        proc = state["proc"]
+        proc = procs.get(tool)
         if proc is None:
             return
-        outputs[tool].insert("end", state["drainer"].read())
+        outputs[tool].insert("end", drainers[tool].read())
         rc = proc.poll()
         if rc is None:
             root.after(200, lambda: poll(tool))
             return
-        outputs[tool].insert("end", state["drainer"].close())
+        outputs[tool].insert("end", drainers[tool].close())
         outputs[tool].insert("end", f"[exit {rc}]\n")
-        state["proc"] = None
+        procs[tool] = None
         run_btns[tool].state(["!disabled"])
 
     def start(tool: str):
-        if state["proc"] is not None:
+        if procs.get(tool) is not None:
             return
         argv = argv_for(tool)
         outputs[tool].insert("end", f"$ barcoder-tpu {' '.join(argv)}\n")
-        state["proc"] = subprocess.Popen(
+        procs[tool] = subprocess.Popen(
             [sys.executable, "-m", "barcoder_tpu", *argv],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        state["drainer"] = StreamDrainer(state["proc"].stdout)
+        drainers[tool] = StreamDrainer(procs[tool].stdout)
         run_btns[tool].state(["disabled"])
         root.after(200, lambda: poll(tool))
 

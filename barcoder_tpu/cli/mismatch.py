@@ -44,7 +44,10 @@ def run_mismatches(args, params: MismatchParams, out=None) -> None:
     out = out if out is not None else sys.stdout
     data = pd.read_csv(args.spacers_file, sep="\t")
     if "target" not in data.columns:  # reference assumes it (mismatch.py:133)
-        raise SystemExit(
+        # ValueError, not SystemExit: main() catches it into the styled
+        # red-message-exit-1 path like every sibling error (a raised
+        # SystemExit killed in-process callers, e.g. the GUI dispatch)
+        raise ValueError(
             f"mismatches mode needs a 'target' column in {args.spacers_file} "
             f"(found: {', '.join(map(str, data.columns))})"
         )
@@ -128,6 +131,13 @@ def main(argv=None) -> int:
         return run_recalculate(args, params)
     except FileNotFoundError as e:
         console.log(f"[bold red]File not found[/bold red]: {e.filename or e}")
+        return 1
+    except (ValueError, KeyError, OSError) as e:
+        # malformed/empty inputs (pandas ParserError/EmptyDataError are
+        # ValueError subclasses), bad columns, unreadable files — the
+        # reference wraps its read_csv in `except Exception → exit 1`
+        # (mismatch.py:123-126,140-144); raw tracebacks break the contract
+        console.log(f"[bold red]Could not process input[/bold red]: {e}")
         return 1
 
 

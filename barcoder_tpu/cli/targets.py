@@ -182,10 +182,8 @@ def main(argv=None) -> int:
                 max_sites=args.max_sites,
             )
         if args.profile:
-            import os as _os
-
             phases.counters["xla_compiles"] = cs.delta(cs_pre)
-            dump_summary(phases, _os.path.join(args.profile, "phases.json"))
+            dump_summary(phases, os.path.join(args.profile, "phases.json"))
             console.log(f"Wrote device trace + phase timings to {args.profile}")
 
         if args.json:

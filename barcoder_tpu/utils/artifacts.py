@@ -78,7 +78,12 @@ def store(kind: str, key: str, **arrays: np.ndarray) -> None:
     if d is None:
         return
     path = os.path.join(d, f"{kind}-{key}.npz")
-    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    # pid + thread id: two THREADS of one API process storing the same key
+    # concurrently would interleave on a pid-only temp name and publish a
+    # corrupt archive via os.replace (r5 review)
+    import threading
+
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npz"
     try:
         np.savez(tmp, **arrays)
         os.replace(tmp, path)

@@ -101,8 +101,17 @@ def _strip_device_assignment_from_cache_key() -> None:
     if getattr(orig, "_barcoder_tpu_patched", False):
         return
 
-    def patched(hash_obj, compile_options_obj, strip_device_assignment=False):
-        return orig(hash_obj, compile_options_obj, strip_device_assignment=True)
+    def patched(*args, **kw):
+        # pure passthrough signature: hard-coding the private function's
+        # current 3-arg shape would turn any future jax signature drift
+        # into a TypeError inside jit instead of degrading gracefully —
+        # only the strip_device_assignment flag (positional 3rd or kw) is
+        # forced True, everything else flows through untouched
+        if len(args) >= 3:
+            args = args[:2] + (True,) + args[3:]
+        else:
+            kw["strip_device_assignment"] = True
+        return orig(*args, **kw)
 
     patched._barcoder_tpu_patched = True
     _ck._hash_serialized_compile_options = patched

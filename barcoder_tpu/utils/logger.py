@@ -72,15 +72,26 @@ class Logger:
         logging.addLevelName(SUBPROC, "SUBPROC")
         logging.addLevelName(HELP, "HELP")
 
-    def _locale_number(self, num):
-        """One number → its locale rendering (babel when available, else
-        Python grouping)."""
+    def _locale_number(self, token: str):
+        """One numeric token (as matched text) → its grouped rendering
+        (babel when available, else exact Python grouping). Works from the
+        TOKEN, not a float: the '{:,g}' fallback rendered integers >= 1e6
+        in scientific notation and rounded decimals to 6 significant
+        digits (r5 review — babel is not a declared dependency, so the
+        fallback IS the default-install path)."""
         if _HAVE_BABEL and self.user_locale:
             try:
-                return format_decimal(num, locale=self.user_locale)
+                return format_decimal(float(token), locale=self.user_locale)
             except Exception:
                 pass
-        return f"{num:,}" if isinstance(num, int) else f"{num:,g}"
+        if "e" in token or "E" in token:  # sci-notation tokens stay as-is
+            return f"{float(token):,g}"
+        neg = token.startswith("-")
+        body = token.lstrip("+-")
+        int_part, dot, frac = body.partition(".")
+        grouped = f"{int(int_part or 0):,d}"
+        out = grouped + (dot + frac if dot else "")
+        return ("-" if neg else "") + out
 
     def format_numbers(self, message):
         """Locale-format every standalone numeric token of a message.
@@ -91,10 +102,10 @@ class Logger:
         string, which also preserves the original whitespace."""
         if isinstance(message, str):
             return _NUM_TOKEN.sub(
-                lambda m: str(self._locale_number(float(m.group()))), message
+                lambda m: str(self._locale_number(m.group())), message
             )
         if isinstance(message, int):
-            return str(self._locale_number(message))
+            return str(self._locale_number(str(message)))
         return message
 
     def info(self, message):

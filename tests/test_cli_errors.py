@@ -123,3 +123,33 @@ def test_design_sgrna_out_roundtrip(small_case, tmp_path, capsys):
     lib = BarcodeLibrary.load(str(out))
     assert len(lib.barcodes) > 50
     assert all(len(b) == 20 for b in lib.barcodes)
+
+
+def test_mismatch_malformed_and_missing_column(tmp_path, capsys):
+    """Malformed inputs (pandas ParserError) and a missing 'target'
+    column must hit the styled-message-exit-1 path, never a raw
+    traceback or a raised SystemExit (r5 review; reference wraps its
+    read_csv in except-Exception, mismatch.py:123-144)."""
+    params = tmp_path / "params.csv"
+    params.write_text(
+        "feature,weight,Std error\nintercept,-0.06,0.03\nGC_content,0.5,0.03\n"
+        + "".join(f"{i},0.7,0.03\n" for i in range(20))
+    )
+    ragged = tmp_path / "ragged.tsv"
+    ragged.write_text('a\tb\n1\t2\t3\t"unclosed\n')
+    rc = mismatch_cli.main(
+        ["recalculate", "--existing_mismatches", str(ragged),
+         "--parameters_file", str(params)]
+    )
+    assert rc == 1
+    assert "Traceback" not in capsys.readouterr().err
+
+    no_target = tmp_path / "sp.tsv"
+    no_target.write_text("spacer\nACGTACGTACGTACGTACGT\n")
+    rc = mismatch_cli.main(
+        ["mismatches", "--spacers_file", str(no_target),
+         "--parameters_file", str(params)]
+    )
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "target" in err and "Traceback" not in err

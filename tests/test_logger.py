@@ -69,3 +69,20 @@ class TestCompileStats:
         pre2 = cs.snapshot()
         jax.jit(lambda x: x * 3 + 1)(jnp.arange(7))
         assert compile_stats() is cs  # singleton
+
+
+def test_fallback_grouping_exact(monkeypatch):
+    """The no-babel fallback (the default-install path: babel is not a
+    declared dependency) must group digits EXACTLY — '{:,g}' rendered
+    integers >= 1e6 in scientific notation and rounded decimals to 6
+    significant digits (r5 review)."""
+    import barcoder_tpu.utils.logger as lg
+
+    monkeypatch.setattr(lg, "_HAVE_BABEL", False)
+    log = Logger()
+    assert log.format_numbers("processed 1234567 reads") == "processed 1,234,567 reads"
+    assert log.format_numbers("rate 1234.56789") == "rate 1,234.56789"
+    assert log.format_numbers("delta -4200 units") == "delta -4,200 units"
+    assert log.format_numbers(1234567) == "1,234,567"
+    # sci-notation tokens stay numeric, no crash
+    assert "e" in log.format_numbers("x 1.2e9 y").split()[1] or "," in log.format_numbers("x 1.2e9 y")
