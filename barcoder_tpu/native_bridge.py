@@ -27,14 +27,24 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    # compile to a unique temp and publish atomically: concurrent
+    # processes (the multi-host harness spawns N at once) racing g++ into
+    # one path could CDLL a half-written .so and silently downgrade that
+    # host to the numpy fallback (r5 review)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", _LIB_PATH,
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -101,12 +111,21 @@ def parse_fastq_buffer(data: bytes, row_width: int, max_reads: int | None = None
         n = lib.sp_parse_fastq(data, len(data), out, lengths, max_reads, row_width)
         if n >= 0:
             return out[:n], lengths[:n]
-    # fallback
+    # fallback — must COUNT records exactly like sp_parse_fastq and
+    # MatrixStream's cut arithmetic (empty sequence lines and a
+    # header-only truncated final record are records; blank lines between
+    # records are tolerated): a count mismatch desyncs the multi-host
+    # lockstep dispatch schedule (r5 review)
     seqs = []
     lines = data.split(b"\n")
-    for i in range(1, len(lines), 4):
-        if i < len(lines) and lines[i]:
-            seqs.append(lines[i].rstrip(b"\r"))
+    li = 0
+    while li < len(lines):
+        if lines[li] in (b"", b"\r"):
+            li += 1
+            continue
+        seq = lines[li + 1] if li + 1 < len(lines) else b""
+        seqs.append(seq.rstrip(b"\r"))
+        li += 4
     n = min(len(seqs), max_reads)
     out = np.zeros((n, row_width), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int64)
@@ -129,7 +148,12 @@ def parse_reads_buffer(data: bytes, row_width: int, max_reads: int | None = None
         n = lib.sp_parse_reads(data, len(data), out, lengths, max_reads, row_width)
         if n >= 0:
             return out[:n], lengths[:n]
-    seqs = [s.rstrip(b"\r") for s in data.split(b"\n") if s.strip()]
+    # records = non-empty after CR strip, exactly like sp_parse_reads and
+    # MatrixStream._nonblank_mask (s.strip() dropped whitespace-only lines
+    # the native parser keeps — a lockstep count divergence, r5 review)
+    seqs = [
+        t for s in data.split(b"\n") if (t := s.rstrip(b"\r")) != b""
+    ]
     n = min(len(seqs), max_reads)
     out = np.zeros((n, row_width), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int64)
@@ -214,6 +238,9 @@ def count_exact(
     reads_mat = np.ascontiguousarray(reads_mat, dtype=np.uint8)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     bc_keys_sorted = np.ascontiguousarray(bc_keys_sorted, dtype=np.uint64)
+    # a chunk can yield at most one undoc row per read: clamping avoids
+    # zeroing an 8 MB buffer per ~64K-read call (r5 review)
+    max_undoc = min(max_undoc, reads_mat.shape[0])
     doc = np.zeros(len(bc_keys_sorted), dtype=np.int64)
     undoc = np.zeros(max_undoc, dtype=np.int64)
     n_undoc = lib.sp_count_exact_mt(

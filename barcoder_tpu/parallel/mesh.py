@@ -26,6 +26,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                # silently truncating mislabels results: the scaling
+                # harness would report an 8-device measurement as 16
+                # devices with ~2x-understated efficiency (r5 review)
+                raise ValueError(
+                    f"requested {n_devices} devices, have {len(devices)}"
+                )
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (GENOME_AXIS,))
 
@@ -40,9 +47,11 @@ def make_mesh_2d(
         devices = jax.devices()
     if n_genome is None:
         n_genome = len(devices) // n_library
-    if n_library * n_genome > len(devices):
+    if n_genome < 1 or n_library * n_genome > len(devices):
+        # n_genome == 0 (n_library > device count) built a degenerate
+        # (n_library, 0) mesh that failed far from the cause (r5 review)
         raise ValueError(
-            f"mesh {n_library}x{n_genome} needs {n_library * n_genome} devices,"
+            f"mesh {n_library}x{n_genome} needs {max(n_library * n_genome, n_library)} devices,"
             f" have {len(devices)}"
         )
     grid = np.array(devices[: n_library * n_genome]).reshape(n_library, n_genome)

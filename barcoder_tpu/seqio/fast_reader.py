@@ -32,23 +32,41 @@ class MatrixStream:
         self.lines_per_record = 4 if self.fmt == "fastq" else 1
         self.fh = open_seq_file(path, "rb")
         self.buf = b""
+        self._off = 0  # consumed bytes of buf (cuts advance the offset;
+        # slicing the multi-MB tail off on every cut memmoved ~15x the
+        # stream size at the 2^14-record chunk geometry, r5 review)
         self.eof = False
-        # newline offsets RELATIVE to buf[0], consumed in lockstep with buf
+        # ABSOLUTE newline offsets into buf; consumed entries advance
+        # _nl_start in lockstep with _off
         self._nl_pos = np.zeros(0, np.int64)
+        self._nl_start = 0
 
     def close(self):
         self.fh.close()
 
     def _avail(self) -> int:
-        return len(self._nl_pos)
+        return len(self._nl_pos) - self._nl_start
 
-    def _fill(self, want_records: int) -> None:
-        need_newlines = want_records * self.lines_per_record + 1
+    def _compact(self) -> None:
+        """Drop the consumed prefix — called once per fill, so each byte
+        is copied O(1) times regardless of the cut geometry."""
+        if self._off:
+            self.buf = self.buf[self._off :]
+            self._nl_pos = self._nl_pos[self._nl_start :] - self._off
+            self._off = 0
+            self._nl_start = 0
+        elif self._nl_start:
+            self._nl_pos = self._nl_pos[self._nl_start :]
+            self._nl_start = 0
+
+    def _fill_lines(self, want_lines: int) -> None:
+        need_newlines = want_lines + 1
         if self.eof or self._avail() >= need_newlines:
             return
+        self._compact()
         parts = [self.buf]
         new_pos = [self._nl_pos]
-        avail = self._avail()
+        avail = len(self._nl_pos)
         end = len(self.buf)
         while not self.eof and avail < need_newlines:
             blob = self.fh.read(_SLAB)
@@ -106,88 +124,131 @@ class MatrixStream:
             return None
         return chunk_take[1]
 
-    def _line_spans(self, consumed: int, cut: int):
-        """(starts, ends) of the lines inside the next cut: ``consumed``
-        newline-terminated lines plus the unterminated tail line when the
-        cut runs past the last newline."""
-        cnl = self._nl_pos[:consumed]
-        starts = np.concatenate(([0], cnl + 1))
-        ends = np.concatenate((cnl, [cut]))
-        if len(starts) and starts[-1] >= cut:
+    def _line_spans(self, upto_lines: int, cut_end: int):
+        """ABSOLUTE (starts, ends) of the next ``upto_lines``
+        newline-terminated lines plus the unterminated tail line when
+        ``cut_end`` runs past the last newline."""
+        cnl = self._nl_pos[self._nl_start : self._nl_start + upto_lines]
+        starts = np.concatenate(([self._off], cnl + 1))
+        ends = np.concatenate((cnl, [cut_end]))
+        if len(starts) and starts[-1] >= cut_end:
             starts, ends = starts[:-1], ends[:-1]
         return starts, ends
 
-    def _nonblank_lines(self, starts, ends) -> int:
-        """Lines that are records for the ``.reads`` parsers: non-empty
+    def _nonblank_mask(self, starts, ends) -> np.ndarray:
+        """Which lines are records for the ``.reads`` parsers: non-empty
         after CR-strip (native/sp_parse_reads semantics)."""
         lens = ends - starts
         arr = np.frombuffer(self.buf, dtype=np.uint8)  # zero-copy view
-        cr_only = (lens == 1) & (arr[np.clip(starts, 0, len(arr) - 1)] == 13)
-        return int(((lens > 0) & ~cr_only).sum())
+        idx = np.clip(starts, 0, max(len(arr) - 1, 0))
+        cr_only = (lens == 1) & (arr[idx] == 13)
+        return (lens > 0) & ~cr_only
 
     def _cut_records(self, n: int, count_only: bool = False):
         """Consume up to n records; returns (raw chunk bytes, record
         count, chunk-relative newline offsets) or None at end of stream.
-        With count_only=True the chunk/offsets are not materialized
-        (None, count, None) — the skip path's byte copies were a large
-        share of its cost.
+        n <= 0 returns an EMPTY batch (b'', 0, []) without consuming —
+        None stays unambiguous as the end-of-stream sentinel. With
+        count_only=True the chunk/offsets are not materialized
+        (None, count, None).
 
-        End-of-stream semantics match the parsers and the reference's
-        readline loop: trailing blank lines are not records, and a
-        truncated final FASTQ record (missing +/quality lines) IS one.
-        Blank lines in the MIDDLE of a FASTQ file are out of scope (no
-        FASTQ writer emits them; the 4-line structural model cuts on
-        line counts)."""
-        self._fill(n)
-        if not self.buf:
-            return None
+        Record semantics match the parsers and the reference's readline
+        loop: for ``.reads``, records are the NONBLANK lines (cuts consume
+        however many lines hold n of them, so paired streams stay aligned
+        by RECORD even when one file carries blank lines); trailing blank
+        lines are not records; a truncated final FASTQ record (missing
+        +/quality lines) IS one. Blank lines in the MIDDLE of a FASTQ
+        file are out of scope (no FASTQ writer emits them; the 4-line
+        structural model cuts on line counts)."""
+        if n <= 0:
+            return b"", 0, np.zeros(0, np.int64)
         lpr = self.lines_per_record
+        if self.fmt == "fastq":
+            self._fill_lines(n * lpr)
+        else:
+            # blanks don't count toward n: keep filling until n nonblank
+            # lines are visible (or the stream ends)
+            want = n
+            while True:
+                self._fill_lines(want)
+                if self.eof:
+                    break
+                avail = self._avail()
+                last = int(self._nl_pos[-1]) + 1 if avail else self._off
+                nb = self._nonblank_mask(*self._line_spans(avail, last))
+                if int(nb.sum()) >= n:
+                    break
+                want *= 2
+        if self._off >= len(self.buf):
+            return None
         avail = self._avail()
-        last_nl_end = int(self._nl_pos[-1]) + 1 if avail else 0
+        buf_end = len(self.buf)
+        last_nl_end = int(self._nl_pos[-1]) + 1 if avail else self._off
         if self.eof:
-            total_lines = avail + (1 if len(self.buf) > last_nl_end else 0)
+            total_lines = avail + (1 if buf_end > last_nl_end else 0)
             # trim trailing blank lines (a final "\n" or "\r\n" run)
-            starts, ends = self._line_spans(avail, len(self.buf))
+            starts, ends = self._line_spans(avail, buf_end)
             arr = np.frombuffer(self.buf, dtype=np.uint8)
             while total_lines:
                 s, e = int(starts[total_lines - 1]), int(ends[total_lines - 1])
                 if e > s and not (e - s == 1 and arr[s] == 13):
                     break
                 total_lines -= 1
-            # ceil: a truncated final record still counts (reference
-            # readline semantics, heuristicount.py:100-153; the native
-            # FASTQ parser keeps it too)
-            n_records = -(-total_lines // lpr)
+            scope_end = buf_end
         else:
-            n_records = avail // lpr
+            total_lines = avail
+            starts, ends = self._line_spans(avail, last_nl_end)
+            scope_end = last_nl_end
+        starts, ends = starts[:total_lines], ends[:total_lines]
+        if self.fmt == "fastq":
+            # ceil: a truncated final record still counts (reference
+            # readline semantics; the native FASTQ parser keeps it too)
+            n_records = (
+                -(-total_lines // lpr) if self.eof else total_lines // lpr
+            )
+        else:
+            nb = self._nonblank_mask(starts, ends)
+            n_records = int(nb.sum())
         take = min(n, n_records)
         if take == 0:
             if self.eof:
-                self.buf = b""
-                self._nl_pos = np.zeros(0, np.int64)
+                self._off = len(self.buf)
+                self._nl_start = len(self._nl_pos)
                 return None
             return None
-        if self.eof and take == n_records:
-            cut = len(self.buf)
-            consumed = avail
+        if self.fmt == "fastq":
+            if self.eof and take == n_records:
+                cut = buf_end
+                consumed_nl = avail
+            else:
+                cut = int(self._nl_pos[self._nl_start + take * lpr - 1]) + 1
+                consumed_nl = take * lpr
         else:
-            cut = int(self._nl_pos[take * lpr - 1]) + 1
-            consumed = take * lpr
-        if self.fmt == "reads":
-            # the parsers drop blank lines: report what they will return
-            count = self._nonblank_lines(*self._line_spans(consumed, cut))
-        else:
-            count = take
+            # line index holding the take-th nonblank record
+            li = int(np.searchsorted(np.cumsum(nb), take))
+            if li < avail:  # newline-terminated line
+                cut = int(self._nl_pos[self._nl_start + li]) + 1
+                consumed_nl = li + 1
+            else:  # the unterminated eof tail line
+                cut = buf_end
+                consumed_nl = avail
         if count_only:
             chunk, cnl = None, None
-            self.buf = self.buf[cut:]
         else:
-            cnl = self._nl_pos[:consumed].copy()
-            chunk, self.buf = self.buf[:cut], self.buf[cut:]
-        # rebase the (small) remaining index: int64 offsets are 8x fewer
-        # bytes than the buffer rescans this replaces
-        self._nl_pos = self._nl_pos[consumed:] - cut
-        return chunk, count, cnl
+            cnl = (
+                self._nl_pos[self._nl_start : self._nl_start + consumed_nl]
+                - self._off
+            )
+            chunk = self.buf[self._off : cut]
+        self._nl_start += consumed_nl
+        self._off = cut
+        if self.eof and self._off >= len(self.buf):
+            # release the final slab
+            self.buf = b""
+            self._off = 0
+            self._nl_pos = np.zeros(0, np.int64)
+            self._nl_start = 0
+        return chunk, take, cnl
 
 
 def iter_owned_matrix_chunks(

@@ -217,6 +217,10 @@ long long sp_count_exact_mt(const unsigned char* reads, const long long* lengths
         return sp_count_exact(reads, lengths, rows, width, start, l_flank, l_len,
                               r_flank, r_len, bc_len, bc_keys_sorted, n_bc,
                               doc_counts, undoc_rows, max_undoc);
+    // LUT init BEFORE spawning: the plain tables_ready flag is not a
+    // synchronization point, so racing workers could observe it set
+    // before the table stores are visible and miscode bases
+    init_tables();
     std::vector<std::vector<long long>> docs((size_t)n_threads,
                                              std::vector<long long>((size_t)n_bc, 0));
     std::vector<std::vector<long long>> undocs((size_t)n_threads);
@@ -228,12 +232,15 @@ long long sp_count_exact_mt(const unsigned char* reads, const long long* lengths
         if (r0 >= r1) break;
         workers.emplace_back([=, &docs, &undocs]() {
             std::vector<long long>& undoc = undocs[(size_t)t];
-            undoc.resize((size_t)max_undoc);
+            // a range yields at most one undoc row per read — sizing to
+            // max_undoc zeroed n_threads x 8 MB per chunk call
+            long long cap = max_undoc < (r1 - r0) ? max_undoc : (r1 - r0);
+            undoc.resize((size_t)cap);
             long long n = sp_count_exact(reads + r0 * width, lengths + r0,
                                          r1 - r0, width, start, l_flank, l_len,
                                          r_flank, r_len, bc_len, bc_keys_sorted,
                                          n_bc, docs[(size_t)t].data(),
-                                         undoc.data(), max_undoc);
+                                         undoc.data(), cap);
             undoc.resize((size_t)n);
             for (long long& v : undoc) v += r0;  // back to global row indices
         });

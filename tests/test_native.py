@@ -138,3 +138,39 @@ class TestCountExact:
         )
         assert doc.sum() == 1
         assert undoc_rows.tolist() == [3]
+
+
+class TestFallbackRecordParity:
+    """r5 review: the numpy fallbacks must COUNT records exactly like the
+    native parsers (and MatrixStream's cut arithmetic) — a divergence
+    desyncs the multi-host lockstep dispatch schedule."""
+
+    def _fallback(self, fn, *args):
+        import os
+
+        os.environ["BARCODER_TPU_NO_NATIVE"] = "1"
+        lib_save, tried_save = nb._lib, nb._tried
+        nb._lib, nb._tried = None, False
+        try:
+            return fn(*args)
+        finally:
+            del os.environ["BARCODER_TPU_NO_NATIVE"]
+            nb._lib, nb._tried = lib_save, tried_save
+
+    def test_fastq_edge_records(self, native):
+        # empty sequence line, header-only truncated final record, blank
+        # line between records — all kept by the native parser
+        data = b"@r1\n\n+\n\n\n@r2\nACGT\n+\nIIII\n@r3"
+        a = nb.parse_fastq_buffer(data, row_width=8)
+        b = self._fallback(nb.parse_fastq_buffer, data, 8)
+        assert len(a[1]) == len(b[1]) == 3
+        assert a[1].tolist() == b[1].tolist() == [0, 4, 0]
+        assert np.array_equal(a[0], b[0])
+
+    def test_reads_whitespace_line(self, native):
+        data = b"AAAA\n   \n\nCCCC\n"  # whitespace-only line IS a record
+        a = nb.parse_reads_buffer(data, row_width=4)
+        b = self._fallback(nb.parse_reads_buffer, data, 4)
+        assert len(a[1]) == len(b[1]) == 3
+        assert a[1].tolist() == b[1].tolist()
+        assert np.array_equal(a[0], b[0])

@@ -232,3 +232,47 @@ class TestOwnedIterator:
                     for i in range(len(r1[1]))
                 )
         assert rows == reads[256:320] + reads[384:448] + reads[512:]
+
+
+class TestBlankLineReads:
+    """r5 review: paired .reads with blank lines raised a spurious
+    length-mismatch (records were cut by LINE count, not record count);
+    cuts now consume however many lines hold n NONBLANK records."""
+
+    def test_paired_reads_with_blanks_align(self, tmp_path):
+        f1, f2 = tmp_path / "a.reads", tmp_path / "b.reads"
+        # equal record counts; blanks at different places in each file
+        f1.write_text("AAAA\n\nCCCC\nGGGG\n\nTTTT\n")
+        f2.write_text("TTTT\nGGGG\n\n\nCCCC\nAAAA\n")
+        chunks = list(iter_owned_matrix_chunks(str(f1), str(f2), chunk_size=2))
+        r1 = [row.tobytes().rstrip(b"\x00") for _i, _n, a, b in chunks for row in a[0]]
+        r2 = [row.tobytes().rstrip(b"\x00") for _i, _n, a, b in chunks for row in b[0]]
+        assert r1 == [b"AAAA", b"CCCC", b"GGGG", b"TTTT"]
+        assert r2 == [b"TTTT", b"GGGG", b"CCCC", b"AAAA"]
+
+    def test_skip_matches_parse_with_blanks(self, tmp_path):
+        f1 = tmp_path / "a.reads"
+        f1.write_text("AAAA\n\n\nCCCC\nGGGG\n\nTTTT\nACGT\n")
+        parse = [
+            n for _i, n, _a, _b in iter_owned_matrix_chunks(str(f1), chunk_size=2)
+        ]
+        skip = [
+            n
+            for _i, n, _a, _b in iter_owned_matrix_chunks(
+                str(f1), chunk_size=2, owner=1, num_owners=2
+            )
+        ]
+        assert parse == skip == [2, 2, 1]
+
+    def test_zero_record_request_is_not_eof(self, tmp_path):
+        from barcoder_tpu.seqio.fast_reader import MatrixStream
+
+        f1 = tmp_path / "a.reads"
+        f1.write_text("AAAA\nCCCC\n")
+        s = MatrixStream(str(f1))
+        mat, lens = s.next_records(0)
+        assert len(lens) == 0  # empty batch, NOT the end-of-stream None
+        assert s.skip_records(0) == 0
+        mat, lens = s.next_records(10)
+        assert len(lens) == 2
+        s.close()

@@ -376,3 +376,19 @@ def test_chunked_phase2_agrees(mesh8, monkeypatch):
     finally:
         ss._sharded_engine.cache_clear()
         ss._sharded_site_engine.cache_clear()
+
+
+def test_mesh_guards():
+    """r5 review: make_mesh must not silently truncate past the device
+    count (mislabels scaling results) and make_mesh_2d must reject a
+    degenerate zero-genome grid."""
+    import jax
+
+    from barcoder_tpu.parallel.mesh import make_mesh, make_mesh_2d
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(n + 1)
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh_2d(n * 2)
+    assert make_mesh(n) is not None
